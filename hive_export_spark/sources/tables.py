@@ -1,0 +1,82 @@
+"""Fixture-table loaders (batch + streaming).
+
+At cluster scale these would be catalog tables / object-store prefixes; the
+API takes a directory so tests can point at any scale factor. Reads are
+plain ``spark.read.parquet`` — schema comes from the parquet footer, filters
+and column pruning push into the scan (verify with .explain: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is nanosecond-precision in parquet, which Spark's vectorized
+    reader rejects; read it as a long (legacy nanosAsLong) and truncate to the
+    engine's microsecond TimestampType. VoltDB timestamps are microseconds too
+    (PartitionedJsonDecoder.java:201-214), so µs is the reference-faithful
+    precision.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    # The caller may hand us a session it built itself (the driver does);
+    # timestamp semantics must not depend on that session's defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # integer division: ns -> µs (double division would lose precision
+        # above 2^53, i.e. for any epoch-ns value)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load several fixture tables at once."""
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def read_stream_from_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming read over the same parquet data.
+
+    Models the reference's continuous export delivery
+    (HiveExportClient.java:171-196): each micro-batch is the analog of one
+    export block. The schema is taken from a batch read of the same path —
+    streaming file sources require an explicit schema.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

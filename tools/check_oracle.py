@@ -1,0 +1,104 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB against the
+same sf dir, compares row count, sorted column names, and an
+order-insensitive value hash. Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from hive_export_spark.registry import all_oracles, all_queries  # noqa: E402
+from hive_export_spark.session import get_spark  # noqa: E402
+from hive_export_spark.sources import TABLE_NAMES  # noqa: E402
+
+
+def normalize_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols_sorted = [columns[i] for i in order]
+    lines = sorted(
+        "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), cols_sorted, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = all_queries()
+    oracles = all_oracles()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        oracle = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            s_n, s_cols, s_hash = frame_fingerprint(scols, srows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if oracle is None:
+            print(f"ROWS  {name}: {s_n} rows (no oracle)")
+            if s_n == 0:
+                failures.append(name)
+            continue
+        try:
+            cur = con.execute(oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            d_n, d_cols, d_hash = frame_fingerprint(dcols, drows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok = (s_n, s_cols, s_hash) == (d_n, d_cols, d_hash)
+        status = "OK  " if ok else "FAIL"
+        print(f"{status}  {name}: spark={s_n} rows {s_cols} {s_hash} | duckdb={d_n} rows {d_cols} {d_hash}")
+        if not ok:
+            failures.append(name)
+            # show a sample diff
+            s_set = {tuple(normalize_cell(x) for x in r) for r in srows}
+            d_set = {tuple(normalize_cell(x) for x in r) for r in drows}
+            for label, diff in (("spark-only", s_set - d_set), ("duckdb-only", d_set - s_set)):
+                for row in list(diff)[:3]:
+                    print(f"        {label}: {row}")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
