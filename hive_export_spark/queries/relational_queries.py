@@ -1,1 +1,526 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational-surface queries (SURVEY.md section 2.2): joins of every type,
+aggregations (incl. distinct/rollup/cube/grouping sets), sort/limit/top-k,
+set operations, and TPC-H-style analytical pipelines.
+
+Hash-stability conventions (the driver compares value hashes vs DuckDB):
+- monetary aggregates are computed in DECIMAL (exact, associative) and cast
+  to DOUBLE at the end — identical IEEE value in both engines; raw
+  double SUMs would differ in the last ulp depending on reduction order.
+- every ORDER BY ... LIMIT has a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.relational import band_join, top_k_per_group
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+# decimal-exact money expressions (see module docstring); widths kept tight
+# so products never exceed 38 digits (engine-specific precision-loss
+# rounding would break hash parity)
+_DEC = "decimal(12,2)"
+_DEC_RATE = "decimal(4,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: scan-side filter pushdown + partial "
+    "(map-side) aggregation; one shuffle on a tiny grouping key",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC_RATE)
+    tax = F.col("l_tax").cast(_DEC_RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: selective dimension filter -> fact join -> agg -> "
+    "deterministic top-10 (revenue DESC, orderkey tiebreak)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC_RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5: 6-table join; nation/region/supplier broadcast, fact "
+    "tables shuffle on join keys only",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC_RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+_JOIN_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o {how} JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def _join_frames(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return o, c
+
+
+def _join_select(j, o, c):
+    return j.select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_inner",
+    oracle=_JOIN_ORACLE.format(how="INNER"),
+    doc="inner equi-join orders x customer",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _join_frames(spark, sf_dir)
+    return _join_select(o.join(c, o.o_custkey == c.c_custkey, "inner"), o, c)
+
+
+@register(
+    "join_left",
+    oracle=_JOIN_ORACLE.format(how="LEFT"),
+    doc="left outer equi-join",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _join_frames(spark, sf_dir)
+    return _join_select(o.join(c, o.o_custkey == c.c_custkey, "left"), o, c)
+
+
+@register(
+    "join_right",
+    oracle=_JOIN_ORACLE.format(how="RIGHT"),
+    doc="right outer equi-join",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _join_frames(spark, sf_dir)
+    return _join_select(o.join(c, o.o_custkey == c.c_custkey, "right"), o, c)
+
+
+@register(
+    "join_full",
+    oracle=_JOIN_ORACLE.format(how="FULL"),
+    doc="full outer equi-join",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _join_frames(spark, sf_dir)
+    return _join_select(o.join(c, o.o_custkey == c.c_custkey, "full"), o, c)
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    doc="left-semi join (EXISTS): customers with at least one big order",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left-anti join (NOT EXISTS): customers with no orders",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    doc="explicit broadcast of small dims: map-side join, zero shuffle of "
+    "the big side (the 100 TB-scale default for star joins)",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_range_band",
+    oracle="""
+WITH bands(band, low, high) AS (
+  VALUES ('small', 0, 17), ('medium', 17, 34), ('large', 34, 51)
+)
+SELECT p.p_partkey, p.p_size, b.band
+FROM part p LEFT JOIN bands b ON p.p_size >= b.low AND p.p_size < b.high
+""",
+    doc="range (band) join: broadcast-nested-loop with interval predicate, "
+    "shuffle-free (operators.relational.band_join)",
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    bands = spark.createDataFrame(
+        [("small", 0, 17), ("medium", 17, 34), ("large", 34, 51)],
+        ["band", "low", "high"],
+    )
+    return band_join(p, bands, "p_size").select("p_partkey", "p_size", "band")
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts, p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    doc="as-of join (most recent purchase at or before each click) — "
+    "equi-join + time predicate + greatest-per-group "
+    "(operators.relational.asof_join); DuckDB oracle uses native ASOF",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.relational import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases.withColumnRenamed("pts", "ts2").withColumnRenamed("value", "pvalue"),
+        on=["user_id"],
+        left_key="event_id",
+        left_time="ts",
+        right_time="ts2",
+        right_values=["ts2", "pvalue"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts2").alias("last_purchase_ts"),
+        F.col("pvalue").alias("last_purchase_value"),
+    )
+
+
+# ------------------------------------------------------------ aggregations
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    doc="hash aggregation with partial (map-side) combine",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    bal = F.col("c_acctbal").cast(_DEC)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum(bal).cast("double").alias("total_bal"),
+        F.min(bal).cast("double").alias("min_bal"),
+        F.max(bal).cast("double").alias("max_bal"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="distinct aggregation (expand + two-phase agg in Spark)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+    doc="hierarchical rollup aggregation",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="cube aggregation (all grouping combinations)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="explicit grouping sets via the SQL frontend",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ------------------------------------------------------- sort/limit/topk
+
+
+@register(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+    doc="global top-N: Spark's TakeOrderedAndProject avoids a full sort",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="per-group top-k via window (operators.relational.top_k_per_group)",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+
+
+# -------------------------------------------------------------- set ops
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+""",
+    doc="union all (bag semantics, no shuffle)",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+""",
+    doc="intersect (distinct set semantics)",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+    doc="except/minus (distinct set semantics)",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        o.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
