@@ -1,1 +1,251 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function-family queries (SURVEY.md section 2.2): string, date,
+math, array, map/JSON families. The reference's only scalar functions are
+the type-encode visitors (timestamp format, base64 —
+PartitionedJsonDecoder.java:163-253); these queries cover the full surface
+an analytics user expects, each hash-checked against DuckDB.
+
+Cross-engine parity notes (empirically probed):
+- DuckDB dayofweek() is 0-based Sunday; Spark's is 1-based -> oracle adds 1.
+- round() on DECIMAL agrees (half-up); raw-double round is avoided.
+- exp/ln are excluded: libm last-ulp differences across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+
+@register(
+    "fn_string_family",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       substr(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       concat(c_name, '#', c_mktsegment) AS name_seg,
+       replace(c_name, 'Customer', 'Cust') AS name_replaced,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       trim(concat(' ', c_name, ' ')) AS name_trimmed,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_lev
+FROM customer
+""",
+    doc="string family: case, substring, concat, replace, regexp_extract, "
+    "pad, trim, levenshtein",
+)
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_replaced"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_lev"),
+    )
+
+
+@register(
+    "fn_date_family",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       dayofweek(o_orderdate) + 1 AS dow,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+       datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+FROM orders
+""",
+    doc="date family: trunc, extract, format, diff, interval arithmetic "
+    "(dayofweek numbering reconciled: DuckDB 0-based, Spark 1-based)",
+)
+def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )
+
+
+@register(
+    "fn_math_family",
+    oracle="""
+SELECT p_partkey,
+       abs(p_retailprice - 1000) AS price_dev,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS price_tenth,
+       sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+       pow(CAST(p_size AS DOUBLE), 2) AS size_sq,
+       p_size % 7 AS size_mod,
+       CAST(sign(p_retailprice - 1000) AS INTEGER) AS price_sign,
+       greatest(p_size, 25) AS size_floor25,
+       least(p_size, 25) AS size_cap25
+FROM part
+""",
+    doc="math family: abs/ceil/floor/round(decimal)/sqrt/pow/mod/sign/"
+    "greatest/least",
+)
+def fn_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.col("p_retailprice").cast("decimal(12,2)") / 10, 1).alias(
+            "price_tenth"
+        ),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.signum(F.col("p_retailprice") - 1000).cast("int").alias("price_sign"),
+        F.greatest("p_size", F.lit(25)).alias("size_floor25"),
+        F.least("p_size", F.lit(25)).alias("size_cap25"),
+    )
+
+
+@register(
+    "fn_array_family",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       array_to_string(list_transform(string_split(substr(text, 1, 40), ' '),
+                                      t -> upper(t)), ',') AS head_upper
+FROM documents
+""",
+    doc="array family: split, length, index, contains, transform "
+    "(higher-order function), join — all JVM-side, no Python UDFs",
+)
+def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(
+            F.transform(F.split(F.substring("text", 1, 40), " "), lambda t: F.upper(t)),
+            ",",
+        ).alias("head_upper"),
+    )
+
+
+@register(
+    "fn_json_family",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+       json_extract_string(props, '$.k') AS k_string,
+       to_json(struct_pack(id := event_id, t := event_type)) AS packed
+FROM events
+""",
+    doc="JSON family: path extraction (typed + string) and struct->JSON "
+    "(the reference's R5 encode generalized; from_json is exercised in "
+    "streaming queries)",
+)
+def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id",
+        F.from_json("props", props_schema).getField("k").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"), F.col("event_type").alias("t")
+            )
+        ).alias("packed"),
+    )
+
+
+@register(
+    "fn_conditional_family",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+       (o_totalprice BETWEEN 50000 AND 150000) AS mid_range,
+       (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_urgent
+FROM orders
+""",
+    doc="conditional family: CASE/WHEN, coalesce, nullif, BETWEEN, IN",
+)
+def fn_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+        F.col("o_totalprice").between(50000, 150000).alias("mid_range"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+    )
+
+
+@register(
+    "fn_explode_unnest",
+    oracle="""
+SELECT doc_id, unnest(string_split(substr(text, 1, 30), ' ')) AS token
+FROM documents WHERE doc_id < 100
+""",
+    doc="explode/unnest: one output row per array element (generator, "
+    "pipelined — no shuffle)",
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, 30), " ")).alias("token"),
+    )
+
+
+@register(
+    "fn_hash_family",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256
+FROM documents
+""",
+    doc="deterministic content hashing (dedup fingerprint primitive)",
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

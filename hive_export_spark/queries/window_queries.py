@@ -1,1 +1,159 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function queries (SURVEY.md section 2.2: row_number/rank/
+dense_rank/lag/lead/aggregates over partitioned, ordered, framed windows).
+
+Determinism convention: every window ORDER BY ends with a unique column
+(event_id / o_orderkey) so ties cannot reorder lag/lead/row_number between
+engines. Running double sums are safe because the frame fixes the exact
+fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+
+@register(
+    "window_row_number",
+    oracle="""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+""",
+    doc="sequence numbering per user in event-time order",
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+FROM orders
+""",
+    doc="rank and dense_rank per customer by order value",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+FROM events
+""",
+    doc="previous/next event value per user (session-stitching primitive)",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+FROM events
+""",
+    doc="running total per user — frame-ordered double sum is "
+    "deterministic (identical fold order both engines)",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("running_value")
+    )
+
+
+@register(
+    "window_sliding_avg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+FROM events
+""",
+    doc="3-row sliding average per user — expressed as decimal SUM / COUNT "
+    "(engines disagree on avg(decimal) result scale)",
+)
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg3"),
+    )
+
+
+@register(
+    "window_ntile_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+""",
+    doc="ntile bucketing + first/last value over full-partition frame",
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w_status = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cust_full = w_cust.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w_status).alias("quartile"),
+        F.first("o_orderkey").over(w_cust).alias("first_order"),
+        F.last("o_orderkey").over(w_cust_full).alias("last_order"),
+    )
