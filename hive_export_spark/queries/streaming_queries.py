@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-operator queries (SURVEY.md section 2.2 streaming surface).
+
+The window/dedup operators are batch/streaming-polymorphic (same function,
+see streaming/pipeline.py); the driver's correctness gate runs them in
+batch mode against gaps-and-islands / time_bucket SQL oracles, and
+tests/test_streaming.py runs the SAME operators as real streaming queries
+with watermarks and checkpoints.
+
+stream_export_e2e is a genuine streaming query (availableNow trigger):
+file source -> foreachBatch partitioned write -> read-back, oracle-checked.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_export_spark.config import UNSPECIFIED_TOKEN
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table, read_stream_from_table
+from hive_export_spark.streaming import (
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    streaming_export,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="tumbling 1h event-time windows per event_type (epoch-aligned, "
+    "same origin alignment as DuckDB time_bucket)",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return tumbling_window_agg(ev, duration="1 hour")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM (
+  SELECT e.ts, e.event_type,
+         time_bucket(INTERVAL '30 minutes', e.ts) - k.k * INTERVAL '30 minutes' AS ws
+  FROM events e, (VALUES (0), (1)) k(k)
+) t
+WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3
+""",
+    doc="sliding 1h/30min windows: each event in duration/slide = 2 windows "
+    "(oracle materializes both hops per row)",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return sliding_window_agg(ev, duration="1 hour", slide="30 minutes")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="session windows (30min inactivity gap) per user; oracle is the "
+    "batch gaps-and-islands equivalent — Spark session end = last event + "
+    "gap, new session at gap >= duration",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return session_window_agg(ev, gap="30 minutes")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="stateful dedup on (user_id, event_type) — streaming form is "
+    "dropDuplicatesWithinWatermark (state bounded by watermark horizon); "
+    "batch form shown here keeps only the key columns since the surviving "
+    "row per key is engine-dependent",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return streaming_dedup(ev, keys=("user_id", "event_type")).select(
+        "user_id", "event_type"
+    )
+
+
+@register(
+    "stream_export_e2e",
+    oracle=f"""
+SELECT CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = ''
+            THEN '{UNSPECIFIED_TOKEN}' ELSE event_type END AS event_type,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+""",
+    doc="the reference conduit as a real streaming query: file source -> "
+    "foreachBatch JSON-encode + partitioned write with checkpoint "
+    "(availableNow trigger), then read-back (R1-R11 end to end)",
+)
+def stream_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_stream_from_table(spark, "events", sf_dir)
+    out = tempfile.mkdtemp(prefix="stream_export_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_export_ckpt_")
+    q = streaming_export(stream, out, ckpt, ["event_type"])
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))

@@ -73,10 +73,20 @@ def read_stream_from_table(
     streaming file sources require an explicit schema.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = spark.read.parquet(path).schema
-    return (
+    # the file-stream source requires a directory; point it at the sf dir
+    # with a glob filter selecting this table's file
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
     )
+    if name == "events":
+        # same ns->µs normalization as the batch loader
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
