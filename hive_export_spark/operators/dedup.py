@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md section 2.2 LLM-pipeline ops; BASELINE.json north star).
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- exact:    hash-groupBy on a content fingerprint. One shuffle on a
+            64-hex-char key; the canonical first pass.
+- n-gram Jaccard: exact pairwise similarity via a shared-shingle inverted
+            index — shuffles on shingle values, never materializes the
+            full O(n^2) pair space. Hot ("stop") shingles are capped to
+            bound worst-case fan-out.
+- MinHash + LSH: the scale path. Fixed-size signatures (k 64-bit mins)
+            replace shingle sets; banding buckets candidates so the join
+            is on (band, band_hash) — sub-quadratic, tunable recall.
+- SimHash:  a single integer fingerprint; near-dups differ in few bits.
+
+All fingerprint math uses built-in JVM expressions (xxhash64/md5,
+higher-order array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: F.Column | str) -> F.Column:
+    """Canonical text normalization: lowercase + whitespace collapse."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def word_shingles(col: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the normalized text, as an array.
+
+    Built from native array ops (sequence/transform/slice/array_join):
+    no UDF, fully codegen'd.
+    """
+    toks = F.split(normalized_text(col), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(ngrams)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one keeper (min id) per normalized-content hash.
+
+    Scale: a single shuffle on md5(normalized text); group state is one
+    (min_id, count) pair per distinct document — the canonical 100 TB
+    first-pass dedup.
+    """
+    return (
+        df.withColumn("__fp", F.md5(normalized_text(text_col)))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies")
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Inverted index: (id, shingle) pairs, one row per distinct shingle."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via shared-shingle join.
+
+    |A∩B| comes from counting co-occurring shingles; |A∪B| = |A|+|B|-|A∩B|.
+    Only pairs sharing >=1 shingle are ever materialized, so the complexity
+    is sum over shingles of freq^2, not n^2. At 100 TB, cap hot shingles
+    with ``max_shingle_freq`` (drop stop-shingles: a shingle in millions of
+    docs carries no dedup signal but dominates the join) — or switch to
+    MinHash-LSH below.
+    """
+    sh = shingle_index(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq)),
+                    "shingle", "left_semi")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__sz_b"))
+    return (
+        shared.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: num_hashes 64-bit minima over the shingle set.
+
+    Hash family: xxhash64(seed_i || shingle) — deterministic, JVM-native,
+    no Python. Signature is a fixed-size array column, so downstream LSH
+    never touches the raw shingle sets (the point, at scale: a 1 MB
+    document becomes 64 longs).
+    """
+    # NB: closure factory, not `lambda s, i=i: ...` — PySpark introspects a
+    # defaulted second param as the (element, index) two-arg form and would
+    # bind the array-index column over the captured seed.
+    def seeded(i: int):
+        prefix = f"mh{i}:"
+        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+    shs = word_shingles(text_col)
+    sig = F.array(
+        *[F.array_min(F.transform(shs, seeded(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    rows_per_band = num_hashes/bands; candidate probability for a pair at
+    jaccard j is 1-(1-j^r)^b (b=16, r=4: j=0.8 -> 0.9998, j=0.3 -> 0.12).
+    Candidates are then verified with exact shingle Jaccard, so false
+    positives are eliminated; recall at the planted-duplicate level
+    (j ~ 0.98) is 1 to ~18 significant digits.
+
+    Scale shape: explode to (band_idx, band_hash, id) -> self-join on the
+    bucket key -> distinct candidate pairs -> verify only those. No full
+    pair space, no raw-shingle shuffle.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[bi * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification on candidates only
+    shsets = df.select(
+        F.col(id_col), word_shingles(text_col).alias("__shs")
+    )
+    sa = shsets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__shs_a"))
+    sb = shsets.select(F.col(id_col).alias("doc_b"), F.col("__shs").alias("__shs_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__shs_a", "__shs_b"))
+            / (
+                F.size("__shs_a")
+                + F.size("__shs_b")
+                - F.size(F.array_intersect("__shs_a", "__shs_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprints over word tokens.
+
+    Bit i of the fingerprint is the sign of sum over tokens of (+1 if bit i
+    of the token hash is set else -1). Near-duplicate documents differ in
+    few bits (compare with Hamming distance).
+
+    The per-token bit source is hex digit i of md5(token) >= 8 (the high
+    bit of each nibble) — chosen because md5 is identical across engines,
+    making the whole operator reproducible anywhere (16 bits from 16
+    nibbles). Tokens are weighted by occurrence count.
+    """
+    def nibble_vote(i: int):
+        pos = i + 1
+        return lambda acc, h: acc + F.when(
+            F.substring(h, pos, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+        ).otherwise(-1)
+
+    toks = F.split(normalized_text(text_col), " ")
+    tok_md5 = F.transform(toks, lambda t: F.md5(t))
+    bit_votes = [F.aggregate(tok_md5, F.lit(0), nibble_vote(i)) for i in range(bits)]
+    fingerprint = None
+    for i, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return df.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))

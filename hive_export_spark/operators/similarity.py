@@ -1,0 +1,154 @@
+"""Embedding similarity search (SURVEY.md section 2.2: brute-force cosine
+top-k baseline + LSH-bucketed scale path).
+
+Vector math is done with higher-order array expressions (zip_with /
+aggregate) over double-cast elements — JVM-side, deterministic fold order,
+no Python. The LSH path (random-hyperplane signatures) reduces the
+candidate set before exact re-scoring; recall is tested against the
+brute-force baseline in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    (large) vector corpus; one window per query picks the top k.
+
+    Scale shape: corpus stays partitioned, queries broadcast — the scan is
+    embarrassingly parallel; the only shuffle is the per-query top-k, whose
+    input is already cut to k rows per partition by the window's partial
+    ranking. This is the correctness baseline for the ANN variants.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__vv"),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__vv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec, n_planes: int = 16, dim: int = 64, seed: str = "rp"
+) -> F.Column:
+    """Random-hyperplane LSH signature: bit p = sign(<v, h_p>).
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    xxhash64(seed, plane, dim-index), mapped to [-1, 1] — reproducible
+    across runs/engines with no stored model.
+    """
+    def plane_component(p: int):
+        prefix = f"{seed}:{p}:"
+
+        def component(i):
+            h = F.xxhash64(F.concat(F.lit(prefix), i.cast("string")))
+            return (h % 1000003).cast("double") / F.lit(500001.5) - F.lit(1.0)
+
+        return component
+
+    bits = []
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    for p in range(n_planes):
+        comps = F.transform(idx, plane_component(p))
+        proj = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    max_hamming: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: hyperplane signatures prune the corpus to
+    candidates within `max_hamming` signature bits of the query, then
+    exact cosine re-scores candidates.
+
+    Scale shape: the corpus is scanned once to attach signatures (could be
+    precomputed/persisted); candidate filtering replaces the full cross
+    product with bit_count(xor) <= max_hamming (radius tuned for the
+    fixture: best true neighbors sit at cosine ~0.5 => expected signature
+    disagreement 4 of 12 planes, so radius 5 gives ~0.78 recall; tighter
+    corpora with real near-dups can use radius 2-3 for much harder pruning) — at 1000x data, pair this
+    with signature-bucketed storage so only matching buckets are read.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qsig", hyperplane_signature(F.col("__qv"), n_planes, dim))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__vv"),
+    ).withColumn("__vsig", hyperplane_signature(F.col("__vv"), n_planes, dim))
+    candidates = v.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("__qsig").bitwiseXOR(F.col("__vsig"))) <= max_hamming
+    )
+    scored = candidates.select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__vv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md section 2.2: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything is built-in expression work (regexp, higher-order array
+functions, md5) — zero Python in the hot path, so each operator is a
+narrow projection Catalyst fuses into the scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.dedup import normalized_text, word_shingles
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small and fixed: language ID at pipeline scale is a
+# first-pass router, not a classifier benchmark.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "es": ("el", "la", "los", "y", "es", "un", "una"),
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting three ways: whitespace words, BPE-ish regex tokens
+    (word pieces + standalone punctuation), and the chars/4 estimate used
+    for quick budget math."""
+    words = F.split(normalized_text(text_col), " ")
+    return df.withColumns(
+        {
+            "n_words": F.size(words),
+            "n_regex_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+            ),
+            "n_chars": F.length(text_col),
+            "est_tokens": F.ceil(F.length(text_col) / 4).cast("long"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a composite score in [0, 1].
+
+    Signals (all cheap, all standard for pretraining filters):
+    - mean word length (very low/high => boilerplate or garbage)
+    - alpha ratio: fraction of chars that are letters
+    - punctuation density
+    - stopword ratio: hit rate of common English function words
+    """
+    words = F.split(normalized_text(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
+    )
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    alpha_ratio = alpha_chars / n_chars
+    punct_ratio = punct_chars / n_chars
+    stop_ratio = stop_hits / n_words
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.4).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0)
+        + F.when(stop_ratio >= 0.02, 0.2).otherwise(0.0)
+    )
+    return df.withColumns(
+        {
+            "mean_word_len": mean_word_len,
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit counts.
+
+    Deterministic tie-break by fixed language priority (dict order). At
+    scale this is one pass over the token array per language — a handful
+    of fused JVM expressions, no shuffle.
+    """
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
+    words = F.split(normalized_text(text_col), " ")
+    hit_cols = {
+        lang: F.size(F.filter(words, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_hits = hit_cols[langs[0]]
+    for lang in langs[1:]:
+        better = hit_cols[lang] > best_hits
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(better, hit_cols[lang]).otherwise(best_hits)
+    out = df.withColumns({f"hits_{lang}": c for lang, c in hit_cols.items()})
+    return out.withColumn(
+        "lang_pred", F.when(best_hits > 0, best).otherwise(F.lit("und"))
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full-text md5 plus a shingle-anchor fingerprint
+    (lexicographic min of shingle md5s — a 1-permutation MinHash usable as
+    a cheap near-dup blocking key; identical across engines)."""
+    return df.withColumns(
+        {
+            "content_md5": F.md5(normalized_text(text_col)),
+            "anchor_fp": F.array_min(
+                F.transform(word_shingles(text_col), lambda s: F.md5(s))
+            ),
+        }
+    )

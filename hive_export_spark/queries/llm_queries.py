@@ -1,1 +1,312 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries (SURVEY.md section 2.2, BASELINE.json north
+star): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search, text analysis, multimodal columns.
+
+Oracle strategy: everything except raw LSH internals is SQL-expressible,
+including the MinHash-LSH RESULT (candidates are verified with exact
+Jaccard, and recall at the planted-duplicate level j~0.98 with 16 bands x 4
+rows is 1 - (1-0.98^4)^16 ~ 1 - 1e-18, so the verified output equals the
+exact-Jaccard answer). The shared-shingle inverted-index SQL mirrors the
+Spark plan shape — neither side materializes the O(n^2) pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators import dedup, multimodal, similarity, text
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+# DuckDB equivalent of the engine's normalization + shingling
+# (dedup.normalized_text / dedup.word_shingles)
+_SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+# DuckDB range() is exclusive-stop while Spark sequence() is inclusive:
+# range(1, greatest(len-1, 2)) == sequence(1, greatest(len-2, 1))
+_SQL_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, greatest(len(toks) - 1, 2))])"
+)
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5({_SQL_NORM})
+""",
+    doc="exact dedup: one keeper per normalized-content hash — single "
+    "shuffle on md5, the canonical 100 TB first pass "
+    "(operators.dedup.exact_dedup)",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.exact_dedup(d)
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shset) AS shingle FROM (
+    SELECT doc_id, {_SQL_SHINGLES} AS shset
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+"""
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via "
+    "shared-shingle inverted index — complexity sum(freq^2) per shingle, "
+    "never O(n^2) (operators.dedup.ngram_jaccard_pairs)",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@register(
+    "llm_dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    doc="MinHash(64) + LSH(16 bands x 4 rows) candidates, exact-Jaccard "
+    "verified: equals the exact answer at planted-dup similarity "
+    "(recall 1 - 1e-18); sub-quadratic candidate generation is the "
+    "100 TB path (operators.dedup.minhash_lsh_pairs)",
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(d, threshold=0.8)
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle=f"""
+WITH tokmd5 AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, t -> md5(t)) AS hs
+  FROM documents
+), votes AS (
+  SELECT doc_id, hs,
+         [len(list_filter(hs, h -> substr(h, i + 1, 1) >= '8')) * 2 - len(hs)
+          for i in range(0, 16)] AS v
+  FROM tokmd5
+)
+SELECT doc_id,
+       CAST(list_sum([CASE WHEN v[i + 1] > 0
+                      THEN 2 ** (15 - i) ELSE 0 END
+                      for i in range(0, 16)]) AS BIGINT) AS simhash
+FROM votes
+""",
+    doc="SimHash fingerprints (16 bits from md5-nibble votes, identical "
+    "across engines); near-dups differ in few bits — Hamming-distance "
+    "blocking key (operators.dedup.simhash_fingerprints)",
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.simhash_fingerprints(d)
+
+
+@register(
+    "llm_sim_topk_bruteforce",
+    oracle="""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(v.embedding AS DOUBLE[])) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings q, embeddings v
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+    doc="exact cosine top-10 for 5 query vectors: broadcast queries x "
+    "partitioned corpus, zip_with/aggregate dot products JVM-side "
+    "(operators.similarity.brute_force_topk)",
+)
+def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(e, queries, k=10)
+
+
+@register(
+    "llm_sim_lsh_topk",
+    oracle=None,  # approximate by construction: recall vs brute force is
+    # asserted in tests/test_llm_ops.py instead
+    doc="ANN top-10 via random-hyperplane LSH signatures + Hamming pruning "
+    "+ exact re-score (operators.similarity.lsh_topk); rows-only check "
+    "here, recall>=0.8 vs brute force asserted in tests",
+)
+def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(e, queries, k=10)
+
+
+@register(
+    "llm_text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]', 0)) AS n_regex_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+FROM documents
+""",
+    doc="token counting: whitespace words, BPE-ish regex tokens, chars/4 "
+    "estimate (operators.text.token_stats)",
+)
+def llm_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.token_stats(d).select(
+        "doc_id", "n_words", "n_regex_tokens", "n_chars", "est_tokens"
+    )
+
+
+@register(
+    "llm_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(n_chars - (len(words) - 1) AS DOUBLE) / len(words) AS mean_word_len,
+         CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+         CAST(punct_chars AS DOUBLE) / n_chars AS punct_ratio,
+         CAST(len(list_filter(words,
+              w -> list_contains(['the','and','of','a','is','to','in'], w)))
+              AS DOUBLE) / len(words) AS stop_ratio
+  FROM t
+)
+SELECT doc_id, mean_word_len, alpha_ratio, punct_ratio, stop_ratio,
+       (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+      + CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END
+      + CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END
+      + CASE WHEN stop_ratio >= 0.02 THEN 0.2 ELSE 0.0 END) AS quality_score
+FROM s
+""",
+    doc="quality scoring: word-length / alpha / punctuation / stopword "
+    "signals + composite score (operators.text.quality_score)",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.quality_score(d).select(
+        "doc_id",
+        "mean_word_len",
+        "alpha_ratio",
+        "punct_ratio",
+        "stop_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "llm_text_langid",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(words, w -> list_contains(['the','and','of','a','is','to','in'], w))) AS hits_en,
+         len(list_filter(words, w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))) AS hits_de,
+         len(list_filter(words, w -> list_contains(['le','la','les','et','est','un','une'], w))) AS hits_fr,
+         len(list_filter(words, w -> list_contains(['el','la','los','y','es','un','una'], w))) AS hits_es
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_es > hits_fr AND hits_es > hits_de AND hits_es > hits_en THEN 'es'
+            WHEN hits_fr > hits_de AND hits_fr > hits_en THEN 'fr'
+            WHEN hits_de > hits_en THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM h
+""",
+    doc="marker-word language ID with deterministic priority tie-break "
+    "(operators.text.language_id)",
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.language_id(d).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred"
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({_SQL_NORM}) AS content_md5,
+       list_min(list_transform(shset, s -> md5(s))) AS anchor_fp
+FROM (
+  SELECT doc_id, text, {_SQL_SHINGLES} AS shset
+  FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+)
+""",
+    doc="document fingerprints: content md5 + shingle-anchor (1-permutation "
+    "MinHash blocking key) (operators.text.document_fingerprint)",
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.document_fingerprint(d).select("doc_id", "content_md5", "anchor_fp")
+
+
+@register(
+    "llm_multimodal_features",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT media_id, media_type,
+       octet_length(payload) AS payload_bytes,
+       CASE media_type
+         WHEN 'image' THEN 64 + octet_length(payload) % 512
+         WHEN 'audio' THEN 0
+         ELSE 320 END AS width,
+       CASE media_type
+         WHEN 'image' THEN 64 + (octet_length(payload) * 7) % 512
+         WHEN 'audio' THEN 0
+         ELSE 240 END AS height,
+       CASE media_type
+         WHEN 'image' THEN 1
+         WHEN 'audio' THEN octet_length(payload) % 1000
+         ELSE octet_length(payload) % 100 END AS n_frames
+FROM media
+""",
+    doc="multimodal plumbing end to end: binary payload column + typed "
+    "metadata -> Arrow-batched mapInPandas feature extraction (decode "
+    "stubbed deterministically; operators.multimodal.extract_media_features)",
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_media(d)
+    return multimodal.extract_media_features(media, fake=True)

@@ -1,0 +1,155 @@
+"""Property tests for the LLM-pipeline operators: MinHash estimation
+accuracy, LSH recall vs the brute-force baseline, SimHash locality, and
+multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators import dedup, multimodal, similarity, text
+from hive_export_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+def test_exact_dedup_no_dups_is_identity(spark, docs):
+    out = dedup.exact_dedup(docs)
+    assert out.count() == docs.count()  # fixture has no exact dups
+    assert out.agg(F.max("n_copies")).collect()[0][0] == 1
+
+
+def test_exact_dedup_collapses_planted_dups(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "different text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.exact_dedup(df).collect()
+    by_keeper = {r.keeper_doc_id: r.n_copies for r in out}
+    # normalization folds case + whitespace -> docs 1 and 2 are one group
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    # signature agreement rate estimates true jaccard within ~0.15 for the
+    # planted near-dup pairs (64 hashes -> se ~ sqrt(j(1-j)/64) ~ 0.02)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(exact) > 0
+    sigs = dedup.minhash_signatures(docs).collect()
+    sig_by_id = {r.doc_id: r.signature for r in sigs}
+    for pair in exact[:10]:
+        sa, sb = sig_by_id[pair.doc_a], sig_by_id[pair.doc_b]
+        est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+        assert abs(est - pair.jaccard) < 0.15
+    # signatures must be 64 DISTINCT hash functions (regression: degenerate
+    # seeds once made all 64 positions identical)
+    any_sig = sigs[0].signature
+    assert len(set(any_sig)) > 32
+
+
+def test_minhash_lsh_matches_exact_on_planted_dups(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    perturbed = base.replace("lazy", "sleepy")
+    unrelated = "completely different content about spark engines " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, perturbed), (3, unrelated)], ["doc_id", "text"]
+    )
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
+    assert hamming(fps[1], fps[2]) <= 4
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, queries, k=10).collect()
+    approx = similarity.lsh_topk(e, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # 12 planes, hamming<=5
+
+
+def test_brute_force_topk_self_is_nearest(spark, sf_dir):
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(e, queries, k=1).collect()
+    for r in out:
+        assert r.neighbor_id == r.query_id  # cosine(v, v) = 1
+        assert r.cosine == pytest.approx(1.0)
+
+
+def test_langid_marker_sentences(spark):
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "der hund ist nicht in das haus und die katze"),
+        (3, "le chat est dans la maison et les chiens"),
+        (4, "el perro es grande y los gatos son pequenos"),
+        (5, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_score_separates_garbage(spark):
+    rows = [
+        (1, "This is a well formed sentence with normal words and the usual structure."),
+        (2, "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& ****"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.quality_score for r in text.quality_score(df).collect()}
+    assert out[1] > out[2]
+
+
+def test_multimodal_batch_shapes_and_stub(spark, docs):
+    media = multimodal.documents_as_media(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "payload", "meta_source", "meta_lang",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    feats = multimodal.extract_media_features(media, fake=True)
+    n = feats.count()
+    assert n == docs.count()
+    img = feats.filter(F.col("media_type") == "image").limit(1).collect()[0]
+    assert img.n_frames == 1 and 64 <= img.width < 576
+    # the real-decoder seam is explicit until a media lib is installed
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_media_features(media, fake=False)
+
+
+def test_metadata_query_prunes_payload_column(spark, docs, tmp_path):
+    # media payloads dominate storage: a metadata-only query must not read
+    # the binary column (parquet column pruning)
+    media = multimodal.documents_as_media(docs)
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    meta_only = spark.read.parquet(path).groupBy("media_type").count()
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # pruned from ReadSchema
