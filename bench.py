@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver), matching how a cluster job would behave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_export_spark.registry import all_queries  # noqa: E402
+from hive_export_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # reference-parity ETL (the conduit itself)
+    "parity_json_encode",
+    "parity_partitioned_write",
+    # relational analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_group",
+    "join_asof",
+    # windows + streaming semantics
+    "window_running_sum",
+    "stream_tumbling_window",
+    "stream_session_window",
+    # LLM-pipeline
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_sim_topk_bruteforce",
+    "llm_text_quality",
+    "llm_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("hive_export_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warmup on a trivial query so the first timed query does
+    # not absorb one-time startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

