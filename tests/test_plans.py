@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: pin the plan shapes that matter at
+scale (pushdown, pruning, broadcast, codegen). A silently degraded plan
+should fail here, not in a cluster bill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_export_spark.plans import (
+    executed_plan,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from hive_export_spark.queries.relational_queries import (
+    join_broadcast_dim,
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+)
+from hive_export_spark.sources import load_table
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    # the shipdate predicate must reach the parquet reader
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    # only the 7 referenced columns are read, not all 11
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    assert set(read_schema_columns(li)) == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    assert has_broadcast_hash_join(join_broadcast_dim(spark, sf_dir))
+    assert has_broadcast_hash_join(q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_filter_pushdown_through_projection(spark, sf_dir):
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(F.col("o_totalprice") > 100000)
+    )
+    assert has_pushed_filters(o, "o_totalprice")
+
+
+def test_parity_pipeline_is_single_codegen_stage(spark, sf_dir):
+    # The whole reference hot loop (R2-R5: projection, typed encode, token
+    # substitution, JSON encode) must fuse into ONE codegen span over the
+    # scan — no exchanges, no extra stages.
+    from hive_export_spark.operators.parity import export_pipeline
+
+    ev = load_table(spark, "events", sf_dir)
+    routed = export_pipeline(ev, ["event_type"])
+    plan = executed_plan(routed)
+    assert "Exchange" not in plan  # narrow transformations only
+    assert wholestage_codegen_spans(routed) == 1
+
+
+def test_partitioned_write_single_shuffle(spark, sf_dir):
+    # routing for the partitioned write introduces exactly one exchange
+    from hive_export_spark.operators.parity import export_pipeline, route_partitions
+
+    ev = load_table(spark, "events", sf_dir)
+    routed = route_partitions(export_pipeline(ev, ["event_type"]), ["event_type"])
+    plan = executed_plan(routed)
+    assert plan.count("Exchange") == 1
