@@ -71,6 +71,7 @@ def _load_all() -> None:
     import hive_export_spark.queries.relational_queries  # noqa: F401
     import hive_export_spark.queries.window_queries  # noqa: F401
     import hive_export_spark.queries.function_queries  # noqa: F401
+    import hive_export_spark.queries.stats_queries  # noqa: F401
     import hive_export_spark.queries.streaming_queries  # noqa: F401
     import hive_export_spark.queries.llm_queries  # noqa: F401
 

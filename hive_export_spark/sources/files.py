@@ -1,0 +1,59 @@
+"""File-format readers/writers: parquet, ORC (the reference's required
+sink format — README.md:69-74 'currently ORC is required for streaming'),
+CSV, JSON (the reference's payload encoding).
+
+Thin declarative wrappers: format choice is an argument, schemas are
+explicit on read (inference is banned in pipelines — nondeterministic
+sampling), and every writer supports partitionBy for the routed-write
+path (R9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+READ_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "orc": {},
+    "parquet": {},
+}
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Schema-explicit read. For self-describing formats (parquet/ORC) the
+    footer schema is used; for CSV/JSON pass ``schema`` — falling back to
+    inference is allowed only in exploration, never in a pipeline."""
+    r = spark.read.format(fmt)
+    for k, v in {**READ_OPTIONS.get(fmt, {}), **options}.items():
+        r = r.option(k, v)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    return r.load(path)

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY.md section 2.2: the sanctioned escape hatch for state machines the
+built-in windows can't express).
+
+The reference never needed custom state (VoltDB delivers in-order per
+partition); these exist for the extension surface. State is partitioned by
+key and bounded: each key holds a constant-size tuple, so state-store size
+grows with distinct keys, not events — the 100 TB-safe shape. Arrow moves
+batches; Python touches only per-key aggregates, never raw event rows
+twice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) across micro-batches.
+
+    Emits the updated totals for every user seen in the current batch —
+    a custom stateful aggregation that survives restarts via the state
+    store (checkpointed alongside source offsets, so the reference's
+    block-replay semantics extend to operator state).
+
+    Works on a streaming DataFrame; the same statistic for a batch frame
+    is a plain groupBy (see tests for the equivalence assertion).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=_RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

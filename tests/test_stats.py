@@ -1,0 +1,43 @@
+"""Accuracy tests for aggregations that cannot be oracle-hash-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_export_spark.queries.stats_queries import agg_approx_count_distinct
+from hive_export_spark.sources import load_table
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderstatus: r.approx_cust
+        for r in agg_approx_count_distinct(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05  # HLL++ default rsd
+
+
+def test_moments_match_builtin_within_fp(spark, sf_dir):
+    # the decimal-power-sum derivation must agree with Spark's built-in
+    # stddev to floating-point tolerance (it is the same statistic)
+    from hive_export_spark.queries.stats_queries import agg_stats_moments
+
+    ours = {
+        r.c_mktsegment: r.stddev_bal for r in agg_stats_moments(spark, sf_dir).collect()
+    }
+    builtin = {
+        r.c_mktsegment: r.s
+        for r in load_table(spark, "customer", sf_dir)
+        .groupBy("c_mktsegment")
+        .agg(F.stddev("c_acctbal").alias("s"))
+        .collect()
+    }
+    for k in builtin:
+        assert abs(ours[k] - builtin[k]) < 1e-6 * abs(builtin[k])
