@@ -1,0 +1,108 @@
+"""Scale techniques as first-class operators: skew salting and bucketed
+co-located joins (SURVEY.md section 2.2 "broadcast / repartition /
+bucketing for co-located joins, salting for skew").
+
+AQE's skew-join splitting handles most skew automatically; explicit
+salting remains necessary when the skewed side feeds an AGGREGATION (AQE
+splits join partitions, not groupBy keys) or when a deterministic plan is
+required. Bucketing removes the shuffle from repeated large-large joins:
+both tables pre-hashed into the same bucket count on the join key join
+bucket-to-bucket with zero exchanges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the LEFT side.
+
+    Left rows get a random salt in [0, salt_buckets); the right side is
+    replicated salt_buckets times (explode over the salt range). The join
+    key becomes (key, salt), spreading each hot key over salt_buckets
+    shuffle partitions. Cost: right side is replicated — use when right is
+    much smaller than the skewed left (the common fact-x-dim skew shape)
+    but too large to broadcast outright.
+
+    The salt is F.rand-based (non-deterministic BY DESIGN — row placement
+    only; join RESULTS are deterministic and verified in tests).
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(salted_right, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: pre-aggregate on
+    (key, salt), then combine per key. The hot key's rows spread over
+    salt_buckets partitions in phase 1; phase 2 merges salt_buckets
+    partials per key — bounded regardless of key frequency.
+
+    ``aggs``: {column: 'sum'|'count'|'min'|'max'} (decomposable aggregates
+    only — that is what makes two-phase legal).
+    """
+    phase1_exprs = []
+    phase2_exprs = []
+    for col, kind in aggs.items():
+        partial = f"__p_{col}"
+        if kind == "count":
+            phase1_exprs.append(F.count(col).alias(partial))
+            phase2_exprs.append(F.sum(partial).alias(f"{kind}_{col}"))
+        elif kind == "sum":
+            phase1_exprs.append(F.sum(col).alias(partial))
+            phase2_exprs.append(F.sum(partial).alias(f"{kind}_{col}"))
+        elif kind == "min":
+            phase1_exprs.append(F.min(col).alias(partial))
+            phase2_exprs.append(F.min(partial).alias(f"{kind}_{col}"))
+        elif kind == "max":
+            phase1_exprs.append(F.max(col).alias(partial))
+            phase2_exprs.append(F.max(partial).alias(f"{kind}_{col}"))
+        else:
+            raise ValueError(f"non-decomposable aggregate {kind!r}")
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partials = salted.groupBy(key, "__salt").agg(*phase1_exprs)
+    return partials.groupBy(key).agg(*phase2_exprs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) catalog table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (bucket i joins bucket i in place) — the payoff for
+    every repeated large-large join on a stable key, e.g. orders x
+    lineitem at 100 TB. Requires saveAsTable (bucket metadata lives in the
+    catalog).
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

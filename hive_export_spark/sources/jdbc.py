@@ -1,0 +1,80 @@
+"""JDBC source/sink: the VoltDB-like relational source from SURVEY.md
+section 2.2 ("JDBC read (VoltDB-like source, spark.read.jdbc)").
+
+The scale-relevant part is the READ PARALLELISM CONTRACT: a naive
+spark.read.jdbc is a single connection pulling the whole table through one
+task. ``read_jdbc_partitioned`` splits the read into numPartitions range
+predicates on a numeric column — one connection per partition, the same
+shape VoltDB export parallelism has per-partition streams
+(HiveExportClient.java:129-135: one decoder per (table x partition)).
+
+Tested against embedded Derby (bundled with Spark) in tests/test_jdbc.py;
+any JDBC URL works the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    predicate: str | None = None,
+    driver: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Range-partitioned parallel JDBC read with optional pushed predicate.
+
+    Without ``partition_column`` the read is single-stream (acceptable only
+    for dimension-sized tables). ``predicate`` lands in the remote WHERE
+    clause — filter at the source, not after transfer.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    source = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table
+    reader = reader.option("dbtable", source)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read requires explicit bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batch_size: int = 1000,
+    **options: str,
+) -> None:
+    """JDBC sink with batched inserts (the analog of the reference's
+    64-transaction Hive batches, HivePartitionStream.java:45-46 — amortize
+    per-row round-trips)."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

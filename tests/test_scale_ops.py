@@ -1,0 +1,87 @@
+"""Scale-technique tests: salted joins/aggregations produce identical
+results to their naive forms; bucketed tables join with zero exchanges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.scale import (
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+from hive_export_spark.plans import executed_plan
+from hive_export_spark.sources import load_table
+
+
+def _skewed_frames(spark):
+    # 90% of fact rows share one hot key
+    fact = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact, dim = _skewed_frames(spark)
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(fact, dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    fact, _ = _skewed_frames(spark)
+    plain = {
+        (r.k, r.n, r.s, r.mx)
+        for r in fact.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    two_phase = {
+        (r.k, r.count_v, r.sum_v, r.max_v)
+        for r in salted_aggregate(fact, "k", {"v": "count"}).join(
+            salted_aggregate(fact, "k", {"v": "sum"}), "k"
+        ).join(
+            salted_aggregate(fact, "k", {"v": "max"}), "k"
+        ).collect()
+    }
+    assert plain == two_phase
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+        li = load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(o, "orders_b", ["o_orderkey"], num_buckets=8)
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            ["o_orderkey"],
+            num_buckets=8,
+        )
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = ob.join(lb, "o_orderkey")
+        plan = executed_plan(joined)
+        # co-located: bucket i joins bucket i, no exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        # and it is still correct
+        expected = o.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
