@@ -249,3 +249,34 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "fn_map_family",
+    oracle="""
+SELECT event_id,
+       element_at(m, 'type')[1] AS type_val,
+       cardinality(m) AS m_size,
+       array_to_string(map_keys(m), ',') AS keys_joined
+FROM (
+  SELECT event_id, MAP(['type', 'uid'],
+                       [event_type, CAST(user_id AS VARCHAR)]) AS m
+  FROM events
+)
+""",
+    doc="map family: create_map, element_at, size, map_keys (MapType is "
+    "native Spark — beyond the reference's flat-relational model, "
+    "SURVEY.md section 1.3)",
+)
+def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+    )

@@ -524,3 +524,84 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
         o.select(F.col("o_custkey").alias("custkey"))
     ).distinct()
+
+
+@register(
+    "join_theta_inequality",
+    oracle="""
+SELECT s.s_suppkey, c.c_custkey
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+WHERE c.c_custkey <= 300
+""",
+    doc="theta join: equi-key + inequality predicate — the equi conjunct "
+    "keeps it a hash join (inequality evaluated post-match), never a "
+    "cartesian product",
+)
+def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 300)
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+    ).select("s_suppkey", "c_custkey")
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="intersect all (bag semantics: multiplicity = min of both sides)",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+""",
+    doc="except all (bag semantics: multiplicity = left minus right)",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer
+UNION ALL
+SELECT s_suppkey AS k, s_name AS name, NULL AS bal FROM supplier
+""",
+    doc="unionByName with allowMissingColumns: schema-aligned union, "
+    "absent columns null-filled",
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("k"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
