@@ -152,18 +152,27 @@ def minhash_signatures(
     # defaulted second param as the (element, index) two-arg form and would
     # bind the array-index column over the captured seed.
     def seeded(i: int):
-        prefix = f"mh{i}:"
-        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+        seed = F.lit(i)
+        return lambda h: F.xxhash64(h, seed)
 
-    # Materialize the shingle array as a real column FIRST: inlining the
-    # word_shingles expression tree into all num_hashes slots would make
-    # Spark re-shingle the document once per hash function (measured 64x
-    # slowdown); through a column reference it is computed once per row.
-    withshs = df.select(F.col(id_col), word_shingles(text_col).alias("__shs"))
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__shs"), seeded(i))) for i in range(num_hashes)]
+    # Two materialization steps, both load-bearing for performance:
+    # 1. the shingle array becomes a real column (inlining the expression
+    #    tree into all num_hashes slots re-shingles the document once per
+    #    hash function — measured 64x slowdown);
+    # 2. each shingle STRING is hashed exactly once to a base long, and the
+    #    num_hashes seeded functions hash (base, seed) pairs — fixed 12-byte
+    #    input instead of re-hashing variable-length text 64 times.
+    # (The classic (a*h+b) mod 2^64 permutation family would be cheaper
+    # still, but ANSI mode — on by default and possibly on in the caller's
+    # session — makes wrap-around multiplication throw.)
+    base = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(text_col), lambda s: F.xxhash64(s)).alias("__hs"),
     )
-    return withshs.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__hs"), seeded(i))) for i in range(num_hashes)]
+    )
+    return base.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -224,8 +233,15 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact-Jaccard verification on candidates only
-    shsets = df.select(
+    # exact-Jaccard verification on candidates only: cut the corpus down to
+    # docs that appear in some candidate pair BEFORE shingling — the
+    # broadcast semi-join filters at the scan, so shingle arrays are built
+    # for a few hundred docs instead of the whole corpus (twice)
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    needed = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    shsets = needed.select(
         F.col(id_col), word_shingles(text_col).alias("__shs")
     )
     sa = shsets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__shs_a"))
