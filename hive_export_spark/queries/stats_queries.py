@@ -170,3 +170,47 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_cust"),
     )
+
+
+@register(
+    "sql_frontend_q1",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderstatus
+""",
+    doc="pure-SQL execution through the engine's SQL frontend "
+    "(sources.views.sql): identical semantics to the DataFrame API, same "
+    "Catalyst plan",
+)
+def sql_frontend_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.sources.views import sql
+
+    return sql(
+        spark,
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderstatus
+        """,
+        sf_dir,
+    )
+
+
+@register(
+    "agg_approx_quantile_sketch",
+    oracle=None,  # sketch-based; accuracy vs exact asserted in tests
+    doc="approx_percentile: mergeable quantile sketch — the single-pass "
+    "scale substitute for exact percentiles (error bounded by the "
+    "accuracy parameter); accuracy vs exact asserted in tests",
+)
+def agg_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("p50_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.99D, 1000)").alias("p99_approx"),
+    )

@@ -41,3 +41,25 @@ def test_moments_match_builtin_within_fp(spark, sf_dir):
     }
     for k in builtin:
         assert abs(ours[k] - builtin[k]) < 1e-6 * abs(builtin[k])
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import agg_approx_quantile_sketch
+
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {
+        r.l_returnflag: (r.p50, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.99D)").alias("p99"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p99_approx)
+        for r in agg_approx_quantile_sketch(spark, sf_dir).collect()
+    }
+    for k, (p50, p99) in exact.items():
+        assert abs(approx[k][0] - p50) / p50 < 0.05
+        assert abs(approx[k][1] - p99) / p99 < 0.05
