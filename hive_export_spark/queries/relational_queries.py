@@ -727,3 +727,55 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > (SELECT AVG(p_retailprice) * 1.05 FROM part_sq)
         """
     )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+""",
+    doc="unpivot (wide -> long) via stack(): the inverse of pivot, "
+    "generator-style — no shuffle",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) "
+            "AS (metric, val)"
+        ),
+    )
+
+
+@register(
+    "cdc_upsert",
+    oracle="""
+SELECT k, seg FROM (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+  WHERE c_custkey <= 1000
+    AND c_custkey NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_custkey BETWEEN 500 AND 1500)
+  UNION ALL
+  SELECT c_custkey AS k, concat('NEW_', c_mktsegment) AS seg FROM customer
+  WHERE c_custkey BETWEEN 500 AND 1500
+)
+""",
+    doc="MERGE INTO emulation (operators.cdc.upsert): updates replace "
+    "matching target rows, unmatched target rows pass through — "
+    "anti-join + union, one shuffle on the merge key",
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.cdc import upsert
+
+    c = load_table(spark, "customer", sf_dir)
+    target = c.filter(F.col("c_custkey") <= 1000).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    updates = c.filter(F.col("c_custkey").between(500, 1500)).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("NEW_"), F.col("c_mktsegment")).alias("seg"),
+    )
+    return upsert(target, updates, "k")
