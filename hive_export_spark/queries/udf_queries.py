@@ -1,0 +1,93 @@
+"""Pandas-UDF surface (SURVEY.md section 2.2: "pandas_udf scalar /
+grouped-agg / grouped-map (applyInPandas) — the only sanctioned escape
+hatch"). These exist to pin the Arrow seams; equivalent built-ins are
+preferred in real pipelines (and the oracles prove the equivalence).
+
+Determinism notes: scalar UDFs are elementwise float64 ops — bit-identical
+to the SQL oracle. Grouped-map outputs use unique sort keys so pandas-side
+ordering cannot flap the hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # vectorized Arrow batch math; elementwise double ops == JVM/SQL doubles
+    return price * (1.0 - discount)
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem WHERE l_orderkey <= 2000
+""",
+    doc="scalar pandas_udf (Arrow-vectorized): elementwise net price — "
+    "bit-identical to the built-in expression it stands in for",
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "udf_grouped_map_pandas",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS seq
+FROM orders WHERE o_custkey <= 500
+""",
+    doc="grouped-map applyInPandas: per-customer order sequencing inside a "
+    "pandas DataFrame per group (Arrow batches; deterministic via unique "
+    "sort key) — the grouped escape hatch for logic windows can't express",
+)
+def udf_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 500)
+
+    def sequence_orders(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        pdf["seq"] = range(1, len(pdf) + 1)
+        return pdf[["o_custkey", "o_orderkey", "seq"]]
+
+    return o.select("o_custkey", "o_orderkey").groupBy("o_custkey").applyInPandas(
+        sequence_orders, schema="o_custkey long, o_orderkey long, seq long"
+    )
+
+
+@register(
+    "udf_grouped_agg_pandas",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="grouped-agg pandas_udf: per-group reduction in pandas — summed in "
+    "exact decimal pennies to stay order-independent (a raw float sum "
+    "would be partition-order-dependent)",
+)
+def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+
+    @F.pandas_udf("double")
+    def penny_sum(v: pd.Series) -> float:
+        # exact integer-penny arithmetic -> order-independent
+        return float(round(v.mul(100).round().astype("int64").sum()) / 100.0)
+
+    return o.groupBy("o_orderstatus").agg(
+        penny_sum("o_totalprice").alias("total_price")
+    )

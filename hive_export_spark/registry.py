@@ -73,6 +73,7 @@ def _load_all() -> None:
     import hive_export_spark.queries.function_queries  # noqa: F401
     import hive_export_spark.queries.stats_queries  # noqa: F401
     import hive_export_spark.queries.streaming_queries  # noqa: F401
+    import hive_export_spark.queries.udf_queries  # noqa: F401
     import hive_export_spark.queries.llm_queries  # noqa: F401
 
     _LOADED = True
