@@ -1,0 +1,121 @@
+"""spark.ml LSH variants (SURVEY.md section 2.2 names ml.feature.MinHashLSH
+and BucketedRandomProjectionLSH): the library alternatives to the
+expression-level implementations in operators/dedup.py and similarity.py.
+
+Both are seeded (SURVEY.md section 7 known-hard #5: unseeded LSH flaps
+hashes) and both re-verify candidates exactly, so approximation never
+reaches the output — only the candidate set is approximate.
+
+Trade-off vs the expression-level versions: these carry ml.linalg vector
+conversion overhead and a fitted model object, but inherit spark.ml's
+OR-amplified approxSimilarityJoin. The expression versions stay pure
+columnar SQL. Both are first-class; pick per pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.dedup import ensure_parallelism, word_shingles
+
+
+def ml_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Near-dup pairs via ml.feature.MinHashLSH + exact-Jaccard verification.
+
+    Shingles -> hashing-trick sparse binary vectors -> MinHashLSH (seeded)
+    -> approxSimilarityJoin (OR-amplified: candidate prob 1-(1-j)^t, t=8 at
+    j=0.98 -> ~1-1e-13) -> exact shingle-Jaccard filter. Output equals the
+    exact inverted-index answer at planted-dup similarity.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col), word_shingles(text_col).alias("__shs")
+    )
+    tf = HashingTF(
+        inputCol="__shs", outputCol="__vec", numFeatures=num_features, binary=True
+    )
+    vecs = tf.transform(base)
+    lsh = MinHashLSH(inputCol="__vec", outputCol="__hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold + 0.2, distCol="__dist"
+    ).filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+    candidates = pairs.select(
+        F.col(f"datasetA.{id_col}").alias("doc_a"),
+        F.col(f"datasetA.__shs").alias("__shs_a"),
+        F.col(f"datasetB.{id_col}").alias("doc_b"),
+        F.col(f"datasetB.__shs").alias("__shs_b"),
+    )
+    inter = F.size(F.array_intersect("__shs_a", "__shs_b"))
+    return (
+        candidates.withColumn(
+            "jaccard",
+            inter / (F.size("__shs_a") + F.size("__shs_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ml_random_projection_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    euclidean_threshold: float = 1.35,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (euclidean) with
+    exact cosine re-scoring of bucket-join candidates.
+
+    For unit-norm embeddings (the fixture's are, norm 1.0 +/- 1e-7)
+    euclidean distance is monotone in cosine: d^2 = 2 - 2cos, so the
+    default threshold 1.35 keeps candidates with cos >= ~0.09 and prunes
+    the far field before the exact re-score.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    from hive_export_spark.operators.similarity import _as_double, cosine
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__arr"),
+    ).withColumn("__vec", array_to_vector("__arr"))
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qarr"),
+    ).withColumn("__qvec", array_to_vector("__qarr"))
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__vec", outputCol="__hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(v)
+    joined = model.approxSimilarityJoin(
+        v, q.withColumnRenamed("__qvec", "__vec"), euclidean_threshold, distCol="__dist"
+    )
+    scored = joined.select(
+        F.col(f"datasetB.{query_id_col}").alias(query_id_col),
+        F.col("datasetA.neighbor_id").alias("neighbor_id"),
+        cosine(F.col("datasetB.__qarr"), F.col("datasetA.__arr")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -310,3 +310,36 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     media = multimodal.documents_as_media(d)
     return multimodal.extract_media_features(media, fake=True)
+
+
+@register(
+    "llm_dedup_minhash_ml",
+    oracle=_JACCARD_ORACLE,
+    doc="near-dup pairs via spark.ml MinHashLSH (seeded, OR-amplified "
+    "approxSimilarityJoin) + exact-Jaccard verification — the library "
+    "alternative to the expression-level MinHash; same verified output "
+    "(operators.ml_lsh.ml_minhash_pairs)",
+)
+def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.ml_lsh import ml_minhash_pairs
+
+    d = load_table(spark, "documents", sf_dir)
+    return ml_minhash_pairs(d, threshold=0.8)
+
+
+@register(
+    "llm_sim_rp_lsh_topk",
+    oracle=None,  # approximate candidate set; recall vs brute force
+    # asserted in tests/test_llm_ops.py
+    doc="ANN top-10 via spark.ml BucketedRandomProjectionLSH (euclidean "
+    "buckets valid for cosine on unit-norm vectors) + exact re-score "
+    "(operators.ml_lsh.ml_random_projection_topk)",
+)
+def llm_sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.ml_lsh import ml_random_projection_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ml_random_projection_topk(e, queries, k=10)

@@ -153,3 +153,35 @@ def test_metadata_query_prunes_payload_column(spark, docs, tmp_path):
     meta_only = spark.read.parquet(path).groupBy("media_type").count()
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # pruned from ReadSchema
+
+
+def test_ml_lsh_variants(spark, sf_dir, docs):
+    # spark.ml MinHashLSH output equals the expression-level (and exact) answer
+    from hive_export_spark.operators.ml_lsh import (
+        ml_minhash_pairs,
+        ml_random_projection_topk,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    ml_pairs = {(r.doc_a, r.doc_b) for r in ml_minhash_pairs(docs).collect()}
+    assert ml_pairs == exact
+
+    # BucketedRandomProjectionLSH recall vs brute force
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(e, queries, k=10).collect()
+    ann = ml_random_projection_topk(e, queries, k=10).collect()
+    bf_sets, ann_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
