@@ -343,3 +343,28 @@ def llm_sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ml_random_projection_topk(e, queries, k=10)
+
+
+@register(
+    "llm_sample_fraction",
+    oracle=None,  # sampling RNG is engine-specific; determinism-for-a-seed
+    # and fraction bounds are asserted in tests/test_llm_ops.py
+    doc="seeded Bernoulli sampling (df.sample): the first stage of every "
+    "training-data subset job — per-partition RNG, no shuffle, "
+    "reproducible for a fixed seed",
+)
+def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=None,  # same: engine-specific RNG, properties asserted in tests
+    doc="stratified sampling (df.sampleBy): per-language fractions — "
+    "rebalancing skewed language/source mixes without a shuffle",
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    fractions = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -185,3 +185,32 @@ def test_ml_lsh_variants(spark, sf_dir, docs):
         len(bf_sets[q] & ann_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_sampling_deterministic_and_bounded(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import (
+        llm_sample_fraction,
+        llm_sample_stratified,
+    )
+
+    n_total = load_table(spark, "documents", sf_dir).count()
+    s1 = llm_sample_fraction(spark, sf_dir).collect()
+    s2 = llm_sample_fraction(spark, sf_dir).collect()
+    # same seed -> identical sample; fraction within loose Bernoulli bounds
+    assert {r.doc_id for r in s1} == {r.doc_id for r in s2}
+    assert 0.1 * n_total < len(s1) < 0.3 * n_total
+
+    strat = llm_sample_stratified(spark, sf_dir).collect()
+    by_lang = {}
+    for r in strat:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en sampled ~5x the zh rate (0.5 vs 0.1)
+    en_rate = by_lang.get("en", 0) / totals["en"]
+    zh_rate = by_lang.get("zh", 0) / totals["zh"]
+    assert en_rate > zh_rate
+    assert 0.3 < en_rate < 0.7
