@@ -280,3 +280,51 @@ def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("m_size"),
         F.array_join(F.map_keys(m), ",").alias("keys_joined"),
     )
+
+
+@register(
+    "fn_try_family",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / (o_custkey % 5) AS safe_div,
+       try_cast(o_orderpriority AS INTEGER) AS bad_cast,
+       try_cast(CAST(o_custkey AS VARCHAR) AS INTEGER) AS good_cast,
+       (string_split(o_orderpriority, '-'))[5] AS oob_element
+FROM orders
+""",
+    doc="ANSI-safe function family: try_divide/try_cast/try_element_at — "
+    "null instead of runtime error (ANSI mode is ON by default in Spark 4; "
+    "DuckDB's /, casts and list indexing are natively null-on-error)",
+)
+def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("safe_div"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.col("o_custkey").cast("string").cast("int").alias("good_cast"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("oob_element"),
+    )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+SELECT doc_id,
+       generate_subscripts(toks, 1) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, string_split(substr(text, 1, 30), ' ') AS toks
+      FROM documents WHERE doc_id < 50)
+""",
+    doc="posexplode: one row per element with its ordinal (1-based to "
+    "match SQL subscripts)",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    exploded = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.substring("text", 1, 30), " ")).alias("pos0", "token"),
+    )
+    return exploded.select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )
