@@ -1,0 +1,73 @@
+"""Table maintenance: small-file compaction for partitioned tables.
+
+Streaming partitioned writes (the engine's R9 path) produce one file set
+per micro-batch per partition; at 100 TB with minutes-level triggers that
+is millions of small files — the classic lakehouse failure mode (every
+query pays per-file open cost; the namenode/listing pays per-object).
+Compaction rewrites each partition into size-targeted files. The reference
+never needed this (Hive streaming compacted server-side); a file-based
+sink must own it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Rewrite a partitioned table with size-targeted files per partition.
+
+    Reads the whole table, re-routes on the partition columns, and writes
+    with maxRecordsPerFile derived from the observed bytes/row, replacing
+    the table atomically (write to .compacting, then swap). Returns
+    {'files_before': n, 'files_after': m}.
+
+    Scale notes: one shuffle on the partition columns (the same shuffle a
+    fresh routed write pays); AQE coalesces the output partitions so small
+    partitions share tasks. For petabyte tables run per-partition-subtree
+    instead of whole-table (pass a partition-scoped path).
+    """
+
+    def count_files(p: str) -> int:
+        total = 0
+        for _, _, files in os.walk(p):
+            total += sum(1 for f in files if not f.startswith(("_", ".")))
+        return total
+
+    files_before = count_files(path)
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    bytes_per_row = max(total_bytes / max(n_rows, 1), 1.0)
+    records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
+
+    staging = path.rstrip("/") + ".compacting"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(staging)
+    )
+    backup = path.rstrip("/") + ".pre_compact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(backup)
+    return {"files_before": files_before, "files_after": count_files(path)}

@@ -1,0 +1,70 @@
+"""Small-file compaction and streaming progress monitoring (R12 analog)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.maintenance import compact_partitioned_table
+from hive_export_spark.sources import load_table, read_stream_from_table
+from hive_export_spark.streaming.monitoring import ProgressRecorder, RateLimitedLog
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "fragmented")
+    # simulate many micro-batch writes: 40 files per partition
+    (
+        ev.repartition(40)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = compact_partitioned_table(spark, path, ["event_type"])
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 10  # ~1 file per partition at this size
+    after = spark.read.parquet(path)
+    assert {tuple(r) for r in after.collect()} == before_rows
+    # partition layout preserved
+    assert (tmp_path / "fragmented" / "event_type=click").exists()
+
+
+def test_rate_limited_log_suppression():
+    log = RateLimitedLog(window_s=10.0)
+    t = 1000.0
+    assert log.log("err A", now=t)
+    assert not log.log("err A", now=t + 1)  # suppressed inside window
+    assert log.log("err B", now=t + 1)      # different message passes
+    assert log.log("err A", now=t + 11)     # window elapsed
+    assert log.suppressed == 1
+    assert log.emitted == ["err A", "err B", "err A"]
+
+
+def test_progress_recorder_captures_batches(spark, sf_dir):
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = read_stream_from_table(spark, "events", sf_dir)
+        name = f"mon_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and name not in rec.metrics:
+            time.sleep(0.5)
+        assert name in rec.metrics
+        total_rows = sum(m.num_input_rows for m in rec.metrics[name])
+        assert total_rows == load_table(spark, "events", sf_dir).count()
+    finally:
+        spark.streams.removeListener(rec)
