@@ -57,6 +57,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # steady-state timing: first execution absorbs codegen/python-worker
+        # warmup (measured ~2x variance on sub-second queries), second run
+        # is the recorded number
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
