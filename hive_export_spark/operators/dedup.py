@@ -198,6 +198,8 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    # band bucket = xxhash64 over the band's signature longs directly
+    # (multi-arg hash of fixed-width values — no per-band string building)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -206,13 +208,8 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[bi * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
+                            *[F.col("signature")[bi * r + j] for j in range(r)],
+                            F.lit(bi),
                         ).alias("bucket"),
                     )
                     for bi in range(bands)

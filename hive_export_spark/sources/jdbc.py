@@ -54,6 +54,49 @@ def read_jdbc_partitioned(
     return reader.load()
 
 
+def read_jdbc_auto(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int = 8,
+    driver: str | None = None,
+    quote: str = '"',
+    **options: str,
+) -> DataFrame:
+    """Partitioned JDBC read with automatic stride discovery.
+
+    Fetches MIN/MAX of the partition column with one tiny remote aggregate
+    (pushed to the source), then hands the bounds to the range-partitioned
+    reader. The discovery query costs one scan of one column server-side —
+    at VoltDB/warehouse scale that is an index/zonemap lookup, not a table
+    scan. Column names are quoted for case-sensitive dialects.
+    """
+    qcol = f"{quote}{partition_column}{quote}"
+    bounds_df = read_jdbc_partitioned(
+        spark,
+        url,
+        f"(SELECT MIN({qcol}) AS lo, MAX({qcol}) AS hi FROM {table}) b",
+        driver=driver,
+    )
+    row = bounds_df.collect()[0]
+    # positional: dialects case-fold unquoted aliases differently
+    lo, hi = int(row[0]), int(row[1])
+    if lo == hi:
+        hi = lo + 1  # degenerate range: single partition still valid
+    return read_jdbc_partitioned(
+        spark,
+        url,
+        table,
+        partition_column=partition_column,
+        lower_bound=lo,
+        upper_bound=hi,
+        num_partitions=num_partitions,
+        driver=driver,
+        **options,
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

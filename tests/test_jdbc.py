@@ -69,3 +69,16 @@ def test_jdbc_partitioned_requires_bounds(spark, derby_url):
         read_jdbc_partitioned(
             spark, derby_url, "t", partition_column="x", driver=DRIVER
         )
+
+
+def test_jdbc_auto_stride(spark, sf_dir, derby_url):
+    from hive_export_spark.sources.jdbc import read_jdbc_auto
+
+    src = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    write_jdbc(src, derby_url, "cust_auto_jdbc", mode="overwrite", driver=DRIVER)
+    back = read_jdbc_auto(
+        spark, derby_url, "cust_auto_jdbc", "c_custkey",
+        num_partitions=4, driver=DRIVER,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == src.count()
