@@ -24,7 +24,8 @@ where no native expression exists.
 """
 
 from hive_export_spark.config import ExportConfig, UNSPECIFIED_TOKEN
+from hive_export_spark.engine import ExportEngine, ExportError
 from hive_export_spark.session import get_spark
 
-__all__ = ["ExportConfig", "UNSPECIFIED_TOKEN", "get_spark"]
+__all__ = ["ExportConfig", "ExportEngine", "ExportError", "UNSPECIFIED_TOKEN", "get_spark"]
 __version__ = "0.1.0"
