@@ -328,3 +328,31 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
     )
+
+
+@register(
+    "fn_string_extra",
+    oracle="""
+SELECT c_custkey,
+       split_part(c_name, '#', 2) AS name_num,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       reverse(c_mktsegment) AS seg_reversed,
+       repeat(substr(c_mktsegment, 1, 2), 2) AS seg_doubled,
+       starts_with(c_name, 'Customer') AS is_customer,
+       contains(c_mktsegment, 'ING') AS has_ing
+FROM customer
+""",
+    doc="string family 2: split_part, translate, reverse, repeat, "
+    "starts_with, contains",
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_mktsegment").alias("seg_reversed"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("seg_doubled"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_customer"),
+        F.contains(F.col("c_mktsegment"), F.lit("ING")).alias("has_ing"),
+    )

@@ -157,3 +157,25 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_cust).alias("first_order"),
         F.last("o_orderkey").over(w_cust_full).alias("last_order"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey,
+       CUME_DIST() OVER w AS cd,
+       PERCENT_RANK() OVER w AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="distribution window functions: cume_dist / percent_rank over a "
+    "uniquely-ordered partition",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
