@@ -11,9 +11,9 @@ the drop-in equivalent:
         "hive.table": "alerts",
         "hive.partition.columns": "ALERTS:EVENT_TYPE",
     })
-    engine.export_batch(df)                      # one-shot batch export
-    q = engine.export_stream(stream_df, ckpt)    # continuous export
-    engine.export_to_catalog(df)                 # into db.table catalog
+    engine.export_batch(df, "/warehouse/alerts")           # batch export
+    q = engine.export_stream(stream_df, out_path, ckpt)    # continuous
+    engine.export_to_catalog(df)                           # db.table
 
 plus ExportError — the analog of HiveExportException's %-safe formatting
 (HiveExportException.java: message formatting must never itself throw).
@@ -68,7 +68,10 @@ class ExportEngine:
         """The pure dataflow (R2-R6): returns the routed frame
         (json_payload + token-substituted partition columns)."""
         pcols = self._partition_cols(df, table)
-        return export_pipeline(df, pcols, self.config.unspecified_token)
+        return export_pipeline(
+            df, pcols, self.config.unspecified_token,
+            timezone=self.config.timezone,
+        )
 
     def export_batch(
         self, df: DataFrame, path: str, table: str | None = None,
@@ -76,7 +79,10 @@ class ExportEngine:
     ) -> None:
         """One-shot batch export into a partitioned directory (R9)."""
         pcols = self._partition_cols(df, table)
-        routed = export_pipeline(df, pcols, self.config.unspecified_token)
+        routed = export_pipeline(
+            df, pcols, self.config.unspecified_token,
+            timezone=self.config.timezone,
+        )
         write_partitioned(routed, path, pcols, fmt=fmt)
 
     def export_stream(
@@ -89,6 +95,7 @@ class ExportEngine:
         return streaming_export(
             stream_df, out_path, checkpoint_path, pcols,
             self.config.unspecified_token, fmt=fmt, available_now=available_now,
+            timezone=self.config.timezone,
         )
 
     def export_to_catalog(

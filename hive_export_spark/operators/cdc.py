@@ -18,10 +18,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def _require_unique_keys(updates: DataFrame, key: str, op: str) -> None:
+    """A CDC batch with several rows per key has no well-defined merge
+    result (the left join would fan out, duplicating history); callers
+    must pre-reduce (e.g. latest-per-key via a version column) first."""
+    dup = (
+        updates.groupBy(key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        from hive_export_spark.engine import ExportError
+
+        raise ExportError(
+            "%s: multiple update rows share key %s=%r — reduce the batch to "
+            "one row per key (e.g. latest by version) before merging",
+            op, key, dup[0][0],
+        )
+
+
+def upsert(
+    target: DataFrame, updates: DataFrame, key: str, assume_unique: bool = False
+) -> DataFrame:
     """Last-write-wins upsert (MERGE INTO ... WHEN MATCHED UPDATE, WHEN NOT
     MATCHED INSERT): update rows replace target rows with the same key;
-    unmatched target rows pass through."""
+    unmatched target rows pass through.
+
+    ``assume_unique=True`` skips the duplicate-key validation pass (one
+    cheap aggregate job) when the caller guarantees one row per key."""
+    if not assume_unique:
+        _require_unique_keys(updates, key, "upsert")
     untouched = target.join(updates, key, "left_anti")
     return untouched.unionByName(updates)
 
@@ -47,6 +75,7 @@ def scd2_apply(
     ``batch_time`` is an explicit parameter (never now()): deterministic,
     replayable — the same discipline as the reference's block replay.
     """
+    _require_unique_keys(updates, key, "scd2_apply")
     bt = F.lit(batch_time).cast("timestamp")
     out_cols = [key, *tracked_cols, effective_col, end_col, current_flag]
     cur = current.filter(F.col(current_flag))

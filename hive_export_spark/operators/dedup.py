@@ -195,6 +195,11 @@ def minhash_lsh_pairs(
     bucket key -> distinct candidate pairs -> verify only those. No full
     pair space, no raw-shingle shuffle.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— trailing hash functions would be silently unused"
+        )
     r = num_hashes // bands
     df = ensure_parallelism(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)

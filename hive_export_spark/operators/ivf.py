@@ -77,6 +77,7 @@ def ivf_topk(
     k: int = 10,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     n_planes: int = 6,
     dim: int = 64,
     probe_radius: int = 2,
@@ -95,6 +96,8 @@ def ivf_topk(
         "__qsig", hyperplane_signature(F.col("__qv"), n_planes, dim, seed="ivf")
     )
     q_rows = q.select(query_id_col, "__qsig").collect()
+    if not q_rows:
+        raise ValueError("ivf_topk requires a non-empty query set")
     probe_buckets = sorted(
         {
             b
@@ -117,7 +120,7 @@ def ivf_topk(
     )
     scored = candidates.select(
         query_id_col,
-        F.col("vec_id").alias("neighbor_id"),
+        F.col(id_col).alias("neighbor_id"),
         cosine(F.col("__qv"), _as_double(F.col(vec_col))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(

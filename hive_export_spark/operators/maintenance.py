@@ -37,6 +37,22 @@ def compact_partitioned_table(
     instead of whole-table (pass a partition-scoped path).
     """
 
+    # local-filesystem implementation: the directory swap and size probes
+    # use os-level calls. For object stores / HDFS, compact per partition
+    # with the same read->rewrite shape and commit via the table format.
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            "compact_partitioned_table operates on local paths; for "
+            f"{path!r} use a table-format-native compaction"
+        )
+    backup = path.rstrip("/") + ".pre_compact"
+    if os.path.exists(backup):
+        raise RuntimeError(
+            f"stale backup {backup!r} exists — a previous compaction did "
+            "not complete; inspect and remove it (it holds the pre-swap "
+            "table) before compacting again"
+        )
+
     def count_files(p: str) -> int:
         total = 0
         for _, _, files in os.walk(p):
@@ -64,10 +80,13 @@ def compact_partitioned_table(
         .format(fmt)
         .save(staging)
     )
-    backup = path.rstrip("/") + ".pre_compact"
-    os.rename(path, backup)
-    os.rename(staging, path)
     import shutil
 
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(backup, path)  # restore the original table
+        raise
     shutil.rmtree(backup)
     return {"files_before": files_before, "files_after": count_files(path)}

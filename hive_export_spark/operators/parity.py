@@ -30,6 +30,11 @@ TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
 # PartitionedJsonDecoder.java:118-124).
 N_INTERNAL_FIELDS = 6
 
+# Java String.trim strips EVERY char <= U+0020 — not just the common
+# whitespace six. The reference's blank-partition-value test uses it
+# (HiveEndPointFactory.java:88-93), so the full set is required for parity.
+JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
 
 def skip_internal_fields(df: DataFrame, n_internal: int = N_INTERNAL_FIELDS) -> DataFrame:
     """R2: drop the leading internal metadata columns (a pure projection —
@@ -37,12 +42,13 @@ def skip_internal_fields(df: DataFrame, n_internal: int = N_INTERNAL_FIELDS) -> 
     return df.select(*df.columns[n_internal:])
 
 
-def encoded_column(field: T.StructField) -> Column:
+def encoded_column(field: T.StructField, timezone: str = "UTC") -> Column:
     """R3: the per-type field encoder, as one column expression.
 
     Mirrors the DecodeType visitor surface (PartitionedJsonDecoder.java:163-253):
-    - TIMESTAMP -> 'yyyy-MM-dd HH:mm:ss.SSS' string in the session TZ,
-      null-safe (:201-214)
+    - TIMESTAMP -> 'yyyy-MM-dd HH:mm:ss.SSS' string in the CONFIGURED
+      timezone, null-safe (:201-214; the TZ is part of the reference's
+      user contract, format+TZ at :55-56, :91)
     - VARBINARY -> base64 string, null-safe (:235-247)
     - numerics / decimal / string -> passthrough (:166-198, 217-232, 250-252)
 
@@ -51,20 +57,23 @@ def encoded_column(field: T.StructField) -> Column:
     """
     col = F.col(field.name)
     if isinstance(field.dataType, T.TimestampType):
-        return F.date_format(col, TIMESTAMP_FORMAT).alias(field.name)
+        # render in the configured zone without touching the session TZ:
+        # sessions are pinned UTC, so shift then format
+        shifted = col if timezone == "UTC" else F.from_utc_timestamp(col, timezone)
+        return F.date_format(shifted, TIMESTAMP_FORMAT).alias(field.name)
     if isinstance(field.dataType, T.BinaryType):
         return F.base64(col).alias(field.name)
     return col
 
 
-def typed_encode(df: DataFrame) -> DataFrame:
+def typed_encode(df: DataFrame, timezone: str = "UTC") -> DataFrame:
     """R3 over a whole frame: apply the per-type encoder to every column.
 
     The reference compiles one JsonFieldDecoder per column at prime time
     (PartitionedJsonDecoder.java:96-107); the analog here is Catalyst
     resolving these expressions once into generated code.
     """
-    return df.select(*[encoded_column(f) for f in df.schema.fields])
+    return df.select(*[encoded_column(f, timezone) for f in df.schema.fields])
 
 
 def partition_token_substitute(
@@ -75,8 +84,8 @@ def partition_token_substitute(
     Matches validPartitionValue (HiveEndPointFactory.java:88-93: null or
     trimmed-empty) and the substitution site
     (PartitionedJsonDecoder.java:220-228, token :262). Java's String.trim
-    strips all control chars <= 0x20 — Spark's trim() strips only spaces, so
-    btrim with an explicit whitespace set is used instead.
+    strips ALL chars <= U+0020 (not just whitespace) — Spark's trim()
+    strips only spaces, so btrim with the full Java set is used instead.
     """
     out = df
     for c in partition_cols:
@@ -84,7 +93,7 @@ def partition_token_substitute(
             c,
             F.when(
                 F.col(c).isNull()
-                | (F.btrim(F.col(c), F.lit(" \t\n\r\x0b\x0c")) == F.lit("")),
+                | (F.btrim(F.col(c), F.lit(JAVA_TRIM_CHARS)) == F.lit("")),
                 F.lit(token),
             ).otherwise(F.col(c)),
         )
@@ -96,6 +105,7 @@ def to_partitioned_json(
     partition_cols: list[str],
     token: str = UNSPECIFIED_TOKEN,
     payload_col: str = "json_payload",
+    timezone: str = "UTC",
 ) -> DataFrame:
     """R4+R5: split each row into (JSON payload of non-partition columns,
     token-substituted partition columns).
@@ -110,7 +120,7 @@ def to_partitioned_json(
     Vectorized and codegen'd: this is the reference's whole per-row hot loop
     (PartitionedJsonDecoder.java:109-129) as one expression.
     """
-    encoded = typed_encode(df)
+    encoded = typed_encode(df, timezone)
     payload_fields = [f.name for f in encoded.schema.fields if f.name not in partition_cols]
     routed = partition_token_substitute(encoded, partition_cols, token)
     return routed.select(
@@ -163,6 +173,7 @@ def export_pipeline(
     partition_cols: list[str],
     token: str = UNSPECIFIED_TOKEN,
     n_internal: int = 0,
+    timezone: str = "UTC",
 ) -> DataFrame:
     """The full reference dataflow R2->R5 as one composed operator.
 
@@ -171,4 +182,4 @@ def export_pipeline(
     trace in SURVEY.md section 3.3.
     """
     out = skip_internal_fields(df, n_internal) if n_internal else df
-    return to_partitioned_json(out, partition_cols, token)
+    return to_partitioned_json(out, partition_cols, token, timezone=timezone)

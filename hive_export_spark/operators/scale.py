@@ -36,7 +36,17 @@ def salted_join(
 
     The salt is F.rand-based (non-deterministic BY DESIGN — row placement
     only; join RESULTS are deterministic and verified in tests).
+
+    Only inner/left-family joins are legal: right/full outer would emit a
+    phantom null-extended row for every (key, salt) combination the left
+    side's random salts did not hit.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got {how!r} "
+            "(right/full outer would produce spurious null-extended rows "
+            "for unoccupied salt values)"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

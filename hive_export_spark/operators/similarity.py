@@ -85,7 +85,12 @@ def hyperplane_signature(
 
         def component(i):
             h = F.xxhash64(F.concat(F.lit(prefix), i.cast("string")))
-            return (h % 1000003).cast("double") / F.lit(500001.5) - F.lit(1.0)
+            # pmod, not %: Spark's % keeps the dividend's sign, which would
+            # map negative hashes to (-3, -1] and bias every component
+            # negative (bits collapse toward 0, buckets imbalance)
+            return F.pmod(h, F.lit(1000003)).cast("double") / F.lit(500001.5) - F.lit(
+                1.0
+            )
 
         return component
 

@@ -65,7 +65,7 @@ def parity_base64_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parity_partition_token",
     oracle=(
-        "SELECT event_id, CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = '' "
+        "SELECT event_id, CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = '' "
         f"THEN '{TOKEN_SQL}' ELSE event_type END AS event_type FROM events"
     ),
     doc="R4: null/blank partition value -> unspecified token "
@@ -86,7 +86,7 @@ def parity_partition_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value := value, "
         "props := props"
         ")) AS json_payload, "
-        f"CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = '' THEN '{TOKEN_SQL}' "
+        f"CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = '' THEN '{TOKEN_SQL}' "
         "ELSE event_type END AS event_type "
         "FROM events"
     ),
@@ -102,7 +102,7 @@ def parity_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parity_partition_routing",
     oracle=(
         "SELECT "
-        f"CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = '' THEN '{TOKEN_SQL}' "
+        f"CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = '' THEN '{TOKEN_SQL}' "
         "ELSE event_type END AS event_type, "
         "count(*) AS n_rows FROM events GROUP BY 1"
     ),
@@ -119,7 +119,7 @@ def parity_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parity_partitioned_write",
     oracle=(
         "SELECT "
-        f"CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = '' THEN '{TOKEN_SQL}' "
+        f"CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = '' THEN '{TOKEN_SQL}' "
         "ELSE event_type END AS event_type, "
         "count(*) AS n_rows FROM events GROUP BY 1"
     ),

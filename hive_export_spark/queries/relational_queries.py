@@ -521,9 +521,12 @@ SELECT o_custkey AS custkey FROM orders
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+    # subtract = SQL EXCEPT (set semantics). exceptAll().distinct() would
+    # KEEP a value whose left multiplicity exceeds its right multiplicity,
+    # which EXCEPT does not.
+    return c.select(F.col("c_custkey").alias("custkey")).subtract(
         o.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    )
 
 
 @register(

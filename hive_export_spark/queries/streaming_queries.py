@@ -120,7 +120,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_export_e2e",
     oracle=f"""
-SELECT CASE WHEN event_type IS NULL OR trim(event_type, ' \t\n\r') = ''
+SELECT CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = ''
             THEN '{UNSPECIFIED_TOKEN}' ELSE event_type END AS event_type,
        COUNT(*) AS n_rows
 FROM events GROUP BY 1

@@ -46,17 +46,22 @@ def export_to_catalog_table(
     config.validate_against_schema(
         table, {f.name: f.dataType.simpleString() for f in df.schema.fields}
     )
+    # resolve config's uppercased partition columns to the frame's ACTUAL
+    # casing — a lowercase assumption would leave e.g. EVENT_TYPE inside
+    # the JSON payload (to_partitioned_json excludes by exact name)
+    by_upper = {c.upper(): c for c in df.columns}
+    pcols = [by_upper[c] for c in partition_cols]
 
-    routed = export_pipeline(df, [c.lower() for c in partition_cols],
-                             config.unspecified_token)
-    routed = route_partitions(routed, [c.lower() for c in partition_cols])
+    routed = export_pipeline(df, pcols, config.unspecified_token,
+                             timezone=config.timezone)
+    routed = route_partitions(routed, pcols)
 
     fq = f"{config.db}.{config.table}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {config.db}")
     writer = (
         routed.write.mode("append")
         .format(fmt)
-        .partitionBy(*[c.lower() for c in partition_cols])
+        .partitionBy(*pcols)
     )
     writer.saveAsTable(fq)
     return fq

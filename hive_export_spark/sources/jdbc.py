@@ -81,6 +81,10 @@ def read_jdbc_auto(
     )
     row = bounds_df.collect()[0]
     # positional: dialects case-fold unquoted aliases differently
+    if row[0] is None or row[1] is None:
+        # empty table (or all-NULL partition column): a single-stream read
+        # of the empty result is correct and cheap
+        return read_jdbc_partitioned(spark, url, table, driver=driver, **options)
     lo, hi = int(row[0]), int(row[1])
     if lo == hi:
         hi = lo + 1  # degenerate range: single partition still valid

@@ -136,6 +136,7 @@ def streaming_export(
     token: str = UNSPECIFIED_TOKEN,
     fmt: str = "parquet",
     available_now: bool = True,
+    timezone: str = "UTC",
 ) -> StreamingQuery:
     """The reference's whole conduit as one streaming query: decode ->
     JSON-encode -> token-substitute -> partition-route -> transactional
@@ -149,7 +150,7 @@ def streaming_export(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        routed = export_pipeline(batch_df, partition_cols, token)
+        routed = export_pipeline(batch_df, partition_cols, token, timezone=timezone)
         write_partitioned(routed, out_path, partition_cols, fmt=fmt, mode="append")
 
     writer = (

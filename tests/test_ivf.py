@@ -34,7 +34,11 @@ def test_ivf_index_partition_pruning_and_recall(spark, sf_dir, tmp_path):
     # not in PushedFilters (row-group filtering)
     assert "sig" in plan.split("PartitionFilters:")[1][:80]
 
-    approx = ivf_topk(spark, path, queries, k=10)
+    # radius 3 reads 42/64 buckets (~2/3): for this fixture's genuinely
+    # hard neighbors (best cosine ~0.5 => ~1/3 bit-disagreement per plane)
+    # radius 2 gives only ~P(hamming<=2)=0.54 recall; real corpora with
+    # near-dup structure prune far harder at small radii
+    approx = ivf_topk(spark, path, queries, k=10, probe_radius=3)
     exact = brute_force_topk(e, queries, k=10)
     a_sets, e_sets = {}, {}
     for r in approx.collect():
@@ -44,7 +48,7 @@ def test_ivf_index_partition_pruning_and_recall(spark, sf_dir, tmp_path):
     recalls = [
         len(e_sets[q] & a_sets.get(q, set())) / len(e_sets[q]) for q in e_sets
     ]
-    # radius-2 multi-probe over 6 planes: ~1/3 of buckets read
-    assert sum(recalls) / len(recalls) >= 0.5
+    # radius-3 multi-probe over 6 planes: ~2/3 of buckets read
+    assert sum(recalls) / len(recalls) >= 0.6
     # every query found a full top-k from the probed subset
     assert all(len(s) == 10 for s in a_sets.values())
