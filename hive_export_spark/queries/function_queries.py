@@ -97,7 +97,7 @@ SELECT p_partkey,
        abs(p_retailprice - 1000) AS price_dev,
        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-       round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS price_tenth,
+       CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS DOUBLE) AS price_tenth,
        sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
        pow(CAST(p_size AS DOUBLE), 2) AS size_sq,
        p_size % 7 AS size_mod,
@@ -116,9 +116,9 @@ def fn_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_retailprice") - 1000).alias("price_dev"),
         F.ceil("p_retailprice").alias("price_ceil"),
         F.floor("p_retailprice").alias("price_floor"),
-        F.round(F.col("p_retailprice").cast("decimal(12,2)") / 10, 1).alias(
-            "price_tenth"
-        ),
+        F.round(F.col("p_retailprice").cast("decimal(12,2)") / 10, 1)
+        .cast("double")
+        .alias("price_tenth"),
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
         F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
         (F.col("p_size") % 7).alias("size_mod"),
@@ -163,7 +163,7 @@ def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
        json_extract_string(props, '$.k') AS k_string,
-       to_json(struct_pack(id := event_id, t := event_type)) AS packed
+       CAST(to_json(struct_pack(id := event_id, t := event_type)) AS VARCHAR) AS packed
 FROM events
 """,
     doc="JSON family: path extraction (typed + string) and struct->JSON "

@@ -79,13 +79,13 @@ def parity_partition_token(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parity_json_encode",
     oracle=(
-        "SELECT to_json(struct_pack("
+        "SELECT CAST(to_json(struct_pack("
         "event_id := event_id, "
         "ts := strftime(ts, '%Y-%m-%d %H:%M:%S.%g'), "
         "user_id := user_id, "
         "value := value, "
         "props := props"
-        ")) AS json_payload, "
+        ")) AS VARCHAR) AS json_payload, "
         f"CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = '' THEN '{TOKEN_SQL}' "
         "ELSE event_type END AS event_type "
         "FROM events"

@@ -22,6 +22,69 @@ from hive_export_spark.session import get_spark  # noqa: E402
 from hive_export_spark.sources import TABLE_NAMES  # noqa: E402
 
 
+def _spark_kind(dt: str) -> str:
+    """Collapse a Spark dtype string to a comparable kind."""
+    dt = dt.strip().lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        scale = dt.rstrip(")").split(",")[1] if "," in dt else "0"
+        return f"decimal.{scale.strip()}"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt == "boolean":
+        return "bool"
+    if dt == "binary":
+        return "bytes"
+    if dt.startswith("array<"):
+        return f"list<{_spark_kind(dt[6:-1])}>"
+    return f"complex:{dt}"
+
+
+def _duck_kind(dt: str) -> str:
+    """Collapse a DuckDB type string to the same kind space.
+
+    HUGEINT deliberately maps to its own kind: duckdb's pandas/arrow
+    conversion turns int128 into float64, which is exactly the value-level
+    drift that broke q12 under the driver hash in round 1.
+    """
+    dt = dt.strip().upper()
+    if dt.endswith("[]"):
+        return f"list<{_duck_kind(dt[:-2])}>"
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT(int128->float64 drift)"
+    if dt in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        scale = dt.rstrip(")").split(",")[1] if "," in dt else "0"
+        return f"decimal.{scale.strip()}"
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "ts"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "BLOB":
+        return "bytes"
+    return f"complex:{dt.lower()}"
+
+
+# Kinds whose driver-side normalization is unverified (no round-1 green row
+# ever carried one). Queries in the driver window should avoid them.
+_RISKY_KINDS = ("list<", "complex:", "date")
+
+
 def normalize_cell(v) -> str:
     if v is None:
         return "\\N"
@@ -66,23 +129,38 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            skinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
             s_n, s_cols, s_hash = frame_fingerprint(scols, srows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        risky = [f"{c}:{k}" for c, k in skinds.items()
+                 if any(k.startswith(r) or r in k for r in _RISKY_KINDS)]
+        if risky:
+            print(f"WARN  {name}: driver-risky output kinds {risky}")
         if oracle is None:
             print(f"ROWS  {name}: {s_n} rows (no oracle)")
             if s_n == 0:
                 failures.append(name)
             continue
         try:
-            cur = con.execute(oracle)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracle)
+            dcols = list(rel.columns)
+            dkinds = {c: _duck_kind(str(t)) for c, t in zip(dcols, rel.types)}
+            drows = rel.fetchall()
             d_n, d_cols, d_hash = frame_fingerprint(dcols, drows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        kind_drift = [
+            f"{c}: spark={skinds.get(c)} duckdb={dkinds.get(c)}"
+            for c in sorted(set(skinds) | set(dkinds))
+            if skinds.get(c) != dkinds.get(c)
+        ]
+        if kind_drift:
+            print(f"FAIL  {name}: dtype drift {kind_drift}")
             failures.append(name)
             continue
         ok = (s_n, s_cols, s_hash) == (d_n, d_cols, d_hash)
