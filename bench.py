@@ -57,14 +57,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # steady-state timing: first execution absorbs codegen/python-worker
-        # warmup (measured ~2x variance on sub-second queries), second run
-        # is the recorded number
+        # steady-state timing: one warmup execution absorbs codegen and
+        # python-worker startup (measured ~2x variance on sub-second
+        # queries), then median-of-3 timed runs so a single noisy run
+        # cannot shift the recorded number
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

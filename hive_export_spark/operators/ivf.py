@@ -81,6 +81,7 @@ def ivf_topk(
     n_planes: int = 6,
     dim: int = 64,
     probe_radius: int = 2,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Multi-probe top-k over the persisted index.
 
@@ -88,6 +89,10 @@ def ivf_topk(
     definition — that is what makes them queries); the union of their
     Hamming balls becomes ONE partition-pruned index read shared by all
     queries, then candidates are scored exactly and ranked per query.
+
+    ``max_query_rows`` guards the driver-side collect: a "query set" the
+    size of a corpus would OOM the driver and belongs in the distributed
+    all-pairs path instead.
     """
     q = queries.select(
         F.col(query_id_col),
@@ -95,9 +100,17 @@ def ivf_topk(
     ).withColumn(
         "__qsig", hyperplane_signature(F.col("__qv"), n_planes, dim, seed="ivf")
     )
-    q_rows = q.select(query_id_col, "__qsig").collect()
+    q_rows = q.select(query_id_col, "__qsig").limit(max_query_rows + 1).collect()
     if not q_rows:
         raise ValueError("ivf_topk requires a non-empty query set")
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"ivf_topk query set exceeds max_query_rows={max_query_rows}; "
+            "signatures are collected driver-side, so batch the queries or "
+            "use the distributed lsh_topk path "
+            "(hive_export_spark.operators.similarity) for corpus-sized "
+            "query sets"
+        )
     probe_buckets = sorted(
         {
             b

@@ -45,6 +45,10 @@ def compact_partitioned_table(
             "compact_partitioned_table operates on local paths; for "
             f"{path!r} use a table-format-native compaction"
         )
+    # normalize file:// URIs to a plain path: every os-level call below
+    # (walk/getsize/rename) needs the filesystem path, not the URI
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     backup = path.rstrip("/") + ".pre_compact"
     if os.path.exists(backup):
         raise RuntimeError(

@@ -1,0 +1,95 @@
+"""Connector round-trip queries: non-parquet file formats and JDBC.
+
+These exist so the driver's correctness gate exercises the connector rows
+of SURVEY.md section 2.2 ("parquet/ORC/CSV/JSON read+write", "JDBC read
+(VoltDB-like source)") end-to-end, not just in unit tests. Each query
+writes a projection of a source table through the connector and reads it
+back; the oracle is the same projection straight off parquet, so any
+fidelity loss in the connector (type mangling, null handling, partition
+splits) shows up as a hash mismatch.
+
+At 100 TB these round-trips are not a pattern you'd run as a query — they
+are correctness probes for the connector layer (the reference's analog:
+the ORC write path in HivePartitionStream.java and the VoltDB JDBC-ish
+export source, HiveExportClient.java:129-135).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+from hive_export_spark.sources.jdbc import read_jdbc_auto, write_jdbc
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+_FORMATS_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_quantity AS DECIMAL(12,2)) AS l_qty,
+       l_returnflag,
+       f.fmt AS fmt
+FROM lineitem, (VALUES ('orc'), ('csv'), ('json')) AS f(fmt)
+"""
+
+
+@register(
+    "source_formats_roundtrip",
+    oracle=_FORMATS_ORACLE,
+    doc="ORC + CSV + JSON write/read-back fidelity: one leg per format, "
+    "tagged and unioned; hash-compared against the parquet source.",
+)
+def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("l_qty"),
+        "l_returnflag",
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    legs = []
+    for fmt in ("orc", "csv", "json"):
+        path = f"{base}/{fmt}"
+        writer = src.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        # explicit schema on read: CSV/JSON carry no types, and inference
+        # is both slow (extra scan) and drift-prone
+        reader = spark.read.format(fmt).schema(src.schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        legs.append(reader.load(path).withColumn("fmt", F.lit(fmt)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@register(
+    "jdbc_roundtrip_derby",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+    doc="JDBC connector end-to-end on embedded Derby (bundled with Spark): "
+    "batched write, then a range-partitioned parallel read with automatic "
+    "stride discovery (sources/jdbc.py) — the VoltDB-like per-partition "
+    "stream shape of HiveExportClient.java:129-135.",
+)
+def jdbc_roundtrip_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    db = tempfile.mkdtemp(prefix="jdbc_roundtrip_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    write_jdbc(src, url, "customer_rt", mode="overwrite", driver=DERBY_DRIVER)
+    return read_jdbc_auto(
+        spark,
+        url,
+        "customer_rt",
+        "c_custkey",
+        num_partitions=8,
+        driver=DERBY_DRIVER,
+    )

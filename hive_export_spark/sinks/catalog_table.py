@@ -56,7 +56,7 @@ def export_to_catalog_table(
                              timezone=config.timezone)
     routed = route_partitions(routed, pcols)
 
-    fq = f"{config.db}.{config.table}"
+    fq = f"{config.db}.{table}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {config.db}")
     writer = (
         routed.write.mode("append")

@@ -108,3 +108,24 @@ def test_catalog_export_against_real_hive_metastore(sf_dir):
     assert "rows=1000" in result[0]
     assert "partitions=5" in result[0]
     assert "orc=True" in result[0]
+
+
+def test_catalog_export_table_name_override(spark, sf_dir):
+    """table_name selects BOTH the partition spec and the target table —
+    a mismatch would validate one table while appending into another."""
+    ev = load_table(spark, "events", sf_dir).limit(100)
+    cfg = ExportConfig(
+        uri="thrift://metastore:9083",
+        db="exportdb",
+        table="alerts",
+        partition_columns={"alerts": ["event_type"], "audit": ["event_type"]},
+    )
+    try:
+        fq = export_to_catalog_table(ev, cfg, table_name="audit", fmt="parquet")
+        assert fq == "exportdb.audit"
+        assert spark.table("exportdb.audit").count() == 100
+        assert not spark.catalog.tableExists("exportdb.alerts")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS exportdb.audit")
+        spark.sql("DROP TABLE IF EXISTS exportdb.alerts")
+        spark.sql("DROP DATABASE IF EXISTS exportdb")

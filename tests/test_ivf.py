@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_export_spark.operators.ivf import build_ivf_index, hamming_ball, ivf_topk
@@ -52,3 +53,12 @@ def test_ivf_index_partition_pruning_and_recall(spark, sf_dir, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.6
     # every query found a full top-k from the probed subset
     assert all(len(s) == 10 for s in a_sets.values())
+
+
+def test_ivf_topk_guards_query_set_size(spark, sf_dir, tmp_path):
+    e = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "ivf_guard")
+    build_ivf_index(e, path)
+    queries = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_topk(spark, path, queries, k=3, max_query_rows=5)

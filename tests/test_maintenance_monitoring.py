@@ -68,3 +68,13 @@ def test_progress_recorder_captures_batches(spark, sf_dir):
         assert total_rows == load_table(spark, "events", sf_dir).count()
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_compaction_accepts_file_uri(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).limit(200)
+    path = str(tmp_path / "uri_table")
+    ev.repartition(8).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = compact_partitioned_table(spark, f"file://{path}", ["event_type"])
+    assert stats["files_after"] < stats["files_before"]
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before_rows

@@ -52,3 +52,22 @@ def test_registry_is_consistent():
     # documented minimum surface (guards accidental deregistration)
     assert len(qs) >= 95
     assert len(os_) >= 89
+
+
+def test_driver_window_contract():
+    """The driver verifies only queries() positions 0-49; pin them.
+
+    Every window entry must carry an oracle (full hash gate) except the
+    genuinely approximate ops, which get the weaker rows-only check.
+    """
+    from hive_export_spark.registry import DRIVER_WINDOW
+
+    qs, os_ = all_queries(), all_oracles()
+    assert len(DRIVER_WINDOW) == 50
+    assert list(qs)[:50] == list(DRIVER_WINDOW)
+    rows_only = [n for n in DRIVER_WINDOW if n not in os_]
+    assert rows_only == ["agg_approx_count_distinct"]
+    # oracle iteration order matches the window too (driver zips them)
+    assert [n for n in os_ if n in set(DRIVER_WINDOW)][:5] == [
+        n for n in DRIVER_WINDOW if n in os_
+    ][:5]
