@@ -83,6 +83,11 @@ class ExportConfig:
     timezone: str = "UTC"
     unspecified_token: str = UNSPECIFIED_TOKEN
     allow_unpartitioned: bool = False
+    # Decoder builder knob camelCaseFieldNames
+    # (PartitionedJsonDecoder.java:260,300-307): lowerCamelCase JSON payload
+    # keys. Default off matches the production path, which hardcodes
+    # camelCaseFieldNames(false) at HiveExportClient.java:152.
+    camel_case_field_names: bool = False
 
     def __post_init__(self) -> None:
         if not self.uri or not self.uri.strip():
@@ -119,6 +124,9 @@ class ExportConfig:
             ),
             timezone=props.get("timezone", "UTC"),
             allow_unpartitioned=props.get("allow.unpartitioned", "") == "true",
+            camel_case_field_names=(
+                props.get("camelcase.fieldnames", "") == "true"
+            ),
         )
 
     def partition_cols_for(self, table: str) -> list[str]:

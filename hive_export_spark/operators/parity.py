@@ -100,12 +100,23 @@ def partition_token_substitute(
     return out
 
 
+def camel_case_name_lower_first(name: str) -> str:
+    """UPPER_UNDERSCORE -> lowerCamelCase, the reference's field-name
+    transform (PartitionedJsonDecoder.java:300-307 applies
+    ``camelCaseNameLowerFirst``, Guava CaseFormat semantics over the
+    upper-cased name): EVENT_TYPE -> eventType, TS -> ts."""
+    parts = name.upper().split("_")
+    head, *rest = [p.lower() for p in parts]
+    return head + "".join(p[:1].upper() + p[1:] for p in rest)
+
+
 def to_partitioned_json(
     df: DataFrame,
     partition_cols: list[str],
     token: str = UNSPECIFIED_TOKEN,
     payload_col: str = "json_payload",
     timezone: str = "UTC",
+    camel_case_field_names: bool = False,
 ) -> DataFrame:
     """R4+R5: split each row into (JSON payload of non-partition columns,
     token-substituted partition columns).
@@ -117,15 +128,28 @@ def to_partitioned_json(
     hence ignoreNullFields=false — Spark's default would drop them
     (SURVEY.md section 7, known-hard #2).
 
+    ``camel_case_field_names`` models the decoder builder's
+    ``camelCaseFieldNames`` knob (PartitionedJsonDecoder.java:260,300-307):
+    JSON payload keys become lowerCamelCase. The production path disables
+    it (HiveExportClient.java:152), so the default is off. Partition
+    columns keep their frame names — in the reference the transformed
+    partition names are only an internal decoder lookup; the emitted
+    artifacts (payload JSON, Hive partition directories) take partition
+    names from the table, which is what the Spark write path does too.
+
     Vectorized and codegen'd: this is the reference's whole per-row hot loop
     (PartitionedJsonDecoder.java:109-129) as one expression.
     """
     encoded = typed_encode(df, timezone)
     payload_fields = [f.name for f in encoded.schema.fields if f.name not in partition_cols]
     routed = partition_token_substitute(encoded, partition_cols, token)
+
+    def key(name: str) -> str:
+        return camel_case_name_lower_first(name) if camel_case_field_names else name
+
     return routed.select(
         F.to_json(
-            F.struct(*[F.col(c) for c in payload_fields]),
+            F.struct(*[F.col(c).alias(key(c)) for c in payload_fields]),
             {"ignoreNullFields": "false"},
         ).alias(payload_col),
         *[F.col(c) for c in partition_cols],
@@ -174,6 +198,7 @@ def export_pipeline(
     token: str = UNSPECIFIED_TOKEN,
     n_internal: int = 0,
     timezone: str = "UTC",
+    camel_case_field_names: bool = False,
 ) -> DataFrame:
     """The full reference dataflow R2->R5 as one composed operator.
 
@@ -182,4 +207,10 @@ def export_pipeline(
     trace in SURVEY.md section 3.3.
     """
     out = skip_internal_fields(df, n_internal) if n_internal else df
-    return to_partitioned_json(out, partition_cols, token, timezone=timezone)
+    return to_partitioned_json(
+        out,
+        partition_cols,
+        token,
+        timezone=timezone,
+        camel_case_field_names=camel_case_field_names,
+    )

@@ -53,7 +53,8 @@ def export_to_catalog_table(
     pcols = [by_upper[c] for c in partition_cols]
 
     routed = export_pipeline(df, pcols, config.unspecified_token,
-                             timezone=config.timezone)
+                             timezone=config.timezone,
+                             camel_case_field_names=config.camel_case_field_names)
     routed = route_partitions(routed, pcols)
 
     fq = f"{config.db}.{table}"

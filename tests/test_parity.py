@@ -108,3 +108,48 @@ def test_export_pipeline_on_events(spark, sf_dir):
     assert out.count() == df.count()
     sample = json.loads(out.limit(1).collect()[0].json_payload)
     assert list(sample.keys()) == ["event_id", "ts", "user_id", "value", "props"]
+
+
+def test_camel_case_name_transform():
+    # Guava UPPER_UNDERSCORE -> LOWER_CAMEL over the upper-cased name
+    # (camelCaseNameLowerFirst, PartitionedJsonDecoder.java:300-307)
+    assert parity.camel_case_name_lower_first("EVENT_TYPE") == "eventType"
+    assert parity.camel_case_name_lower_first("event_type") == "eventType"
+    assert parity.camel_case_name_lower_first("TS") == "ts"
+    assert parity.camel_case_name_lower_first("USER_ID_V2") == "userIdV2"
+
+
+def test_camel_case_field_names_knob(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "click", "NA")], ["EVENT_ID", "EVENT_TYPE", "REGION_CODE"]
+    )
+    # default off: raw schema names in the payload (production path,
+    # HiveExportClient.java:152)
+    raw = parity.to_partitioned_json(df, ["REGION_CODE"]).collect()[0]
+    assert list(json.loads(raw.json_payload)) == ["EVENT_ID", "EVENT_TYPE"]
+    # knob on: lowerCamelCase payload keys, values unchanged
+    camel = parity.to_partitioned_json(
+        df, ["REGION_CODE"], camel_case_field_names=True
+    ).collect()[0]
+    assert json.loads(camel.json_payload) == {"eventId": 1, "eventType": "click"}
+    assert camel.REGION_CODE == "NA"
+
+
+def test_camel_case_config_properties_roundtrip():
+    from hive_export_spark.config import ExportConfig
+
+    cfg = ExportConfig.from_properties(
+        {
+            "hive.uri": "thrift://m:9083",
+            "hive.db": "d",
+            "hive.table": "t",
+            "hive.partition.columns": "t:c",
+            "camelcase.fieldnames": "true",
+        }
+    )
+    assert cfg.camel_case_field_names is True
+    # default matches the reference's hardcoded false
+    assert ExportConfig(uri="thrift://m:9083", db="d", table="t",
+                        allow_unpartitioned=True).camel_case_field_names is False
