@@ -116,3 +116,71 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def bucket_spec(spark, table_name: str) -> dict | None:
+    """Read a table's bucketing metadata from the catalog.
+
+    Returns {'num_buckets': n, 'bucket_cols': [...], 'sort_cols': [...]},
+    or None for an unbucketed table.
+    """
+    rows = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+    info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
+    if "Num Buckets" not in info:
+        return None
+
+    def cols(v: str) -> list[str]:
+        return [c.strip().strip("`") for c in v.strip("[]").split(",") if c.strip()]
+
+    return {
+        "num_buckets": int(info["Num Buckets"]),
+        "bucket_cols": cols(info.get("Bucket Columns", "")),
+        "sort_cols": cols(info.get("Sort Columns", "")),
+    }
+
+
+def rebucket_table(
+    spark,
+    table_name: str,
+    num_buckets: int,
+    bucket_cols: Sequence[str] | None = None,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Bucket-count/layout evolution: rewrite a bucketed table in place.
+
+    Bucket counts are load-bearing — co-located joins require matching
+    counts — so growing a table eventually forces re-bucketing (e.g. 8
+    buckets sized for last year's volume become 8 giant tasks). The rewrite
+    goes through a staging table then swaps via catalog rename, so readers
+    either see the old table or the new one, never a partial.
+
+    ``bucket_cols``/``sort_cols`` default to the table's current spec.
+    Evolution tip: re-bucket to a MULTIPLE of the old count and peers that
+    still carry the old count keep shuffle-free joins with the new table
+    under spark.sql.bucketing.coalesceBucketsInJoin.enabled.
+
+    Exactly one full-table shuffle (the bucketing hash itself) — the same
+    cost a fresh bucketed write pays; nothing is collected driver-side.
+    """
+    spec = bucket_spec(spark, table_name)
+    if bucket_cols is None:
+        if spec is None:
+            raise ValueError(
+                f"{table_name} is not bucketed; pass bucket_cols to bucket it"
+            )
+        bucket_cols = spec["bucket_cols"]
+        if sort_cols is None and spec["sort_cols"]:
+            sort_cols = spec["sort_cols"]
+    staging = f"{table_name}__rebucketing"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed(
+        spark.table(table_name), staging, bucket_cols, num_buckets, sort_cols, fmt
+    )
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    return {
+        "num_buckets_before": spec["num_buckets"] if spec else 0,
+        "num_buckets_after": num_buckets,
+        "bucket_cols": list(bucket_cols),
+    }

@@ -85,3 +85,60 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_rebucket_table_evolution(spark, sf_dir):
+    """Round-trip the verdict's 'done' bar: evolve a table's bucket count,
+    then join pre/post-evolution peers without an Exchange."""
+    from hive_export_spark.operators.scale import bucket_spec, rebucket_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+        li = load_table(spark, "lineitem", sf_dir).select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed(o, "orders_evo", ["o_orderkey"], num_buckets=4)
+        write_bucketed(li, "lineitem_evo", ["o_orderkey"], num_buckets=16)
+        before_rows = spark.table("orders_evo").count()
+
+        # 4 -> 16: spec carried over from the catalog, count evolved
+        stats = rebucket_table(spark, "orders_evo", 16)
+        assert stats == {
+            "num_buckets_before": 4,
+            "num_buckets_after": 16,
+            "bucket_cols": ["o_orderkey"],
+        }
+        assert bucket_spec(spark, "orders_evo")["num_buckets"] == 16
+        assert spark.table("orders_evo").count() == before_rows
+
+        joined = spark.table("orders_evo").join(
+            spark.table("lineitem_evo"), "o_orderkey"
+        )
+        plan = executed_plan(joined)
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("orders_evo", "lineitem_evo", "orders_evo__rebucketing"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebucket_unbucketed_requires_cols(spark, sf_dir):
+    import pytest
+    from hive_export_spark.operators.scale import rebucket_table
+
+    load_table(spark, "region", sf_dir).write.mode("overwrite").saveAsTable(
+        "region_plain"
+    )
+    try:
+        with pytest.raises(ValueError, match="not bucketed"):
+            rebucket_table(spark, "region_plain", 8)
+        # explicit cols bucket it for the first time
+        stats = rebucket_table(spark, "region_plain", 8, bucket_cols=["r_regionkey"])
+        assert stats["num_buckets_before"] == 0
+        from hive_export_spark.operators.scale import bucket_spec
+        assert bucket_spec(spark, "region_plain")["num_buckets"] == 8
+    finally:
+        for t in ("region_plain", "region_plain__rebucketing"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
