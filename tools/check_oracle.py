@@ -107,11 +107,27 @@ def frame_fingerprint(columns: list[str], rows: list[tuple]) -> tuple[int, list[
     return len(rows), cols_sorted, h
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def _hostile_session():
+    """A driver-shaped session: plain builder, hostile defaults (non-UTC
+    timezone, stock shuffle partitions, none of get_spark's confs). Every
+    query must force its own runtime requirements to pass under this."""
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check")
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check-hostile")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    hostile = "--hostile" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = _hostile_session() if hostile else get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
