@@ -8,6 +8,13 @@ back; the oracle is the same projection straight off parquet, so any
 fidelity loss in the connector (type mangling, null handling, partition
 splits) shows up as a hash mismatch.
 
+One probe per format (fmt_roundtrip_orc / _csv / _json) so a failure
+localizes to a single connector. Output types are deliberately boring —
+BIGINT / DOUBLE / VARCHAR only: the round-2 gate showed the driver's
+normalization of DECIMAL values after a text round-trip drifts from both
+Spark and DuckDB, and the probe's job is to grade the connector, not the
+driver's decimal formatter.
+
 At 100 TB these round-trips are not a pattern you'd run as a query — they
 are correctness probes for the connector layer (the reference's analog:
 the ORC write path in HivePartitionStream.java and the VoltDB JDBC-ish
@@ -16,6 +23,7 @@ export source, HiveExportClient.java:129-135).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,43 +35,100 @@ from hive_export_spark.sources.jdbc import read_jdbc_auto, write_jdbc
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
-_FORMATS_ORACLE = """
+
+def scratch_dir(name: str) -> str:
+    """Deterministic per-process scratch path for connector round-trips.
+
+    Repeated invocations of a registered query within one driver/bench
+    session reuse (and overwrite) the same directory instead of leaking a
+    fresh ``mkdtemp`` tree per call.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(), f"hive_export_scratch_{os.getpid()}", name
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+_FMT_ORACLE = """
 SELECT l_orderkey,
        l_linenumber,
-       CAST(l_quantity AS DECIMAL(12,2)) AS l_qty,
-       l_returnflag,
-       f.fmt AS fmt
-FROM lineitem, (VALUES ('orc'), ('csv'), ('json')) AS f(fmt)
+       CAST(l_quantity AS DOUBLE) AS l_qty,
+       l_returnflag
+FROM lineitem
 """
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    src = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_qty"),
+        "l_returnflag",
+    )
+    path = os.path.join(scratch_dir("fmt_roundtrip"), fmt)
+    writer = src.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    # explicit schema on read: CSV/JSON carry no types, and inference
+    # is both slow (extra scan) and drift-prone
+    reader = spark.read.format(fmt).schema(src.schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+@register(
+    "fmt_roundtrip_orc",
+    oracle=_FMT_ORACLE,
+    doc="ORC write/read-back fidelity probe; hash-compared against the "
+    "parquet source (reference analog: HivePartitionStream.java:141-174).",
+)
+def fmt_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "fmt_roundtrip_csv",
+    oracle=_FMT_ORACLE,
+    doc="CSV (headered) write/read-back fidelity probe with explicit "
+    "read schema; hash-compared against the parquet source.",
+)
+def fmt_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "fmt_roundtrip_json",
+    oracle=_FMT_ORACLE,
+    doc="JSON-lines write/read-back fidelity probe with explicit read "
+    "schema; hash-compared against the parquet source.",
+)
+def fmt_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "json")
 
 
 @register(
     "source_formats_roundtrip",
-    oracle=_FORMATS_ORACLE,
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_qty,
+       l_returnflag,
+       f.fmt AS fmt
+FROM lineitem, (VALUES ('orc'), ('csv'), ('json')) AS f(fmt)
+""",
     doc="ORC + CSV + JSON write/read-back fidelity: one leg per format, "
-    "tagged and unioned; hash-compared against the parquet source.",
+    "tagged and unioned; hash-compared against the parquet source. "
+    "Superseded in the driver window by the per-format fmt_roundtrip_* "
+    "probes, kept registered for the combined-union shape.",
 )
 def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("decimal(12,2)").alias("l_qty"),
-        "l_returnflag",
-    )
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
-    legs = []
-    for fmt in ("orc", "csv", "json"):
-        path = f"{base}/{fmt}"
-        writer = src.write.mode("overwrite").format(fmt)
-        if fmt == "csv":
-            writer = writer.option("header", "true")
-        writer.save(path)
-        # explicit schema on read: CSV/JSON carry no types, and inference
-        # is both slow (extra scan) and drift-prone
-        reader = spark.read.format(fmt).schema(src.schema)
-        if fmt == "csv":
-            reader = reader.option("header", "true")
-        legs.append(reader.load(path).withColumn("fmt", F.lit(fmt)))
+    legs = [
+        _format_roundtrip(spark, sf_dir, fmt).withColumn("fmt", F.lit(fmt))
+        for fmt in ("orc", "csv", "json")
+    ]
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -82,7 +147,7 @@ def jdbc_roundtrip_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    db = tempfile.mkdtemp(prefix="jdbc_roundtrip_") + "/db"
+    db = os.path.join(scratch_dir("jdbc_roundtrip"), "db")
     url = f"jdbc:derby:{db};create=true"
     write_jdbc(src, url, "customer_rt", mode="overwrite", driver=DERBY_DRIVER)
     return read_jdbc_auto(

@@ -148,20 +148,56 @@ def llm_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, queries, k=10)
 
 
+def _recall_ok(
+    ann: DataFrame, exact: DataFrame, queries: DataFrame, min_hits: int
+) -> DataFrame:
+    """Per-query boolean: ANN top-k intersects the exact top-k in at least
+    ``min_hits`` of k neighbors. The oracle can't know the ANN result, but
+    it CAN know the query list — so the deterministic output is
+    (query_id, recall_ok) with the oracle emitting literal TRUE."""
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= F.lit(min_hits)).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+_RECALL_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
 @register(
     "llm_sim_lsh_topk",
-    oracle=None,  # approximate by construction: recall vs brute force is
-    # asserted in tests/test_llm_ops.py instead
+    oracle=_RECALL_ORACLE,
     doc="ANN top-10 via random-hyperplane LSH signatures + Hamming pruning "
-    "+ exact re-score (operators.similarity.lsh_topk); rows-only check "
-    "here, recall>=0.8 vs brute force asserted in tests",
+    "+ exact re-score (operators.similarity.lsh_topk). Oracle-able "
+    "formulation: the ANN result is approximate by construction, so the "
+    "query emits per-query recall_ok = |ANN top-10 ∩ exact top-10| >= 5 "
+    "(deterministic: hash-derived hyperplanes; observed fixture min 7/10 "
+    "at radius 6 of 12 planes at sf0.01 and sf0.1); the oracle lists the "
+    "query ids with literal TRUE.",
 )
 def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(e, queries, k=10)
+    ann = similarity.lsh_topk(e, queries, k=10, max_hamming=6)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=5)
 
 
 @register(
@@ -329,11 +365,12 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_sim_rp_lsh_topk",
-    oracle=None,  # approximate candidate set; recall vs brute force
-    # asserted in tests/test_llm_ops.py
+    oracle=_RECALL_ORACLE,
     doc="ANN top-10 via spark.ml BucketedRandomProjectionLSH (euclidean "
     "buckets valid for cosine on unit-norm vectors) + exact re-score "
-    "(operators.ml_lsh.ml_random_projection_topk)",
+    "(operators.ml_lsh.ml_random_projection_topk). Oracle-able "
+    "formulation: per-query recall_ok = |ANN ∩ exact top-10| >= 7 "
+    "(seeded model; observed fixture min 9/10); oracle emits literal TRUE.",
 )
 def llm_sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.operators.ml_lsh import ml_random_projection_topk
@@ -342,29 +379,123 @@ def llm_sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ml_random_projection_topk(e, queries, k=10)
+    ann = ml_random_projection_topk(e, queries, k=10)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
+    "llm_sim_ivf_topk",
+    oracle="""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(v.embedding AS DOUBLE[])) DESC,
+                    v.vec_id) AS rank
+  FROM embeddings q, embeddings v
+  WHERE q.vec_id < 5
+) WHERE rank <= 10
+""",
+    doc="the persisted 100 TB ANN path end-to-end: build the "
+    "signature-bucket-partitioned IVF index (operators.ivf.build_ivf_index "
+    "— parquet partitioned by hyperplane signature), then multi-probe "
+    "top-10 via partition-pruned reads (operators.ivf.ivf_topk). Probed "
+    "at radius = n_planes so the Hamming ball covers every bucket and the "
+    "result provably equals exact brute-force top-k — SQL-expressible; "
+    "sub-full-radius pruning + PartitionFilters are pinned in "
+    "tests/test_ivf.py.",
+)
+def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.ivf import build_ivf_index, ivf_topk
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = scratch_dir("ivf_index")
+    build_ivf_index(e, path, n_planes=6)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(spark, path, queries, k=10, n_planes=6, probe_radius=6)
 
 
 @register(
     "llm_sample_fraction",
-    oracle=None,  # sampling RNG is engine-specific; determinism-for-a-seed
-    # and fraction bounds are asserted in tests/test_llm_ops.py
+    oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
     doc="seeded Bernoulli sampling (df.sample): the first stage of every "
     "training-data subset job — per-partition RNG, no shuffle, "
-    "reproducible for a fixed seed",
+    "reproducible for a fixed seed. Oracle-able formulation: the sampled "
+    "membership is engine-RNG-specific, so the query emits the corpus "
+    "size plus a boolean asserting (a) the sampled count lies within "
+    "[0.1, 0.3]*n for fraction 0.2 (±5.6 sigma at n=500) and (b) two "
+    "same-seed samples select the IDENTICAL multiset of rows "
+    "(determinism); the oracle is COUNT(*) and literal TRUE.",
 )
 def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang", "source")
+    s1 = d.sample(fraction=0.2, seed=42).select("doc_id")
+    s2 = d.sample(fraction=0.2, seed=42).select("doc_id")
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    n_samp = s1.agg(F.count(F.lit(1)).alias("__n_samp"))
+    n_diff = (
+        s1.exceptAll(s2)
+        .unionAll(s2.exceptAll(s1))
+        .agg(F.count(F.lit(1)).alias("__n_diff"))
+    )
+    return (
+        tot.crossJoin(n_samp)
+        .crossJoin(n_diff)
+        .select(
+            "n_total",
+            (
+                (F.col("__n_samp") >= 0.1 * F.col("n_total"))
+                & (F.col("__n_samp") <= 0.3 * F.col("n_total"))
+                & (F.col("__n_diff") == 0)
+            ).alias("frac_ok"),
+        )
+    )
 
 
 @register(
     "llm_sample_stratified",
-    oracle=None,  # same: engine-specific RNG, properties asserted in tests
+    oracle="""
+SELECT lang, COUNT(*) AS n_lang, TRUE AS prop_ok
+FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+GROUP BY lang
+""",
     doc="stratified sampling (df.sampleBy): per-language fractions — "
-    "rebalancing skewed language/source mixes without a shuffle",
+    "rebalancing skewed language/source mixes without a shuffle. "
+    "Oracle-able formulation: per-stratum sampled counts are "
+    "engine-RNG-specific, so the query emits each stratum's exact size "
+    "plus a boolean asserting the sampled count sits within 5 binomial "
+    "sigma + 3 of fraction*n; the oracle is the per-stratum COUNT(*) and "
+    "literal TRUE.",
 )
 def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     fractions = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.1}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    base = d.filter(F.col("lang").isin(*fractions))
+    sampled_counts = (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_samp"))
+    )
+    totals = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("lang")]
+    expected = frac * F.col("n_lang")
+    tol = F.lit(5.0) * F.sqrt(expected * (F.lit(1.0) - frac)) + F.lit(3.0)
+    return (
+        totals.join(sampled_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_lang",
+            (
+                F.abs(F.coalesce(F.col("__n_samp"), F.lit(0)) - expected) <= tol
+            ).alias("prop_ok"),
+        )
+    )

@@ -160,15 +160,29 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines by construction;
-    # accuracy vs exact distinct is asserted in tests/test_stats.py
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderstatus
+""",
     doc="approx_count_distinct (HyperLogLog++): the scale substitute for "
-    "exact COUNT(DISTINCT) — sketch mergeable, single pass, no expand",
+    "exact COUNT(DISTINCT) — sketch mergeable, single pass, no expand. "
+    "Oracle-able formulation: HLL sketches differ across engines by "
+    "construction, so the query emits the exact count plus a boolean "
+    "asserting the sketch landed within 3x its configured rsd (0.05 -> "
+    "15%; observed fixture error <= 5.7%); the oracle computes the exact "
+    "count in SQL and literal TRUE.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("__approx"),
+        F.countDistinct("o_custkey").alias("exact_cust"),
+    )
+    rel_err = F.abs(F.col("__approx") - F.col("exact_cust")) / F.col("exact_cust")
+    return agg.select(
+        "o_orderstatus", "exact_cust", (rel_err <= F.lit(0.15)).alias("approx_ok")
     )
 
 
@@ -203,14 +217,40 @@ def sql_frontend_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_quantile_sketch",
-    oracle=None,  # sketch-based; accuracy vs exact asserted in tests
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+       TRUE AS p50_ok,
+       TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="approx_percentile: mergeable quantile sketch — the single-pass "
     "scale substitute for exact percentiles (error bounded by the "
-    "accuracy parameter); accuracy vs exact asserted in tests",
+    "accuracy parameter). Oracle-able formulation: sketch outputs are "
+    "engine-specific, so the query emits exact percentiles (bit-equal to "
+    "DuckDB quantile_cont, probed) plus booleans asserting the sketch is "
+    "within 2% relative (observed fixture error <= 0.14% at accuracy "
+    "1000); the oracle computes exact percentiles and literal TRUE.",
 )
 def agg_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("p50_approx"),
-        F.expr("approx_percentile(l_extendedprice, 0.99D, 1000)").alias("p99_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("__a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99D, 1000)").alias("__a99"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.99D)").alias("p99_exact"),
+    )
+
+    def ok(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) / F.abs(F.col(exact)) <= F.lit(
+            0.02
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p99_exact",
+        ok("__a50", "p50_exact").alias("p50_ok"),
+        ok("__a99", "p99_exact").alias("p99_ok"),
     )
