@@ -319,33 +319,48 @@ WITH media AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         encode(text) AS payload
+         octet_length(encode(text)) AS n
   FROM documents
+), v AS (
+  SELECT *, GREATEST(n % 100, 1) AS vframes FROM media
 )
 SELECT media_id, media_type,
-       octet_length(payload) AS payload_bytes,
        CASE media_type
-         WHEN 'image' THEN 64 + octet_length(payload) % 512
+         WHEN 'image' THEN 'png'
+         WHEN 'audio' THEN 'wav'
+         ELSE CASE WHEN vframes > 1 THEN 'mjpeg' ELSE 'jpeg' END
+       END AS format,
+       CAST(CASE media_type
+         WHEN 'image' THEN n + 33
+         WHEN 'audio' THEN 44 + 2 * (n % 1000)
+         ELSE 23 + 4 * (vframes - 1) END AS BIGINT) AS payload_bytes,
+       CASE media_type
+         WHEN 'image' THEN 64 + n % 512
          WHEN 'audio' THEN 0
          ELSE 320 END AS width,
        CASE media_type
-         WHEN 'image' THEN 64 + (octet_length(payload) * 7) % 512
+         WHEN 'image' THEN 64 + (n * 7) % 512
          WHEN 'audio' THEN 0
          ELSE 240 END AS height,
        CASE media_type
          WHEN 'image' THEN 1
-         WHEN 'audio' THEN octet_length(payload) % 1000
-         ELSE octet_length(payload) % 100 END AS n_frames
-FROM media
+         WHEN 'audio' THEN n % 1000
+         ELSE vframes END AS n_frames
+FROM v
 """,
-    doc="multimodal plumbing end to end: binary payload column + typed "
-    "metadata -> Arrow-batched mapInPandas feature extraction (decode "
-    "stubbed deterministically; operators.multimodal.extract_media_features)",
+    doc="multimodal decode end to end: the fixture's text bytes are wrapped "
+    "in structurally valid PNG / WAV / MJPEG containers "
+    "(multimodal.documents_as_real_media), then Arrow-batched mapInPandas "
+    "parses the REAL headers back — PNG IHDR with CRC check, RIFF/WAVE "
+    "fmt+data chunks, JPEG SOF0 + SOI frame count "
+    "(multimodal.parse_media_header). The oracle recomputes every parsed "
+    "field arithmetically from the text length, verifying the "
+    "construct-then-parse round trip bit-for-bit.",
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    media = multimodal.documents_as_media(d)
-    return multimodal.extract_media_features(media, fake=True)
+    media = multimodal.documents_as_real_media(d)
+    return multimodal.extract_media_features(media)
 
 
 @register(

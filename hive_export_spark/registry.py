@@ -32,36 +32,59 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 
 # The grading driver verifies only the FIRST 50 entries of ``queries()`` in
 # iteration order (round-1 CORRECTNESS keys == registry positions 0-49), so
-# iteration order is part of the driver contract. This list pins positions
-# 0-49 to one representative per SURVEY.md section-2 operator family —
-# parity R1-R9, connectors (file formats, JDBC), every join/agg/window/set-op
-# family, all ten scalar-function families, stats, pivot, streaming, pandas
-# UDFs, and the LLM-pipeline suite. Queries not listed here (duplicate
-# variants and the TPC-H shapes that went green in round 1) register after
-# position 49 in module order.
+# iteration order is part of the driver contract. Round-3 rotation: rows
+# from earlier rounds remain valid evidence for unchanged queries, so the
+# 50 slots go first to every query WITHOUT a green driver row — the 19
+# never-verified (incl. the new per-format connector probes, the
+# oracle-backed approx/sampling/ANN reformulations, and the persisted IVF
+# path), the round-2 red row (source_formats_roundtrip, now DOUBLE-typed),
+# and llm_multimodal_features (output changed by the round-3 real
+# PNG/JPEG header decode) — then to proven representatives across the
+# SURVEY.md section-2 families. Proven round-1/2 greens not listed here
+# (parity R1-R7, TPC-H shapes, remaining fn families, LLM dedup suite)
+# register after position 49 in module order.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # parity pipeline (reference R1-R9)
-    "parity_skip_internal_fields",
-    "parity_timestamp_format",
-    "parity_base64_encode",
-    "parity_partition_token",
+    # connectors: per-format probes + the reformulated union + JDBC
+    "fmt_roundtrip_orc",
+    "fmt_roundtrip_csv",
+    "fmt_roundtrip_json",
+    "source_formats_roundtrip",
+    "jdbc_roundtrip_derby",
+    # never-verified scalar-function variants
+    "fn_posexplode",
+    "fn_string_extra",
+    # never-verified stats/agg shapes
+    "agg_percentiles",
+    "agg_mode_deterministic",
+    "agg_collect_sorted",
+    "sql_frontend_q1",
+    # oracle-backed approx reformulations (round 3)
+    "agg_approx_count_distinct",
+    "agg_approx_quantile_sketch",
+    # never-verified streaming window
+    "stream_sliding_window",
+    # LLM: never-verified + reformulated + changed-this-round
+    "llm_text_langid",
+    "llm_text_fingerprint",
+    "llm_dedup_minhash_ml",
+    "llm_sim_lsh_topk",
+    "llm_sim_rp_lsh_topk",
+    "llm_sim_ivf_topk",
+    "llm_sample_fraction",
+    "llm_sample_stratified",
+    "llm_multimodal_features",
+    # proven representatives: parity encode/write, flagship relational
     "parity_json_encode",
-    "parity_partition_routing",
     "parity_partitioned_write",
-    # flagship relational shapes (hash agg, broadcast star, CASE-sum agg)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q12_shipmode_priority",
-    # connectors
-    "source_formats_roundtrip",
-    "jdbc_roundtrip_derby",
     # join families
     "join_full",
     "join_range_band",
     "join_asof",
     # aggregation families
     "agg_distinct",
-    "agg_approx_count_distinct",
     "agg_grouping_sets",
     "topk_per_group",
     # set ops (bag semantics) + union-by-name
@@ -70,17 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window families
     "window_ntile_first_last",
     "window_distribution",
-    # scalar-function families
+    # scalar-function family representatives
     "fn_string_family",
-    "fn_date_family",
-    "fn_math_family",
     "fn_array_family",
-    "fn_json_family",
-    "fn_conditional_family",
-    "fn_explode_unnest",
-    "fn_hash_family",
     "fn_map_family",
-    "fn_try_family",
     # stats + pivot
     "agg_stats_moments",
     "pivot_status_by_priority",
@@ -93,15 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_scalar_pandas",
     "udf_grouped_map_pandas",
     "udf_grouped_agg_pandas",
-    # LLM data pipeline
-    "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_simhash",
-    "llm_sim_topk_bruteforce",
-    "llm_text_token_stats",
-    "llm_text_quality",
-    "llm_multimodal_features",
 )
 
 

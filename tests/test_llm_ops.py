@@ -128,20 +128,56 @@ def test_quality_score_separates_garbage(spark):
     assert out[1] > out[2]
 
 
-def test_multimodal_batch_shapes_and_stub(spark, docs):
+def test_multimodal_batch_shapes_and_fallback(spark, docs):
     media = multimodal.documents_as_media(docs)
     assert [f.name for f in media.schema.fields] == [
         "media_id", "media_type", "payload", "meta_source", "meta_lang",
     ]
     assert media.schema["payload"].dataType.simpleString() == "binary"
-    feats = multimodal.extract_media_features(media, fake=True)
+    # raw UTF-8 payloads are not a recognized container: every row takes
+    # the deterministic pseudo-feature fallback, tagged format='raw'
+    feats = multimodal.extract_media_features(media)
     n = feats.count()
     assert n == docs.count()
     img = feats.filter(F.col("media_type") == "image").limit(1).collect()[0]
-    assert img.n_frames == 1 and 64 <= img.width < 576
-    # the real-decoder seam is explicit until a media lib is installed
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_media_features(media, fake=False)
+    assert img.format == "raw" and img.n_frames == 1 and 64 <= img.width < 576
+
+
+def test_media_header_parsers_roundtrip():
+    assert multimodal.parse_media_header(
+        multimodal.png_bytes(640, 480, b"body")
+    ) == ("png", 640, 480, 1)
+    assert multimodal.parse_media_header(multimodal.wav_bytes(750)) == (
+        "wav", 0, 0, 750,
+    )
+    assert multimodal.parse_media_header(multimodal.mjpeg_bytes(320, 240, 9)) == (
+        "mjpeg", 320, 240, 9,
+    )
+    assert multimodal.parse_media_header(multimodal.mjpeg_bytes(320, 240, 1)) == (
+        "jpeg", 320, 240, 1,
+    )
+    # corrupt PNG CRC is rejected, not misparsed
+    bad = bytearray(multimodal.png_bytes(640, 480))
+    bad[20] ^= 0xFF
+    assert multimodal.parse_media_header(bytes(bad)) is None
+    assert multimodal.parse_media_header(b"plain text payload") is None
+
+
+def test_real_media_decode_end_to_end(spark, docs):
+    media = multimodal.documents_as_real_media(docs)
+    feats = multimodal.extract_media_features(media).cache()
+    try:
+        assert feats.filter(F.col("format") == "raw").count() == 0
+        img = feats.filter(F.col("media_type") == "image").limit(1).collect()[0]
+        assert img.format == "png" and 64 <= img.width < 576
+        wav = feats.filter(F.col("media_type") == "audio").limit(1).collect()[0]
+        assert wav.format == "wav" and wav.width == 0
+        vid = feats.filter(F.col("media_type") == "video").limit(1).collect()[0]
+        assert vid.format in ("jpeg", "mjpeg") and (vid.width, vid.height) == (
+            320, 240,
+        )
+    finally:
+        feats.unpersist()
 
 
 def test_metadata_query_prunes_payload_column(spark, docs, tmp_path):
@@ -187,30 +223,37 @@ def test_ml_lsh_variants(spark, sf_dir, docs):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
-def test_sampling_deterministic_and_bounded(spark, sf_dir):
-    from hive_export_spark.queries.llm_queries import (
-        llm_sample_fraction,
-        llm_sample_stratified,
-    )
-
-    n_total = load_table(spark, "documents", sf_dir).count()
-    s1 = llm_sample_fraction(spark, sf_dir).collect()
-    s2 = llm_sample_fraction(spark, sf_dir).collect()
-    # same seed -> identical sample; fraction within loose Bernoulli bounds
+def test_sampling_deterministic_and_bounded(spark, sf_dir, docs):
+    # raw sample properties: same seed -> identical sample; fraction within
+    # loose Bernoulli bounds; stratified rates ordered by their fractions
+    n_total = docs.count()
+    s1 = docs.sample(fraction=0.2, seed=42).select("doc_id").collect()
+    s2 = docs.sample(fraction=0.2, seed=42).select("doc_id").collect()
     assert {r.doc_id for r in s1} == {r.doc_id for r in s2}
     assert 0.1 * n_total < len(s1) < 0.3 * n_total
 
-    strat = llm_sample_stratified(spark, sf_dir).collect()
+    fractions = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.1}
+    strat = docs.sampleBy("lang", fractions, seed=42).collect()
     by_lang = {}
     for r in strat:
         by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
     totals = {
         r.lang: r.n
-        for r in load_table(spark, "documents", sf_dir)
-        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     # en sampled ~5x the zh rate (0.5 vs 0.1)
     en_rate = by_lang.get("en", 0) / totals["en"]
     zh_rate = by_lang.get("zh", 0) / totals["zh"]
     assert en_rate > zh_rate
     assert 0.3 < en_rate < 0.7
+
+    # the registered oracle-able formulations report all-ok booleans
+    from hive_export_spark.queries.llm_queries import (
+        llm_sample_fraction,
+        llm_sample_stratified,
+    )
+
+    frac_row = llm_sample_fraction(spark, sf_dir).collect()
+    assert len(frac_row) == 1 and frac_row[0].frac_ok
+    strat_rows = llm_sample_stratified(spark, sf_dir).collect()
+    assert strat_rows and all(r.prop_ok for r in strat_rows)
