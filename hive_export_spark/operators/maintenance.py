@@ -12,6 +12,7 @@ sink must own it.
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -40,15 +41,22 @@ def compact_partitioned_table(
     # local-filesystem implementation: the directory swap and size probes
     # use os-level calls. For object stores / HDFS, compact per partition
     # with the same read->rewrite shape and commit via the table format.
-    if "://" in path and not path.startswith("file://"):
+    # Scheme handling goes through urlparse so Spark's single-slash form
+    # ('file:/path') normalizes the same as 'file:///path', and any
+    # non-file scheme (s3a://, hdfs://) is rejected explicitly instead of
+    # slipping past a substring check into os.walk as a literal path.
+    parsed = urlparse(path)
+    if parsed.scheme and parsed.scheme != "file":
         raise NotImplementedError(
             "compact_partitioned_table operates on local paths; for "
             f"{path!r} use a table-format-native compaction"
         )
-    # normalize file:// URIs to a plain path: every os-level call below
-    # (walk/getsize/rename) needs the filesystem path, not the URI
-    if path.startswith("file://"):
-        path = path[len("file://"):]
+    if parsed.scheme == "file":
+        if parsed.netloc not in ("", "localhost"):
+            raise NotImplementedError(
+                f"remote file URI host {parsed.netloc!r} is not local"
+            )
+        path = parsed.path
     backup = path.rstrip("/") + ".pre_compact"
     if os.path.exists(backup):
         raise RuntimeError(

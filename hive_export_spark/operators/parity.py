@@ -147,6 +147,20 @@ def to_partitioned_json(
     def key(name: str) -> str:
         return camel_case_name_lower_first(name) if camel_case_field_names else name
 
+    if camel_case_field_names:
+        # two payload columns mapping to one camelCase key (USER_ID and
+        # user_id -> userId) would silently emit duplicate JSON keys;
+        # fail loudly like the rest of the parity pipeline
+        seen: dict[str, str] = {}
+        for c in payload_fields:
+            k = key(c)
+            if k in seen:
+                raise ValueError(
+                    f"camelCaseFieldNames collision: columns {seen[k]!r} and "
+                    f"{c!r} both map to JSON key {k!r}"
+                )
+            seen[k] = c
+
     return routed.select(
         F.to_json(
             F.struct(*[F.col(c).alias(key(c)) for c in payload_fields]),

@@ -152,10 +152,16 @@ def rebucket_table(
     Bucket counts are load-bearing — co-located joins require matching
     counts — so growing a table eventually forces re-bucketing (e.g. 8
     buckets sized for last year's volume become 8 giant tasks). The rewrite
-    goes through a staging table then swaps via catalog rename, so readers
-    either see the old table or the new one, never a partial.
+    goes through a staging table then swaps via two catalog renames
+    (old -> backup, staging -> live); readers never see partial DATA, and a
+    failed swap restores the backup — but the live NAME is briefly absent
+    between the renames (the session catalog has no atomic two-table
+    rename), so a concurrent reader can observe a transient miss and
+    should retry.
 
-    ``bucket_cols``/``sort_cols`` default to the table's current spec.
+    ``bucket_cols``/``sort_cols`` default to the table's current spec
+    (the sort spec carries over even when ``bucket_cols`` is passed
+    explicitly — pass ``sort_cols=[]`` to drop an existing sort).
     Evolution tip: re-bucket to a MULTIPLE of the old count and peers that
     still carry the old count keep shuffle-free joins with the new table
     under spark.sql.bucketing.coalesceBucketsInJoin.enabled.
@@ -170,15 +176,29 @@ def rebucket_table(
                 f"{table_name} is not bucketed; pass bucket_cols to bucket it"
             )
         bucket_cols = spec["bucket_cols"]
-        if sort_cols is None and spec["sort_cols"]:
-            sort_cols = spec["sort_cols"]
+    if sort_cols is None and spec is not None and spec["sort_cols"]:
+        sort_cols = spec["sort_cols"]
     staging = f"{table_name}__rebucketing"
+    backup = f"{table_name}__pre_rebucket"
+    if spark.catalog.tableExists(backup):
+        raise RuntimeError(
+            f"stale backup table {backup!r} exists — a previous rebucket "
+            "did not complete; inspect and drop it before re-running"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     write_bucketed(
         spark.table(table_name), staging, bucket_cols, num_buckets, sort_cols, fmt
     )
-    spark.sql(f"DROP TABLE {table_name}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    # swap via rename-to-backup (mirrors compact_partitioned_table): the
+    # live name always resolves to the old table or the new one; on a
+    # failed swap the backup is restored, never dropped first
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {backup}")
+    try:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table_name}")
+        raise
+    spark.sql(f"DROP TABLE {backup}")
     return {
         "num_buckets_before": spec["num_buckets"] if spec else 0,
         "num_buckets_after": num_buckets,

@@ -78,3 +78,24 @@ def test_compaction_accepts_file_uri(spark, sf_dir, tmp_path):
     stats = compact_partitioned_table(spark, f"file://{path}", ["event_type"])
     assert stats["files_after"] < stats["files_before"]
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before_rows
+
+
+def test_compaction_accepts_single_slash_file_uri(spark, sf_dir, tmp_path):
+    # Spark commonly prints the single-slash form 'file:/path'; it must
+    # normalize like 'file:///path', not fall through to os.walk as a
+    # literal (which saw 0 files and failed only after the full rewrite)
+    ev = load_table(spark, "events", sf_dir).limit(200)
+    path = str(tmp_path / "uri1_table")
+    ev.repartition(4).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    stats = compact_partitioned_table(spark, f"file:{path}", ["event_type"])
+    assert stats["files_before"] > 0
+    assert stats["files_after"] < stats["files_before"]
+
+
+def test_compaction_rejects_remote_schemes(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        compact_partitioned_table(spark, "s3a://bucket/table", ["p"])
+    with pytest.raises(NotImplementedError):
+        compact_partitioned_table(spark, "hdfs://nn/table", ["p"])

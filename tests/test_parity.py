@@ -153,3 +153,13 @@ def test_camel_case_config_properties_roundtrip():
     # default matches the reference's hardcoded false
     assert ExportConfig(uri="thrift://m:9083", db="d", table="t",
                         allow_unpartitioned=True).camel_case_field_names is False
+
+
+def test_camel_case_collision_raises(spark):
+    import pytest
+
+    # USER_ID and USER__ID are distinct column names but both map to
+    # lowerCamelCase key 'userId' (the empty segment contributes nothing)
+    df = spark.createDataFrame([(1, 2, "NA")], ["USER_ID", "USER__ID", "REGION"])
+    with pytest.raises(ValueError, match="collision"):
+        parity.to_partitioned_json(df, ["REGION"], camel_case_field_names=True)

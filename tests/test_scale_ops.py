@@ -142,3 +142,31 @@ def test_rebucket_unbucketed_requires_cols(spark, sf_dir):
     finally:
         for t in ("region_plain", "region_plain__rebucketing"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebucket_explicit_cols_carries_sort_spec(spark, sf_dir):
+    # passing bucket_cols explicitly must not silently drop an existing
+    # sort-bucket spec; sort_cols=[] is the explicit way to drop it
+    from hive_export_spark.operators.scale import bucket_spec, rebucket_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    write_bucketed(
+        o, "orders_sorted", ["o_orderkey"], num_buckets=4,
+        sort_cols=["o_totalprice"],
+    )
+    try:
+        rebucket_table(spark, "orders_sorted", 8, bucket_cols=["o_orderkey"])
+        spec = bucket_spec(spark, "orders_sorted")
+        assert spec["num_buckets"] == 8
+        assert spec["sort_cols"] == ["o_totalprice"]
+        rebucket_table(
+            spark, "orders_sorted", 4, bucket_cols=["o_orderkey"], sort_cols=[]
+        )
+        assert bucket_spec(spark, "orders_sorted")["sort_cols"] == []
+    finally:
+        for t in (
+            "orders_sorted",
+            "orders_sorted__rebucketing",
+            "orders_sorted__pre_rebucket",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
