@@ -117,16 +117,21 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-SELECT c_nationkey, list_sort(list(c_custkey)) AS custkeys
+SELECT c_nationkey,
+       array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
 FROM (SELECT * FROM customer WHERE c_custkey <= 200) GROUP BY c_nationkey
 """,
     doc="ordered collection: array_sort(collect_list()) — collection order "
-    "is nondeterministic, sorting restores hash stability",
+    "is nondeterministic, sorting restores hash stability. The array is "
+    "emitted comma-joined: the driver's normalization of array cells is "
+    "unverified (no green row ever carried one), a string is drift-proof.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_custkey")).alias("custkeys")
+        F.array_join(
+            F.array_sort(F.collect_list("c_custkey")), ","
+        ).alias("custkeys")
     )
 
 
