@@ -12,6 +12,7 @@ file source -> foreachBatch partitioned write -> read-back, oracle-checked.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,7 @@ from hive_export_spark.streaming import (
     sliding_window_agg,
     streaming_dedup,
     streaming_export,
+    transactional_streaming_export,
     tumbling_window_agg,
 )
 
@@ -137,3 +139,127 @@ def stream_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     written = spark.read.parquet(out)
     return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "stream_replay_exactly_once",
+    oracle=f"""
+SELECT CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = ''
+            THEN '{UNSPECIFIED_TOKEN}' ELSE event_type END AS event_type,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+""",
+    doc="R11 block replay through the driver gate: the first micro-batch "
+    "attempt writes its full output then fails BEFORE the checkpoint "
+    "commits (injected via transactional_streaming_export's batch_hook — "
+    "the RestartBlockException analog); the restarted query replays the "
+    "batch, whose batch-id-keyed overwrite REPLACES the orphaned attempt. "
+    "Counts matching the source proves exactly-once: an append sink would "
+    "double every row of the failed attempt and hash-mismatch.",
+)
+def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    base = scratch_dir("stream_replay")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    # deterministic failure injection needs a fresh checkpoint every run
+    for p in (out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    failed = {"done": False}
+
+    def fail_first_attempt(batch_id: int) -> None:
+        if not failed["done"]:
+            failed["done"] = True
+            raise RuntimeError("injected block failure after write, before commit")
+
+    q = transactional_streaming_export(
+        read_stream_from_table(spark, "events", sf_dir),
+        out,
+        ckpt,
+        ["event_type"],
+        batch_hook=fail_first_attempt,
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected failure did not surface")
+    except Exception:
+        pass  # the injected failure killed attempt 1; offsets uncommitted
+    # restart on the same checkpoint: the block replays and its overwrite
+    # replaces the orphaned first-attempt files
+    q2 = transactional_streaming_export(
+        read_stream_from_table(spark, "events", sf_dir), out, ckpt, ["event_type"]
+    )
+    q2.awaitTermination()
+    written = spark.read.parquet(out).drop("batch")
+    return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="watermark semantics through the driver gate, in three checkpointed "
+    "availableNow phases over one file-source directory: phase 1 streams "
+    "every real event into a watermarked (10 min) tumbling-window "
+    "aggregation with an append parquet sink; phase 2 adds a LATE row (a "
+    "duplicate of the earliest event, far below the checkpointed "
+    "watermark) plus a far-future sentinel that advances the watermark "
+    "past every real window; phase 3's second sentinel flushes any "
+    "remaining finalized windows. The result (sentinel windows filtered) "
+    "equals the batch tumbling aggregation over the REAL events only — if "
+    "the late row were not dropped, its window's count would be +1 and "
+    "the hash would mismatch.",
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    base = scratch_dir("stream_watermark")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        agg = tumbling_window_agg(stream, duration="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sentinel(ts_literal: str) -> DataFrame:
+        return (
+            ev.limit(1)
+            .withColumn("ts", F.lit(ts_literal).cast("timestamp"))
+            .withColumn("event_type", F.lit("zz_sentinel"))
+        )
+
+    late_dup = ev.orderBy("ts", "event_id").limit(1)
+    run_phase(ev)  # all real events; watermark advances at phase end
+    run_phase(sentinel("2100-01-01 00:00:00").unionByName(late_dup))
+    run_phase(sentinel("2101-01-01 00:00:00"))
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("window_start") < F.lit("2090-01-01").cast("timestamp"))
+        .select(
+            "window_start", "window_end", "event_type", "n_events", "total_value"
+        )
+    )

@@ -93,18 +93,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window families
     "window_ntile_first_last",
     "window_distribution",
-    # scalar-function family representatives
+    # scalar-function family representative
     "fn_string_family",
-    "fn_array_family",
-    "fn_map_family",
     # stats + pivot
     "agg_stats_moments",
     "pivot_status_by_priority",
-    # structured streaming
+    # structured streaming (replay + watermark are new this round)
     "stream_tumbling_window",
     "stream_session_window",
     "stream_dedup_keys",
     "stream_export_e2e",
+    "stream_replay_exactly_once",
+    "stream_watermark_late_drop",
     # pandas UDFs
     "udf_scalar_pandas",
     "udf_grouped_map_pandas",

@@ -9,6 +9,7 @@ from hive_export_spark.streaming.pipeline import (
     sliding_window_agg,
     streaming_dedup,
     streaming_export,
+    transactional_streaming_export,
     tumbling_window_agg,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "sliding_window_agg",
     "streaming_dedup",
     "streaming_export",
+    "transactional_streaming_export",
     "tumbling_window_agg",
 ]

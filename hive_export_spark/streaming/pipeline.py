@@ -161,3 +161,48 @@ def streaming_export(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def transactional_streaming_export(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    partition_cols: list[str],
+    token: str = UNSPECIFIED_TOKEN,
+    fmt: str = "parquet",
+    timezone: str = "UTC",
+    batch_hook=None,
+) -> StreamingQuery:
+    """R11 block replay with EXACTLY-ONCE output: each micro-batch writes
+    to a batch-id-keyed subdirectory with overwrite semantics, so a batch
+    replayed after a failure (the RestartBlockException analog,
+    HiveExportClient.java:159-162,190-196) REPLACES its own partial output
+    instead of appending duplicates — the idempotent-sink half of
+    Structured Streaming's exactly-once contract (checkpointed offsets are
+    the other half). The plain ``streaming_export`` append sink is
+    at-least-once under replay; this one is what a production conduit runs.
+
+    ``batch_hook(batch_id)`` runs after the write but before the
+    checkpoint commit — tests and gate queries inject failures there to
+    exercise the replay path.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = export_pipeline(batch_df, partition_cols, token, timezone=timezone)
+        write_partitioned(
+            routed,
+            f"{out_path}/batch={batch_id}",
+            partition_cols,
+            fmt=fmt,
+            mode="overwrite",
+        )
+        if batch_hook is not None:
+            batch_hook(batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

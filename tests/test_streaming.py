@@ -94,6 +94,39 @@ def test_streaming_export_exactly_once_on_restart(spark, sf_dir, tmp_path):
     assert written.select("event_type").distinct().count() >= 5
 
 
+def test_transactional_export_replaces_failed_attempt(spark, sf_dir, tmp_path):
+    # R11 replay: attempt 1 writes its batch output then dies before the
+    # checkpoint commits; the restarted query's batch-id-keyed overwrite
+    # must REPLACE the orphaned files, not append to them
+    from hive_export_spark.streaming import transactional_streaming_export
+
+    out = str(tmp_path / "txout")
+    ckpt = str(tmp_path / "txckpt")
+    n_src = load_table(spark, "events", sf_dir).count()
+
+    def boom(batch_id):
+        raise RuntimeError("injected")
+
+    q = transactional_streaming_export(
+        read_stream_from_table(spark, "events", sf_dir), out, ckpt,
+        ["event_type"], batch_hook=boom,
+    )
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("injected failure did not surface")
+    except Exception:
+        pass
+    # the failed attempt's files exist (written before the hook fired)
+    assert spark.read.parquet(out).count() == n_src
+
+    q2 = transactional_streaming_export(
+        read_stream_from_table(spark, "events", sf_dir), out, ckpt,
+        ["event_type"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_src  # replaced, not doubled
+
+
 def test_streaming_late_data_dropped(spark, tmp_path):
     # Watermark guarantee (probed empirically): once a window has been
     # FINALIZED AND EMITTED in append mode, a late row targeting it is
