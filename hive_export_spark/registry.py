@@ -5,9 +5,12 @@ ANSI-SQL oracle string DuckDB can run over the same parquet tables. The
 driver compares row-count + schema + order-insensitive value hash, so every
 computed column is aliased identically on both sides.
 
-Entries without an oracle (genuinely non-SQL-expressible ops: stateful
-streaming, LSH internals) register ``oracle=None`` and get the weaker
-rows-only check per the driver contract.
+EVERY entry is oracle-backed — the driver has no rows-only path (a
+missing oracle burns a window slot as ``err: no_oracle``, round-2
+verdict). Approximate/RNG ops register oracle-able formulations: the
+query emits deterministic derived outputs (exact values plus
+within-tolerance booleans) and the oracle computes the exact side in SQL
+with literal TRUE.
 """
 
 from __future__ import annotations
