@@ -94,6 +94,22 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_minhash_oph",
+    oracle=_JACCARD_ORACLE,
+    doc="one-permutation-hashing MinHash (Li/Owen/Zhang 2012) + the same "
+    "LSH banding and exact-Jaccard verification: ONE hash per shingle "
+    "instead of 64 — the 100 TB signature configuration (classic "
+    "signatures cost |shingles| x 64 hash evals per document, the "
+    "dominant corpus-scale dedup term). Verified output equals the exact "
+    "answer, same as the classic path "
+    "(operators.dedup.oph_minhash_signatures).",
+)
+def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.minhash_lsh_pairs(d, threshold=0.8, oph=True)
+
+
+@register(
     "llm_dedup_simhash",
     oracle=f"""
 WITH tokmd5 AS (

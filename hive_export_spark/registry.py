@@ -96,8 +96,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window families
     "window_ntile_first_last",
     "window_distribution",
-    # scalar-function family representative
-    "fn_string_family",
+    # OPH minhash (new this round; all ten fn families carry r2 greens)
+    "llm_dedup_minhash_oph",
     # stats + pivot
     "agg_stats_moments",
     "pivot_status_by_priority",

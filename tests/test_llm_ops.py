@@ -58,6 +58,24 @@ def test_minhash_lsh_matches_exact_on_planted_dups(spark, docs):
     assert lsh == exact
 
 
+def test_oph_minhash_matches_classic_and_exact(spark, docs):
+    # one-permutation hashing (1 hash/shingle) with rotation densification
+    # must recover the same verified pair set as classic 64-hash minhash
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    oph = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.8, oph=True).collect()
+    }
+    assert oph == exact
+    # densified signatures are fixed-width with no empty (null) slots
+    sigs = dedup.oph_minhash_signatures(docs).collect()
+    assert all(len(r.signature) == 64 for r in sigs)
+    assert all(v is not None for r in sigs for v in r.signature)
+
+
 def test_simhash_locality(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     perturbed = base.replace("lazy", "sleepy")
