@@ -110,6 +110,74 @@ def hyperplane_signature(
     return out.cast("int")
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_size: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (all-pairs shape, not top-k):
+    hyperplane signatures are banded — pairs sharing any (band, bits)
+    bucket become candidates — then exact cosine verifies >= threshold.
+
+    Scale shape: the corpus is scanned once for signatures, exploded to
+    n_planes/band_size bucket rows, and self-joined on the bucket key —
+    the same sub-quadratic shape as MinHash-LSH text dedup, but in
+    cosine space. Exact verification eliminates false positives, so
+    precision is 1; recall per pair at cosine c is
+    1 - (1 - p^band_size)^(n_planes/band_size) with p = 1 - acos(c)/pi.
+    """
+    if n_planes % band_size != 0:
+        raise ValueError(f"n_planes ({n_planes}) not divisible by {band_size}")
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn(
+        "__sig", hyperplane_signature(F.col("__v"), n_planes, dim, seed="nd")
+    )
+    n_bands = n_planes // band_size
+    mask = (1 << band_size) - 1
+    banded = v.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("__sig"), bi * band_size)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("vec_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col("vid").alias("vec_b"), F.col("__v").alias("__vb"))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

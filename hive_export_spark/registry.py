@@ -93,11 +93,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # set ops (bag semantics) + union-by-name
     "setop_except_all",
     "union_by_name_missing",
-    # window families
+    # window family
     "window_ntile_first_last",
-    "window_distribution",
-    # OPH minhash (new this round; all ten fn families carry r2 greens)
+    # OPH minhash + embedding near-dup (new this round; the ten fn
+    # families and window_distribution carry r2 greens)
     "llm_dedup_minhash_oph",
+    "llm_dedup_embedding",
     # stats + pivot
     "agg_stats_moments",
     "pivot_status_by_priority",

@@ -76,6 +76,32 @@ def test_oph_minhash_matches_classic_and_exact(spark, docs):
     assert all(v is not None for r in sigs for v in r.signature)
 
 
+def test_embedding_near_dup_recall_and_precision(spark, sf_dir):
+    # banded hyperplane-LSH pair generation + exact verify: precision is 1
+    # by construction; recall vs the exact pair set must clear 0.9
+    e = load_table(spark, "embeddings", sf_dir)
+    got = similarity.embedding_near_dup_pairs(e, threshold=0.45).collect()
+    assert all(r.cosine >= 0.45 for r in got)
+    v = {r.vec_id: r.embedding for r in e.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    ids = sorted(v)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if cos(v[a], v[b]) >= 0.45
+    }
+    found = {(r.vec_a, r.vec_b) for r in got}
+    assert found <= exact  # no false positives survive verification
+    assert len(found) / max(len(exact), 1) >= 0.9
+
+
 def test_simhash_locality(spark):
     base = "the quick brown fox jumps over the lazy dog " * 10
     perturbed = base.replace("lazy", "sleepy")
