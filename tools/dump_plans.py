@@ -20,6 +20,8 @@ PICKS = [
     ("join_asof", "as-of join: equi-keyed shuffle + window, no cross product"),
     ("llm_dedup_minhash_lsh", "signature fan-out + banded candidate join + filtered verification"),
     ("llm_sim_topk_bruteforce", "broadcast queries x partitioned corpus + per-query top-k"),
+    ("llm_dedup_minhash_oph", "OPH signatures: one hash pass + banded join (same downstream shape as classic)"),
+    ("llm_dedup_embedding", "banded cosine-LSH bucket self-join + exact verify + broadcast exact count"),
 ]
 
 
