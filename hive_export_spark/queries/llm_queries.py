@@ -498,6 +498,32 @@ def llm_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_pruned",
+    oracle=_RECALL_ORACLE,
+    doc="the IVF index probed the way production would: radius 3 of 6 "
+    "planes reads 42 of 64 signature buckets via partition-pruned parquet "
+    "scans (PartitionFilters pinned in tests/test_ivf.py), then exact "
+    "re-score. Oracle-able formulation: per-query recall_ok = |IVF ∩ "
+    "exact top-10| >= 5 (deterministic seeded signatures; observed "
+    "fixture min 7/10 at sf0.01 and sf0.1); the oracle lists the query "
+    "ids with literal TRUE.",
+)
+def llm_sim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.ivf import build_ivf_index, ivf_topk
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = scratch_dir("ivf_index")
+    build_ivf_index(e, path, n_planes=6)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_topk(spark, path, queries, k=10, n_planes=6, probe_radius=3)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=5)
+
+
+@register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
     doc="seeded Bernoulli sampling (df.sample): the first stage of every "

@@ -73,15 +73,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_sim_lsh_topk",
     "llm_sim_rp_lsh_topk",
     "llm_sim_ivf_topk",
+    "llm_sim_ivf_pruned",
     "llm_sample_fraction",
     "llm_sample_stratified",
     "llm_multimodal_features",
     # proven representatives: parity encode/write, flagship relational
+    # (q12 rotates out on its r2 green)
     "parity_json_encode",
     "parity_partitioned_write",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    "q12_shipmode_priority",
     # join families
     "join_full",
     "join_range_band",
