@@ -1,0 +1,268 @@
+"""Driver-gate queries for the scale/CDC/stream-join operators that were
+previously test-only (SURVEY.md section 2.2 "beyond the survey" rows):
+MERGE-style upsert, SCD2 history, salted two-phase aggregation, bucketed
+zero-shuffle joins, and the watermarked stream-stream interval join.
+
+Each wraps the real operator (operators/cdc.py, operators/scale.py,
+the Structured Streaming join) over deterministic fixture-derived inputs
+so a plain-SQL DuckDB oracle can hash-verify the result.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table, read_stream_from_table
+
+
+@register(
+    "cdc_upsert_current",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+), u AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 100 AS o_totalprice
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', 1.0 FROM t WHERE o_orderkey % 100 = 0
+)
+SELECT * FROM u
+UNION ALL
+SELECT t.* FROM t ANTI JOIN u USING (o_orderkey)
+""",
+    doc="MERGE INTO semantics without a table format "
+    "(operators.cdc.upsert): a deterministic change batch (status flip + "
+    "price bump for keys %10, brand-new keys for keys %100) merged "
+    "last-write-wins into orders; the oracle is the classic "
+    "updates ∪ (target anti-join updates) algebra in SQL. One shuffle on "
+    "the merge key.",
+)
+def cdc_upsert_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.cdc import upsert
+
+    t = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    changes = t.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+    )
+    inserts = t.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    return upsert(t, changes.unionByName(inserts), "o_orderkey")
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+WITH t AS (SELECT o_orderkey, o_orderstatus FROM orders)
+SELECT o_orderkey, o_orderstatus,
+       CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS effective_from,
+       CAST('2024-06-01 00:00:00' AS TIMESTAMP) AS effective_to,
+       FALSE AS is_current
+FROM t WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, 'X',
+       CAST('2024-06-01 00:00:00' AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM t WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM t WHERE o_orderkey % 10 <> 0
+""",
+    doc="SCD type-2 history-preserving merge (operators.cdc.scd2_apply): "
+    "keys %10 flip status to 'X', closing the open version at the batch "
+    "time and appending a new open one; everything else passes through. "
+    "The oracle enumerates closed + new + unchanged version rows "
+    "directly. batch_time is an explicit literal — deterministic and "
+    "replayable, the reference's block-replay discipline.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.cdc import scd2_apply
+
+    current = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+    )
+    return scd2_apply(
+        current,
+        updates,
+        key="o_orderkey",
+        tracked_cols=["o_orderstatus"],
+        batch_time="2024-06-01 00:00:00",
+    )
+
+
+@register(
+    "scale_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS count_l_orderkey,
+       MIN(l_extendedprice) AS min_l_extendedprice,
+       MAX(l_extendedprice) AS max_l_extendedprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="two-phase salted aggregation for skewed group keys "
+    "(operators.scale.salted_aggregate): partials on (key, salt) then a "
+    "bounded per-key combine — the result provably equals the plain "
+    "aggregation, which is what the oracle computes. Decomposable "
+    "aggregates only; the sum runs in DECIMAL for cross-engine hash "
+    "stability and is cast to DOUBLE at the end.",
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.scale import salted_aggregate
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_extendedprice",
+        F.col("l_quantity").cast("decimal(12,2)").alias("__qty_dec"),
+    )
+    out = salted_aggregate(
+        li,
+        key="l_returnflag",
+        aggs={
+            "l_orderkey": "count",
+            "l_extendedprice": "min",
+            "__qty_dec": "sum",
+        },
+        salt_buckets=16,
+    )
+    # max via a second salted pass would be symmetric; reuse the same call
+    # shape for max to keep one registered query exercising both extremes
+    mx = salted_aggregate(
+        li, key="l_returnflag", aggs={"l_extendedprice": "max"}, salt_buckets=16
+    )
+    return (
+        out.join(mx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "count_l_orderkey",
+            F.col("min_l_extendedprice"),
+            F.col("max_l_extendedprice"),
+            F.col("sum___qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "scale_bucketed_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    doc="co-located bucketed join (operators.scale.write_bucketed): both "
+    "sides persisted bucketed on the join key with matching counts, so "
+    "bucket i joins bucket i with NO Exchange on either side (pinned in "
+    "tests/test_scale_ops.py) — the repeated large-large join shape at "
+    "100 TB. The oracle is the plain join + aggregation.",
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    from hive_export_spark.operators.scale import write_bucketed
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("__qty_dec"),
+    )
+    # a fresh session's in-memory catalog does not know tables whose
+    # warehouse directories survive from an earlier session; clear both
+    # the catalog entry and any stale location before re-creating
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("gate_bucketed_orders", "gate_bucketed_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed(o, "gate_bucketed_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(li, "gate_bucketed_lineitem", ["o_orderkey"], num_buckets=8)
+    joined = spark.table("gate_bucketed_orders").join(
+        spark.table("gate_bucketed_lineitem"), "o_orderkey"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS p_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    doc="watermarked stream-stream interval join as a REAL streaming query "
+    "(two file-source streams, 2h watermarks bounding join state, "
+    "availableNow, memory sink): clicks joined to purchases per user "
+    "within +/- 1 hour. Inner-join emission is append-only and complete "
+    "once both sides drain, so the result equals the batch interval join "
+    "the oracle computes.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_stream_from_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_stream_from_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = f"gate_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT click_id, p_id FROM {name}")

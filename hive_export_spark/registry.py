@@ -87,15 +87,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_full",
     "join_range_band",
     "join_asof",
-    # aggregation families
-    "agg_distinct",
+    # aggregation family (distinct/topk/set-ops/window reps rotate out on
+    # their r2 greens for the r3 CDC/scale/stream-join newcomers)
     "agg_grouping_sets",
-    "topk_per_group",
-    # set ops (bag semantics) + union-by-name
-    "setop_except_all",
-    "union_by_name_missing",
-    # window family
-    "window_ntile_first_last",
+    # CDC + scale ops + stream-stream join (new this round)
+    "cdc_upsert_current",
+    "cdc_scd2_history",
+    "scale_salted_agg",
+    "scale_bucketed_join",
+    "stream_stream_interval_join",
     # OPH minhash + embedding near-dup (new this round; the ten fn
     # families and window_distribution carry r2 greens)
     "llm_dedup_minhash_oph",
@@ -174,5 +174,6 @@ def _load_all() -> None:
     import hive_export_spark.queries.streaming_queries  # noqa: F401
     import hive_export_spark.queries.udf_queries  # noqa: F401
     import hive_export_spark.queries.llm_queries  # noqa: F401
+    import hive_export_spark.queries.scale_queries  # noqa: F401
 
     _LOADED = True
