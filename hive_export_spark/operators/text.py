@@ -25,6 +25,38 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the counting core of BPE /
+    tokenizer training (count adjacent pairs, merge the winner, repeat)
+    and of corpus contamination scans.
+
+    Occurrences are counted (NOT distinct-per-doc shingles): explode →
+    partial-aggregated count (map-side combine keeps the shuffle at
+    |vocab|, not |tokens|) → global top-k with a lexicographic tiebreak
+    for determinism. At 100 TB the shuffle carries one row per distinct
+    n-gram per task — the vocabulary, not the corpus.
+    """
+    from hive_export_spark.operators.dedup import normalized_text
+
+    toks = F.split(normalized_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(top_k)
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting three ways: whitespace words, BPE-ish regex tokens
     (word pieces + standalone punctuation), and the chars/4 estimate used

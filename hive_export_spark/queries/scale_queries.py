@@ -266,3 +266,67 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT click_id, p_id FROM {name}")
+
+
+@register(
+    "scale_clustered_scan",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY event_type
+""",
+    doc="range-clustered data layout (operators.scale.write_clustered): "
+    "events rewritten with repartitionByRange + sortWithinPartitions on "
+    "ts, so each parquet file covers a narrow time range and min/max "
+    "footer stats let a one-day predicate skip almost every row group "
+    "(stats disjointness pinned in tests/test_scale_ops.py). The query "
+    "reads the clustered copy back through the selective filter; the "
+    "oracle runs the same filter on the source table.",
+)
+def scale_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.scale import write_clustered
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    ev = load_table(spark, "events", sf_dir)
+    path = scratch_dir("clustered_events")
+    write_clustered(ev, path, "ts", num_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "llm_text_frequent_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, greatest(len(t), 2))]) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+""",
+    doc="corpus-wide top-20 word bigrams by occurrence "
+    "(operators.text.frequent_ngrams) — the counting core of BPE "
+    "tokenizer training and contamination scans. Map-side combine keeps "
+    "the shuffle at vocabulary size; deterministic lexicographic "
+    "tiebreak on the count ties.",
+)
+def llm_text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.text import frequent_ngrams
+
+    d = load_table(spark, "documents", sf_dir)
+    return frequent_ngrams(d, n=2, top_k=20)

@@ -77,12 +77,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_sample_fraction",
     "llm_sample_stratified",
     "llm_multimodal_features",
-    # proven representatives: parity encode/write, flagship relational
-    # (q12 rotates out on its r2 green)
-    "parity_json_encode",
-    "parity_partitioned_write",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
+    # new TPC-H shapes + layout/corpus ops (round 3): the double-proven
+    # r1+r2 greens (parity encode/write, q1, q5, q12, stats, pivot)
+    # rotate out to make room
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "scale_clustered_scan",
+    "llm_text_frequent_ngrams",
     # join families
     "join_full",
     "join_range_band",
@@ -100,9 +103,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # families and window_distribution carry r2 greens)
     "llm_dedup_minhash_oph",
     "llm_dedup_embedding",
-    # stats + pivot
-    "agg_stats_moments",
-    "pivot_status_by_priority",
     # structured streaming (replay + watermark are new this round)
     "stream_tumbling_window",
     "stream_session_window",

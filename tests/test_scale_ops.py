@@ -170,3 +170,51 @@ def test_rebucket_explicit_cols_carries_sort_spec(spark, sf_dir):
             "orders_sorted__pre_rebucket",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_clustered_write_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    # range clustering: each parquet file's [min, max] ts from the footer
+    # stats must not overlap the next file's range (modulo shared
+    # boundaries) — that disjointness is what lets selective scans skip
+    # row groups
+    import pyarrow.parquet as pq
+    import os
+    from hive_export_spark.operators.scale import write_clustered
+
+    ev = load_table(spark, "events", sf_dir)
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, "ts", num_files=8)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # the range shuffle actually spread the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint up to shared boundary
+
+
+def test_frequent_ngrams_counts_occurrences_not_docs(spark):
+    from hive_export_spark.operators.text import frequent_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    top = frequent_ngrams(df, n=2, top_k=3).collect()
+    # 'a b' occurs 3x in doc1 + 1x in doc2 = 4 total (occurrences, not
+    # per-doc distinct shingles), then 'b a' 2x, then 'b c' 1x
+    assert [(r.ngram, r.n_occurrences) for r in top] == [
+        ("a b", 4), ("b a", 2), ("b c", 1),
+    ]
