@@ -1223,3 +1223,380 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q2/Q9/Q11/Q16/Q20/Q21 (completing the 22-query suite).
+#
+# The fixtures carry no partsupp table, no supply cost, and no
+# commit/receipt dates, so these keep each query's PLAN SHAPE (the thing
+# Spark must execute well at 100 TB) over fixture-derivable stand-ins:
+#   - a `supply` relation derived as the distinct (part, supplier) pairs in
+#     lineitem with MIN(extendedprice) as the supply-cost surrogate
+#     (Q2/Q16/Q20),
+#   - p_retailprice as the unit-cost surrogate (Q9),
+#   - "late" defined as l_shipdate > o_orderdate + 60 days (Q21).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), euro_supply AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM supply ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), min_cost AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_supplycost
+  FROM euro_supply GROUP BY 1
+)
+SELECT es.s_acctbal, es.s_name, es.n_name, p.p_partkey, p.p_name,
+       CAST(es.ps_supplycost AS DOUBLE) AS supplycost
+FROM euro_supply es
+JOIN min_cost mc
+  ON mc.ps_partkey = es.ps_partkey AND es.ps_supplycost = mc.min_supplycost
+JOIN part p ON p.p_partkey = es.ps_partkey
+WHERE p.p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape (min-cost supplier): the correlated MIN subquery "
+    "rewritten as a grouped min + exact-DECIMAL equality join (the "
+    "scalable form); region/nation broadcast; supply relation derived "
+    "from lineitem (no partsupp in the fixtures)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") == 15)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice").cast(_DEC)).alias("ps_supplycost"))
+    euro = (
+        supply.join(
+            F.broadcast(
+                s.join(n, s.s_nationkey == n.n_nationkey)
+                .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = euro.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_supplycost")
+    )
+    return (
+        euro.join(
+            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_supplycost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+         - CAST(p.p_retailprice AS DECIMAL(12,2))
+           * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape (product-type profit): substring part filter over "
+    "a 5-join star, profit per (supplier nation, order year); decimal "
+    "subtraction keeps both engines exact; p_retailprice stands in for "
+    "ps_supplycost (no partsupp in the fixtures)",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    amount = F.col("l_extendedprice").cast(_DEC) * (
+        1 - F.col("l_discount").cast(_DEC_RATE)
+    ) - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
+    return (
+        F.broadcast(p)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("__amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH partvalue AS (
+  SELECT l.l_partkey AS ps_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_18'
+  GROUP BY 1
+)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS part_value
+FROM partvalue
+WHERE CAST(value AS DOUBLE) >
+      (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) * 1.2 FROM partvalue)
+""",
+    doc="TPC-H Q11 shape (important stock): per-part value within one "
+    "nation, kept when above a fraction of the national total — the "
+    "HAVING scalar subquery becomes a broadcast of a 1-row aggregate; "
+    "the 1.2x-average threshold is scale-free (the classic fraction "
+    "constant must shrink as 1/SF); exact decimal sums, double compare "
+    "on identical IEEE values",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_18")
+    value = F.col("l_extendedprice").cast(_DEC) * (
+        1 - F.col("l_discount").cast(_DEC_RATE)
+    )
+    partvalue = (
+        li.join(
+            F.broadcast(
+                s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(value).alias("__value"))
+    )
+    threshold = partvalue.agg(
+        (F.sum("__value").cast("double") / F.count("*") * F.lit(1.2)).alias(
+            "__threshold"
+        )
+    )
+    return (
+        partvalue.crossJoin(F.broadcast(threshold))
+        .filter(F.col("__value").cast("double") > F.col("__threshold"))
+        .select("ps_partkey", F.col("__value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct supplier "
+    "counts per (brand, type, size) with a NOT IN exclusion compiled to a "
+    "broadcast anti join (s_acctbal < 0 stands in for the complaint "
+    "comment filter); part-supplier bridge derived from lineitem",
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49))
+    )
+    bad_supp = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return (
+        ps.join(
+            F.broadcast(bad_supp),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_1996
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+  AND s.s_suppkey IN (
+    SELECT sh.l_suppkey FROM shipped sh
+    JOIN part p ON p.p_partkey = sh.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND CAST(sh.qty_1996 AS DOUBLE) > 0.5 * CAST(sh.total_qty AS DOUBLE))
+""",
+    doc="TPC-H Q20 shape (potential part promotion): nested IN subqueries "
+    "compiled to left-semi joins — suppliers whose 1996 shipments of "
+    "selected parts exceed half their all-time volume (availqty stood in "
+    "by the all-time shipped total; no partsupp in the fixtures)",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_5")
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("small%"))
+    qty_1996 = F.when(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
+        F.col("l_quantity").cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"),
+        F.sum(qty_1996).alias("qty_1996"),
+    )
+    promo_supp = (
+        shipped.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .filter(
+            F.col("qty_1996").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(promo_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM late GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.is_late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1
+  AND n.n_name = 'NATION_3'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS/NOT EXISTS pair rewritten as one per-order aggregate "
+    "(distinct suppliers >= 2, distinct LATE suppliers == 1) — one pass "
+    "over lineitem instead of two correlated probes; 'late' is shipdate "
+    "more than 60 days after order date (no receipt/commit dates in the "
+    "fixtures)",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    per_order = late.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        late.filter(F.col("is_late") == 1)
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+        .join(
+            F.broadcast(
+                s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )

@@ -86,13 +86,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "scale_clustered_scan",
     "llm_text_frequent_ngrams",
-    # join families
-    "join_full",
-    "join_range_band",
-    "join_asof",
-    # aggregation family (distinct/topk/set-ops/window reps rotate out on
-    # their r2 greens for the r3 CDC/scale/stream-join newcomers)
-    "agg_grouping_sets",
+    # TPC-H completion set (round 3, never driver-verified): the r2-green
+    # join family reps (join_full/range_band/asof), agg_grouping_sets,
+    # and two pandas-UDF reps rotate out on their proven rows
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
     # CDC + scale ops + stream-stream join (new this round)
     "cdc_upsert_current",
     "cdc_scd2_history",
@@ -110,9 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_export_e2e",
     "stream_replay_exactly_once",
     "stream_watermark_late_drop",
-    # pandas UDFs
-    "udf_scalar_pandas",
-    "udf_grouped_map_pandas",
+    # pandas UDFs (scalar/grouped-map reps rotated out on r2 greens)
     "udf_grouped_agg_pandas",
 )
 
