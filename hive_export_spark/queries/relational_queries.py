@@ -11,7 +11,7 @@ Hash-stability conventions (the driver compares value hashes vs DuckDB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_export_spark.operators.relational import band_join, top_k_per_group
@@ -1268,9 +1268,11 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
     doc="TPC-H Q2 shape (min-cost supplier): the correlated MIN subquery "
-    "rewritten as a grouped min + exact-DECIMAL equality join (the "
-    "scalable form); region/nation broadcast; supply relation derived "
-    "from lineitem (no partsupp in the fixtures)",
+    "rewritten as a per-part window MIN + exact-DECIMAL equality filter — "
+    "one pass over the supply relation (an aggregate-and-rejoin would "
+    "recompute the whole lineitem aggregation for the min branch) and it "
+    "keeps min-cost ties like the classic query; region/nation broadcast; "
+    "supply relation derived from lineitem (no partsupp in the fixtures)",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -1293,15 +1295,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
     )
-    min_cost = euro.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_supplycost")
-    )
+    w_part = Window.partitionBy("ps_partkey")
     return (
-        euro.join(
-            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_supplycost")),
-        )
+        euro.withColumn("min_supplycost", F.min("ps_supplycost").over(w_part))
+        .filter(F.col("ps_supplycost") == F.col("min_supplycost"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal",
@@ -1551,11 +1548,12 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """,
     doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
-    "EXISTS/NOT EXISTS pair rewritten as one per-order aggregate "
-    "(distinct suppliers >= 2, distinct LATE suppliers == 1) — one pass "
-    "over lineitem instead of two correlated probes; 'late' is shipdate "
-    "more than 60 days after order date (no receipt/commit dates in the "
-    "fixtures)",
+    "EXISTS/NOT EXISTS pair rewritten as per-order distinct-supplier "
+    "counts (all suppliers >= 2, LATE suppliers == 1) computed with "
+    "collect_set over an order-partitioned window — ONE shuffle of the "
+    "fact by order key instead of an aggregate-and-rejoin (which would "
+    "scan and shuffle it twice); 'late' is shipdate more than 60 days "
+    "after order date (no receipt/commit dates in the fixtures)",
 )
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
@@ -1575,19 +1573,23 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
-    per_order = late.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    w_order = Window.partitionBy("l_orderkey")
     return (
-        late.filter(F.col("is_late") == 1)
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("po_orderkey"))
+        late.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w_order))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(w_order)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1)
             & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1),
+            & (F.col("n_late_supp") == 1)
         )
         .join(
             F.broadcast(
