@@ -373,3 +373,78 @@ def simhash_fingerprints(
         term = F.when(vote > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return df.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    The step every corpus dedup pipeline needs after pair generation:
+    near-dup pairs form chains (A~B, B~C) and a keeper must be chosen per
+    CLUSTER, not per pair — otherwise transitive duplicates survive.
+
+    Min-label propagation: every node starts as its own label; each round
+    a node takes the minimum label among itself and its neighbors. A
+    driver-side loop runs aggregate-only actions (the per-round work is
+    fully distributed — the driver sees one boolean per round), and
+    ``localCheckpoint`` truncates the otherwise exponentially-growing
+    lineage, the standard pattern for iterative DataFrame algorithms.
+
+    Scale: rounds = O(component diameter). Near-dup clusters are shallow
+    (dozens of docs, diameter a few hops), so this terminates in 2-4
+    rounds at any corpus size; each round is one shuffle of the edge list.
+    For adversarial long-chain graphs the doubling variant
+    (large-star/small-star, Kiveris et al. 2014) drops rounds to
+    O(log diameter) at the cost of edge rewrites — not needed for dedup
+    graphs, documented here so the upgrade path is explicit.
+
+    Returns (node, cluster_id): one row per node that appears in any
+    pair; cluster_id is the smallest node id in the component.
+    """
+    half = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = (
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

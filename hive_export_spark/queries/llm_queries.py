@@ -110,6 +110,44 @@ def llm_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.cluster_id, cnt.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1) cnt
+  USING (cluster_id)
+""",
+    doc="connected components over the exact-Jaccard near-dup pair graph: "
+    "transitive closure picks one cluster id (min doc id) per duplicate "
+    "CLUSTER, the step that makes chain duplicates (A~B~C) collapse to a "
+    "single keeper; distributed min-label propagation, rounds = component "
+    "diameter (operators.dedup.connected_components); oracle is DuckDB's "
+    "recursive CTE over the same pairs",
+)
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
+@register(
     "llm_dedup_embedding",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

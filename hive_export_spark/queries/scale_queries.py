@@ -304,6 +304,48 @@ def scale_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scale_zorder_scan",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 140 AND l_suppkey BETWEEN 1 AND 10
+GROUP BY l_returnflag
+""",
+    doc="Z-order (Morton) two-dimensional layout "
+    "(operators.scale.write_zordered): lineitem rewritten clustered on "
+    "interleaved (l_partkey, l_suppkey) bits, so parquet min/max footer "
+    "stats prune selective predicates on EITHER key — the Delta/Iceberg "
+    "OPTIMIZE ZORDER layout from plain column expressions (dual-dim "
+    "row-group disjointness pinned in tests/test_scale_ops.py). The "
+    "query reads the z-ordered copy through a two-column predicate; the "
+    "oracle runs the same filter on the source table.",
+)
+def scale_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.scale import write_zordered
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    li = load_table(spark, "lineitem", sf_dir)
+    path = scratch_dir("zordered_lineitem")
+    write_zordered(li, path, ("l_partkey", "l_suppkey"), num_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("l_partkey").between(100, 140)
+            & F.col("l_suppkey").between(1, 10)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "llm_text_frequent_ngrams",
     oracle="""
 WITH toks AS (

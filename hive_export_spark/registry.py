@@ -105,15 +105,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # families and window_distribution carry r2 greens)
     "llm_dedup_minhash_oph",
     "llm_dedup_embedding",
+    # dedup-cluster components + z-order layout (new this round; the
+    # tumbling-window and grouped-agg-UDF reps rotate out on r2 greens)
+    "llm_dedup_components",
+    "scale_zorder_scan",
     # structured streaming (replay + watermark are new this round)
-    "stream_tumbling_window",
     "stream_session_window",
     "stream_dedup_keys",
     "stream_export_e2e",
     "stream_replay_exactly_once",
     "stream_watermark_late_drop",
-    # pandas UDFs (scalar/grouped-map reps rotated out on r2 greens)
-    "udf_grouped_agg_pandas",
 )
 
 

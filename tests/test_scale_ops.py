@@ -206,6 +206,58 @@ def test_clustered_write_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2  # disjoint up to shared boundary
 
 
+def test_zordered_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    # z-order: a selective predicate on EITHER interleaved key must be
+    # able to skip a large fraction of row groups from footer stats alone
+    # (a single-column range layout gives disjointness on one dim and
+    # nothing on the other)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hive_export_spark.operators.scale import write_zordered
+
+    li = load_table(spark, "lineitem", sf_dir)
+    path = str(tmp_path / "zordered")
+    write_zordered(li, path, ("l_partkey", "l_suppkey"), num_files=16)
+
+    stats = {"l_partkey": [], "l_suppkey": []}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        for rg in range(meta.num_row_groups):
+            for col in stats:
+                st = meta.row_group(rg).column(idx[col]).statistics
+                stats[col].append((st.min, st.max))
+    n_groups = len(stats["l_partkey"])
+    assert n_groups >= 8
+    # predicate = bottom ~15% of each key's observed domain (the fixture
+    # key ranges scale with sf, so absolute literals would degenerate)
+    pred = {}
+    for col in stats:
+        gmin = min(mn for mn, _ in stats[col])
+        gmax = max(mx for _, mx in stats[col])
+        pred[col] = (gmin, gmin + max((gmax - gmin) * 15 // 100, 1))
+    overlap = {
+        col: [not (mx < lo or mn > hi) for mn, mx in stats[col]]
+        for col, (lo, hi) in pred.items()
+    }
+    # with 16 z-range files each dim is only split into halves/quarters,
+    # so per-dim pruning is partial...
+    for col in pred:
+        assert sum(overlap[col]) < n_groups, col
+    # ...but the CONJUNCTION — what the scan actually evaluates — must
+    # prune most row groups: that is the z-order payoff over a
+    # single-column range layout (which gives zero pruning on dim 2)
+    both = sum(a and b for a, b in zip(*overlap.values()))
+    assert both <= n_groups // 2, (both, n_groups)
+
+
 def test_frequent_ngrams_counts_occurrences_not_docs(spark):
     from hive_export_spark.operators.text import frequent_ngrams
 
