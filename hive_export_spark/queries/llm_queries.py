@@ -360,6 +360,72 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_corpus_curation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(n_chars - (len(words) - 1) AS DOUBLE) / len(words) AS mean_word_len,
+         CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+         CAST(punct_chars AS DOUBLE) / n_chars AS punct_ratio,
+         CAST(len(list_filter(words,
+              w -> list_contains(['the','and','of','a','is','to','in'], w)))
+              AS DOUBLE) / len(words) AS stop_ratio
+  FROM t
+), q AS (
+  SELECT doc_id,
+       (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END
+      + CASE WHEN alpha_ratio >= 0.6 THEN 0.3 ELSE 0.0 END
+      + CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END
+      + CASE WHEN stop_ratio >= 0.02 THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM s
+), base AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fp, len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+), surv AS (
+  SELECT b.doc_id, b.fp, b.n_tokens, q.quality_score
+  FROM base b JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.9
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY fp
+)
+SELECT s2.doc_id, s2.n_tokens, s2.quality_score
+FROM surv s2 JOIN keep k ON k.doc_id = s2.doc_id
+WHERE substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 1) < 'd'
+""",
+    doc="end-to-end corpus curation: quality gate (score >= 0.9) -> exact "
+    "dedup among survivors (min-id keeper per content fingerprint) -> "
+    "deterministic hash subsample (md5(doc_id) first hex digit < 'd', "
+    "~13/16) — the canonical filter->dedup->sample training-data pass as "
+    "ONE declarative DAG: Catalyst fuses the quality expressions into the "
+    "scan, the dedup is the pipeline's only wide shuffle, and the sample "
+    "is a partition-local filter (no RNG, reproducible across engines and "
+    "runs)",
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    norm = dedup.normalized_text("text")
+    base = d.select(
+        "doc_id",
+        F.md5(norm).alias("__fp"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )
+    surv = base.join(q, "doc_id").filter(F.col("quality_score") >= 0.9)
+    keep = surv.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        surv.join(keep, "doc_id", "left_semi")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d")
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+@register(
     "llm_text_langid",
     oracle=f"""
 WITH t AS (

@@ -109,8 +109,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # tumbling-window and grouped-agg-UDF reps rotate out on r2 greens)
     "llm_dedup_components",
     "scale_zorder_scan",
-    # structured streaming (replay + watermark are new this round)
-    "stream_session_window",
+    "llm_corpus_curation",
+    # structured streaming (replay + watermark are new this round; the
+    # session-window rep rotates out on its r2 green)
     "stream_dedup_keys",
     "stream_export_e2e",
     "stream_replay_exactly_once",
