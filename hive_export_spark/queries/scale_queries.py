@@ -304,6 +304,48 @@ def scale_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scale_skew_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS uid, value
+      FROM events) e
+JOIN customer c ON c.c_custkey = e.uid
+GROUP BY 1
+""",
+    doc="salted skew join (operators.scale.salted_join): a deliberately "
+    "hot-keyed fact (a third of events collapse onto one key) joins a "
+    "mid-size dim on (key, salt) so the hot key spreads over 8 shuffle "
+    "partitions instead of one straggler task — the explicit-salting "
+    "path for when AQE skew splitting is unavailable (it splits join "
+    "partitions, not groupBy keys) or a deterministic plan is required; "
+    "the oracle is the plain unsalted join (salting never changes "
+    "results)",
+)
+def scale_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.scale import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.when(F.col("user_id") % 3 == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        F.col("value").cast("decimal(12,2)").alias("__v"),
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("uid"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, dim, on="uid", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("__v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "scale_zorder_scan",
     oracle="""
 SELECT l_returnflag,

@@ -1,0 +1,218 @@
+"""Time-series analytics over the events stream table: gap-filled
+continuous series, hypertable-style two-level rollups, and event funnels.
+
+These are the batch faces of the time-series operator family the
+reference's export stream feeds downstream (hive-export ships events out;
+consumers run exactly these shapes on what lands). Bucketing is integer
+epoch arithmetic — identical in Spark and DuckDB at any timestamp
+precision (the fixture's nanosecond ts included), unlike date_trunc whose
+sub-second semantics differ across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+# 15-minute buckets over the fixture's event month (fixed range keeps the
+# spine deterministic across engines; out-of-range rows are filtered on
+# both sides)
+_BUCKET_S = 900
+_SPINE_LO = "2024-01-01 00:00:00"
+_SPINE_HI = "2024-01-31 00:00:00"
+_EPOCH_LO = 1704067200  # epoch of _SPINE_LO (UTC)
+_EPOCH_HI = 1706659200  # epoch of _SPINE_HI (UTC)
+
+
+@register(
+    "ts_gap_fill_locf",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS bucket_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), spine AS (
+  SELECT t.event_type, s.bucket_epoch
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series({_EPOCH_LO}, {_EPOCH_HI} - {_BUCKET_S}, {_BUCKET_S})) AS bucket_epoch
+  ) s
+)
+SELECT sp.event_type, CAST(sp.bucket_epoch AS BIGINT) AS bucket_epoch,
+       COALESCE(CAST(last_value(b.bucket_value IGNORE NULLS) OVER (
+           PARTITION BY sp.event_type ORDER BY sp.bucket_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+         0.0) AS value_locf,
+       CASE WHEN b.bucket_value IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM spine sp
+LEFT JOIN buckets b
+  ON b.event_type = sp.event_type AND b.bucket_epoch = sp.bucket_epoch
+""",
+    doc="gap-filled continuous series: 15-minute sum(value) per event "
+    "type over a generated dense time spine, empty buckets filled by "
+    "last-observation-carried-forward (last(ignorenulls) running window) "
+    "— the hypertable gap_fill/locf primitive. The spine is "
+    "sequence()-generated per type (rows = types x buckets, never a "
+    "fact-sized cross join); decimal bucket sums keep LOCF values "
+    "hash-identical across engines.",
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("bucket_value"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(_EPOCH_LO).cast("long"),
+                            F.lit(_EPOCH_HI - _BUCKET_S).cast("long"),
+                            F.lit(_BUCKET_S).cast("long"),
+                        )
+                    ).alias("bucket_epoch")
+                )
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(buckets, ["event_type", "bucket_epoch"], "left")
+        .select(
+            "event_type",
+            "bucket_epoch",
+            F.coalesce(
+                F.last("bucket_value", ignorenulls=True).over(w).cast("double"),
+                F.lit(0.0),
+            ).alias("value_locf"),
+            F.when(F.col("bucket_value").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
+
+
+@register(
+    "ts_rollup_two_level",
+    oracle=f"""
+WITH minute_rollup AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS minute_epoch,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sum_v,
+         MIN(CAST(value AS DECIMAL(12,2))) AS min_v,
+         MAX(CAST(value AS DECIMAL(12,2))) AS max_v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(minute_epoch // 3600 * 3600 AS BIGINT) AS hour_epoch,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sum_v) AS DOUBLE) AS sum_value,
+       CAST(MIN(min_v) AS DOUBLE) AS min_value,
+       CAST(MAX(max_v) AS DOUBLE) AS max_value
+FROM minute_rollup
+GROUP BY 1, 2
+""",
+    doc="two-level hypertable rollup: minute-grain partial aggregates "
+    "re-aggregated to hour grain FROM THE MINUTE PARTIALS (sum-of-sums, "
+    "min-of-mins) — the continuous-aggregate pattern where coarse rollups "
+    "derive from fine ones without touching raw data again; only "
+    "decomposable aggregates, so level 2 reads rollup-sized input "
+    "(1/60th) instead of the fact table",
+)
+def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long") * 60
+    v = F.col("value").cast("decimal(12,2)")
+    minute_rollup = (
+        ev.select("event_type", minute.alias("minute_epoch"), v.alias("__v"))
+        .groupBy("event_type", "minute_epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__v").alias("sum_v"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )
+    hour = (F.floor(F.col("minute_epoch") / 3600).cast("long") * 3600)
+    return (
+        minute_rollup.groupBy("event_type", hour.alias("hour_epoch"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("sum_value"),
+            F.min("min_v").cast("double").alias("min_value"),
+            F.max("max_v").cast("double").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "ts_funnel_three_stage",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after
+""",
+    doc="three-stage ordered funnel (signup -> later click -> later "
+    "purchase): each stage is a per-user MIN over the fact filtered by "
+    "the previous stage's timestamp — stage joins are user-keyed "
+    "aggregates (dim-sized), the fact is scanned with a pushed "
+    "event_type filter per stage, never self-joined row-to-row",
+)
+def ts_funnel_three_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").cast("bigint").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_click_after")))
+        .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchase_after")))
+    )

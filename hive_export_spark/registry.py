@@ -110,10 +110,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_dedup_components",
     "scale_zorder_scan",
     "llm_corpus_curation",
-    # structured streaming (replay + watermark are new this round; the
-    # session-window rep rotates out on its r2 green)
-    "stream_dedup_keys",
-    "stream_export_e2e",
+    # time-series gap-fill + salted skew join (new this round; the last
+    # r2-green streaming fillers rotate out — the driver-riskiest of the
+    # four new time-series/skew queries take the slots, the rollup and
+    # funnel compositions of proven shapes wait for the next rotation)
+    "ts_gap_fill_locf",
+    "scale_skew_join",
+    # structured streaming (replay + watermark are new this round)
     "stream_replay_exactly_once",
     "stream_watermark_late_drop",
 )
@@ -177,5 +180,6 @@ def _load_all() -> None:
     import hive_export_spark.queries.udf_queries  # noqa: F401
     import hive_export_spark.queries.llm_queries  # noqa: F401
     import hive_export_spark.queries.scale_queries  # noqa: F401
+    import hive_export_spark.queries.timeseries_queries  # noqa: F401
 
     _LOADED = True
