@@ -448,3 +448,33 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    n-gram with a probe (benchmark/eval) set.
+
+    Asymmetric by design — dedup asks "which corpus docs repeat EACH
+    OTHER", decontamination asks "which corpus docs leak the EVAL set".
+    The probe side is benchmark-sized (thousands of docs), so its
+    distinct shingles broadcast; the corpus side streams through a
+    broadcast semi-ish inner join with zero fact shuffle before the
+    per-doc count. Returns (id, n_shared_ngrams) for hit documents only.
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    p_sh = probes.select(
+        F.explode(word_shingles(text_col, n)).alias("shingle")
+    ).distinct()
+    return (
+        c_sh.join(F.broadcast(p_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )

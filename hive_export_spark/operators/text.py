@@ -152,3 +152,51 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    repetition quality gate): highly repetitive documents are boilerplate
+    or generation loops and get filtered before training.
+
+    - distinct_word_ratio: |distinct words| / |words|
+    - top_word_ratio: occurrences of the most frequent word / |words|
+    - dup_bigram_ratio: 1 - |distinct bigrams| / |bigrams|
+
+    All from higher-order array functions over one row — zero shuffle,
+    fully codegen'd; ratios are int/int divisions so both engines produce
+    bit-identical doubles.
+    """
+    words = F.split(normalized_text(text_col), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    # most-frequent-word count: for each distinct word, count its
+    # occurrences via filter; take the max
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    )
+    n_bigrams = F.size(bigrams)
+    n_distinct_bigrams = F.size(F.array_distinct(bigrams))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        (n_distinct.cast("double") / n_words.cast("double")).alias(
+            "distinct_word_ratio"
+        ),
+        (top_count.cast("double") / n_words.cast("double")).alias(
+            "top_word_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - n_distinct_bigrams.cast("double") / n_bigrams.cast("double")
+        ).alias("dup_bigram_ratio"),
+    )

@@ -360,6 +360,73 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_text_repetition",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS words FROM documents
+), b AS (
+  SELECT doc_id, words,
+         [array_to_string(words[i:i+1], ' ')
+          for i in range(1, greatest(len(words), 2))] AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+         AS distinct_word_ratio,
+       CAST(list_max([len(list_filter(words, x -> x = w))
+                      for w in list_distinct(words)]) AS DOUBLE)
+         / len(words) AS top_word_ratio,
+       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+         AS dup_bigram_ratio
+FROM b
+""",
+    doc="intra-document repetition gate (Gopher/RefinedWeb-style): "
+    "distinct-word ratio, top-word frequency share, duplicate-bigram "
+    "fraction — pure array expressions per row, zero shuffle "
+    "(operators.text.repetition_stats)",
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return text.repetition_stats(d)
+
+
+@register(
+    "llm_decontaminate_ngram",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), csh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(t[i:i+4], ' ')
+            for i in range(1, greatest(len(t) - 3, 2))])) AS shingle
+  FROM toks WHERE doc_id >= 10
+), psh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           [array_to_string(t[i:i+4], ' ')
+            for i in range(1, greatest(len(t) - 3, 2))])) AS shingle
+  FROM toks WHERE doc_id < 10
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM csh c JOIN psh p ON p.shingle = c.shingle
+GROUP BY c.doc_id
+""",
+    doc="benchmark decontamination: corpus docs (doc_id >= 10) sharing "
+    "any word 5-gram with the probe set (doc_id < 10) — the eval-leak "
+    "scan every training corpus needs; probe shingles broadcast, the "
+    "corpus never shuffles before the per-doc hit count "
+    "(operators.dedup.ngram_overlap)",
+)
+def llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") >= 10)
+    probes = d.filter(F.col("doc_id") < 10)
+    return dedup.ngram_overlap(corpus, probes, n=5)
+
+
+@register(
     "llm_corpus_curation",
     oracle=f"""
 WITH t AS (

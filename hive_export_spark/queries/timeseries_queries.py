@@ -216,3 +216,115 @@ def ts_funnel_three_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_click_after")))
         .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchase_after")))
     )
+
+
+@register(
+    "ts_sessionize_batch",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS duration_floor_s
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    doc="batch sessionization by inactivity gap (30 min): lag() marks "
+    "session starts, a running sum numbers sessions, one aggregate "
+    "yields per-session stats — the batch twin of the streaming session "
+    "window (streaming/pipeline.py session_window), same gap semantics, "
+    "verifiable against plain SQL. One shuffle on user_id serves the "
+    "window AND the aggregate (same partitioning); event_id breaks "
+    "same-timestamp ordering ties deterministically. Gap math runs on "
+    "exact microsecond epochs: second-truncated epochs disagree across "
+    "engines on gaps that straddle the threshold by a fraction.",
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch_us = F.unix_micros("ts")
+    prev_us = F.lag(epoch_us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((epoch_us - prev_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", new_sess.alias("is_new_session"))
+        .withColumn("session_no", F.sum("is_new_session").over(run))
+        .groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.floor(F.unix_micros(F.min("ts")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_start_epoch"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("duration_floor_s"),
+        )
+    )
+
+
+@register(
+    "ts_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+           AS weeks_since
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week, weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, weeks_since
+""",
+    doc="retention cohort matrix: users grouped by first-seen week, "
+    "distinct active users per (cohort, weeks-since-cohort) cell — the "
+    "standard growth-analytics triangle. The firsts aggregate is "
+    "user-dim-sized and re-joins the fact on user_id; DISTINCT "
+    "deduplicates within cells before the final count, two shuffles "
+    "total (user_id, then the cell key).",
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
+    firsts = firsts.select(
+        "user_id",
+        F.floor(F.unix_timestamp("__first_ts") / 604800)
+        .cast("bigint")
+        .alias("cohort_week"),
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )

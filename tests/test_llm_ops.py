@@ -301,3 +301,54 @@ def test_sampling_deterministic_and_bounded(spark, sf_dir, docs):
     assert len(frac_row) == 1 and frac_row[0].frac_ok
     strat_rows = llm_sample_stratified(spark, sf_dir).collect()
     assert strat_rows and all(r.prop_ok for r in strat_rows)
+
+
+def test_connected_components_collapses_chains(spark):
+    # A-B, B-C chain plus an isolated pair: components = {A,B,C} and {X,Y},
+    # each labeled by its minimum member
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_ngram_overlap_is_asymmetric_and_counts_corpus_side(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "one two three four five six"),   # shares 5-grams
+            (11, "alpha beta gamma delta epsilon zeta"),  # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(1, "one two three four five")], ["doc_id", "text"]
+    )
+    hits = {r.doc_id: r.n_shared_ngrams
+            for r in dedup.ngram_overlap(corpus, probes, n=5).collect()}
+    # doc 10 contains exactly one probe 5-gram; doc 11 none (absent)
+    assert hits == {10: 1}
+
+
+def test_repetition_stats_flags_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # degenerate loop
+            (2, "all words here are distinct"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert rows[1].distinct_word_ratio == 0.25
+    assert rows[1].top_word_ratio == 1.0
+    assert rows[1].dup_bigram_ratio > 0.5
+    assert rows[2].distinct_word_ratio == 1.0
+    assert rows[2].dup_bigram_ratio == 0.0
