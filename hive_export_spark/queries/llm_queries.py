@@ -12,7 +12,7 @@ Spark plan shape — neither side materializes the O(n^2) pair space.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_export_spark.operators import dedup, multimodal, similarity, text
@@ -484,9 +484,13 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(norm, " ")).alias("n_tokens"),
     )
     surv = base.join(q, "doc_id").filter(F.col("quality_score") >= 0.9)
-    keep = surv.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    # keeper via a fingerprint-partitioned window MIN, not an
+    # aggregate-and-rejoin (which would scan and shuffle the survivors
+    # twice — Catalyst prunes but never deduplicates branches)
+    keeper = F.min("doc_id").over(Window.partitionBy("__fp"))
     return (
-        surv.join(keep, "doc_id", "left_semi")
+        surv.withColumn("__keeper", keeper)
+        .filter(F.col("doc_id") == F.col("__keeper"))
         .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "d")
         .select("doc_id", "n_tokens", "quality_score")
     )

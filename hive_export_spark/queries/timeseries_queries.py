@@ -309,22 +309,20 @@ GROUP BY cohort_week, weeks_since
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint")
-    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
-    firsts = firsts.select(
-        "user_id",
-        F.floor(F.unix_timestamp("__first_ts") / 604800)
-        .cast("bigint")
-        .alias("cohort_week"),
-    )
-    activity = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (week - F.col("cohort_week")).alias("weeks_since"),
+    # first-seen week via a user-partitioned window MIN: one fact scan
+    # and one user_id shuffle (an aggregate-and-rejoin would scan the
+    # fact twice for the same partitioning)
+    cohort = (
+        F.floor(
+            F.unix_timestamp(F.min("ts").over(Window.partitionBy("user_id")))
+            / 604800
         )
-        .distinct()
-    )
+    ).cast("bigint")
+    activity = ev.select(
+        "user_id",
+        cohort.alias("cohort_week"),
+        (week - cohort).alias("weeks_since"),
+    ).distinct()
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count("*").cast("bigint").alias("active_users")
     )
