@@ -263,3 +263,64 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start", "window_end", "event_type", "n_events", "total_value"
         )
     )
+
+
+@register(
+    "stream_jdbc_sink_e2e",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="streaming export into a relational store: file stream -> "
+    "foreachBatch JDBC append into embedded Derby -> range-partitioned "
+    "parallel JDBC read-back -> aggregate. The reference conduit's "
+    "database-facing twin (VoltDB-side JDBC instead of Hive-side ORC); "
+    "the sink database is recreated per run so availableNow append is "
+    "deterministic, and each micro-batch writes through one JDBC "
+    "connection per partition (HiveExportClient.java:129-135 "
+    "parallel-stream shape).",
+)
+def stream_jdbc_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.queries.connector_queries import (
+        DERBY_DRIVER,
+        scratch_dir,
+    )
+    from hive_export_spark.sources.jdbc import read_jdbc_auto, write_jdbc
+
+    base = scratch_dir("stream_jdbc_sink")
+    db, ckpt = f"{base}/db", f"{base}/ckpt"
+    for p in (db, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+
+    stream = read_stream_from_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def jdbc_sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(
+            batch_df, url, "events_sink", mode="append", driver=DERBY_DRIVER
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(jdbc_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_jdbc_auto(
+        spark,
+        url,
+        "events_sink",
+        "event_id",
+        num_partitions=8,
+        driver=DERBY_DRIVER,
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
