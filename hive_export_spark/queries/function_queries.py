@@ -356,3 +356,40 @@ def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_customer"),
         F.contains(F.col("c_mktsegment"), F.lit("ING")).alias("has_ing"),
     )
+
+
+@register(
+    "fn_regexp_family",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT)
+         AS n_a_words,
+       COALESCE(array_to_string(regexp_extract_all(text, '\\b[a-z]{6,}\\b'), '|'), '')
+         AS long_words,
+       CASE WHEN regexp_matches(text, 'table.*table') THEN 1 ELSE 0 END
+         AS has_double_table,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+FROM documents
+""",
+    doc="regexp family beyond extract: match-count "
+    "(regexp_count/len(extract_all)), extract-all joined to a scalar "
+    "(arrays stay out of driver outputs), boolean rlike, global "
+    "replace. Patterns restricted to the Java-regex/RE2 common subset "
+    "(classes, quantifiers, word boundaries) — engine dialects diverge "
+    "beyond it.",
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+a[a-z]*")).cast("bigint").alias(
+            "n_a_words"
+        ),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b[a-z]{6,}\b"), 0), "|"
+        ).alias("long_words"),
+        F.when(F.col("text").rlike("table.*table"), 1).otherwise(0).alias(
+            "has_double_table"
+        ),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )

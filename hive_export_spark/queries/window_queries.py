@@ -179,3 +179,39 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS qty_in_band
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+""",
+    doc="RANGE-framed window (value-based frame, not row-based): per "
+    "supplier, how many line items fall within a 100-unit price band "
+    "below each row, and their quantity sum. RANGE frames include ORDER "
+    "BY peers, so ties produce identical results in both engines with no "
+    "tiebreaker needed — the opposite of the ROWS-frame convention",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(w).cast("bigint").alias("n_in_band"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_in_band"),
+    )
