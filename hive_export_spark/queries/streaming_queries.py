@@ -324,3 +324,95 @@ def stream_jdbc_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS p_id
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""",
+    doc="watermarked stream-stream LEFT OUTER interval join: unmatched "
+    "clicks must be emitted null-padded, which only happens once BOTH "
+    "watermarks pass a row's join window — so after the real data drains, "
+    "a second availableNow run on the same checkpoint appends one "
+    "far-future sentinel per side (sentinels must survive each side's "
+    "event-type filter: watermarks track post-filter rows), flushing "
+    "every pending null emission. Result equals the batch left join; an "
+    "inner join or an unflushed outer would drop the null rows and "
+    "hash-mismatch.",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    base = scratch_dir("stream_ssloj")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select("click_id", "click_ts", "p_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sentinel(event_type: str, uid: int) -> DataFrame:
+        return (
+            ev.limit(1)
+            .withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+            .withColumn("event_type", F.lit(event_type))
+            .withColumn("user_id", F.lit(uid).cast("long"))
+            .withColumn("event_id", F.lit(-1).cast("long"))
+        )
+
+    run_phase(ev)
+    run_phase(sentinel("click", -1).unionByName(sentinel("purchase", -2)))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("click_ts") < F.lit("2090-01-01").cast("timestamp"))
+        .select("click_id", "p_id")
+    )
