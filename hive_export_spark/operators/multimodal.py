@@ -141,6 +141,8 @@ def _parse_jpeg(payload: bytes):
             continue
         (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
         if 0xC0 <= marker <= 0xC3:
+            if i + 9 > len(payload):  # truncated SOF segment
+                return None
             height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
             break
         i += 2 + seglen
@@ -159,6 +161,8 @@ def _parse_wav(payload: bytes):
         chunk_id = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if chunk_id == b"fmt " and size >= 16:
+            if i + 22 > len(payload):  # truncated fmt chunk
+                return None
             block_align = struct.unpack("<H", payload[i + 20 : i + 22])[0]
         elif chunk_id == b"data" and block_align:
             return "wav", 0, 0, size // block_align
@@ -177,7 +181,12 @@ def parse_media_header(payload: bytes):
     """Real container-header decode from magic bytes: returns
     (format, width, height, n_frames) or None if unrecognized."""
     for parser in (_parse_png, _parse_jpeg, _parse_wav, _parse_gif):
-        out = parser(payload)
+        try:
+            out = parser(payload)
+        except struct.error:
+            # a malformed payload that passed the magic check must fall
+            # through to the deterministic fallback, not kill the task
+            out = None
         if out is not None:
             return out
     return None

@@ -30,15 +30,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one fixture table as a DataFrame.
-
-    ``events.ts`` is nanosecond-precision in parquet, which Spark's vectorized
-    reader rejects; read it as a long (legacy nanosAsLong) and truncate to the
-    engine's microsecond TimestampType. VoltDB timestamps are microseconds too
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned microsecond TimestampType
+    regardless of how the fixture encodes it. Fixture generations have
+    shipped it as parquet TIMESTAMP(NANOS) (read as a long under
+    nanosAsLong — integer-divide to µs, double division would lose
+    precision above 2^53) and as TIMESTAMP(MICROS) isAdjustedToUTC=false
+    (reads as TIMESTAMP_NTZ — cast reinterprets the wall-clock in the UTC
+    session zone, identical values). VoltDB timestamps are microseconds too
     (PartitionedJsonDecoder.java:201-214), so µs is the reference-faithful
-    precision.
-    """
+    precision."""
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one fixture table as a DataFrame (``events.ts`` normalized to
+    microsecond TimestampType — see :func:`_normalize_event_ts`)."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     # The caller may hand us a session it built itself (the driver does);
     # timestamp semantics must not depend on that session's defaults.
@@ -46,9 +60,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        # integer division: ns -> µs (double division would lose precision
-        # above 2^53, i.e. for any epoch-ns value)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -87,6 +99,6 @@ def read_stream_from_table(
         .parquet(sf_dir)
     )
     if name == "events":
-        # same ns->µs normalization as the batch loader
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # same ts normalization as the batch loader
+        stream = _normalize_event_ts(stream)
     return stream
