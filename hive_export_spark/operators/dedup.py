@@ -447,6 +447,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # unconverged labels are silently WRONG (a >max_iter-hop duplicate
+        # chain would get split cluster_ids with no local symptom) — fail
+        # loudly instead of returning them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter or switch to the large-star/small-star doubling "
+            "variant documented above"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

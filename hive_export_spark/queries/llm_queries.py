@@ -775,3 +775,137 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prop_ok"),
         )
     )
+
+
+@register(
+    "llm_text_pii_redact",
+    oracle="""
+WITH laced AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+       len(regexp_extract_all(t, '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM laced
+""",
+    doc="PII redaction, the compliance pass every training-data pipeline "
+    "runs before anything ships: email / phone / IPv4 patterns scrubbed "
+    "with chained native regexp_replace (JVM codegen, zero Python, zero "
+    "shuffle — embarrassingly parallel at any scale). The fixture corpus "
+    "is synthetic word soup, so deterministic PII is laced in from "
+    "doc_id first (same expression on both sides), making every row "
+    "exercise all three redactors; patterns use explicit character "
+    "classes only, the portable subset of Java regex and RE2.",
+)
+def llm_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    laced = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    ipv4 = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    t = d.select(F.col("doc_id"), laced.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), 0)).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(ipv4), 0)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), email, "<EMAIL>"),
+                ipv4,
+                "<IP>",
+            ),
+            phone,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "llm_sample_balanced",
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+    doc="class-balanced deterministic sampling: top-20 documents per "
+    "language by md5(doc_id) rank — the reproducible equivalent of "
+    "per-class uniform downsampling (hash order is uniform AND stable "
+    "across runs/engines, unlike RNG sampling, so train/eval splits are "
+    "replayable — the curation counterpart of the reference's replayable "
+    "export blocks). One shuffle on the stratum key; the window never "
+    "sees more than a stratum per task.",
+)
+def llm_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "llm_intradoc_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS ord
+  FROM t
+), f AS (
+  SELECT doc_id, word, MIN(ord) AS first_ord FROM w GROUP BY doc_id, word
+), d AS (
+  SELECT doc_id, COUNT(*) AS n_unique,
+         string_agg(word, ' ' ORDER BY first_ord) AS dedup_text
+  FROM f GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks) AS n_tokens, d.n_unique, d.dedup_text
+FROM t JOIN d USING (doc_id)
+""",
+    doc="intra-document dedup: remove repeated tokens within each "
+    "document keeping first occurrence (array_distinct preserves "
+    "first-occurrence order) — the document-local form of the corpus "
+    "dedup family, used to strip boilerplate/repetition before token "
+    "counting. Pure per-row array ops: no shuffle, no Python, fully "
+    "codegen'd; the oracle reconstructs first-occurrence order "
+    "relationally (min ordinal per token + ordered string_agg).",
+)
+def llm_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    dd = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(dd).cast("bigint").alias("n_unique"),
+        F.array_join(dd, " ").alias("dedup_text"),
+    )

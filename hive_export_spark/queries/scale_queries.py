@@ -414,3 +414,43 @@ def llm_text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return frequent_ngrams(d, n=2, top_k=20)
+
+
+@register(
+    "scale_compaction",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       TRUE AS files_reduced
+FROM events GROUP BY event_type
+""",
+    doc="small-file compaction through the gate "
+    "(operators.maintenance.compact_partitioned_table): a partitioned "
+    "events table is written deliberately fragmented (24-way "
+    "repartition before partitionBy => ~24 files per partition, the "
+    "shape minutes-level streaming triggers leave behind), compacted to "
+    "size-targeted files, and read back; the query emits per-partition "
+    "row counts + decimal sums plus a files_reduced boolean the oracle "
+    "pins to TRUE. Verifies the rewrite is lossless AND actually "
+    "shrinks the file count — the lakehouse maintenance op a 100 TB "
+    "streaming sink cannot live without.",
+)
+def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from hive_export_spark.operators.maintenance import compact_partitioned_table
+    from hive_export_spark.queries.connector_queries import scratch_dir
+    from hive_export_spark.sources import load_table
+
+    base = scratch_dir("compaction")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    # simulate micro-batch fragmentation: many small files per partition
+    ev.repartition(24).write.partitionBy("event_type").parquet(base)
+    stats = compact_partitioned_table(spark, base, ["event_type"])
+    reduced = stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    ).withColumn("files_reduced", F.lit(bool(reduced)))

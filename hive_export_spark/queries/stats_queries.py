@@ -259,3 +259,215 @@ def agg_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("__a50", "p50_exact").alias("p50_ok"),
         ok("__a99", "p99_exact").alias("p99_ok"),
     )
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS sketch_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="mergeable DataSketches HLL rollup (hll_sketch_agg / "
+    "hll_union_agg): per-(flag, orderkey-parity) partial sketches are "
+    "built first, then UNIONED to flag level without re-scanning rows — "
+    "the sketch algebra that makes 100 TB distinct-count rollups "
+    "incremental (sketch per day/partition, merge on demand; re-scan "
+    "never). Oracle-able formulation: sketch bits are engine-specific, "
+    "so the query emits the exact distinct count plus a boolean pinning "
+    "the merged estimate within 5% (observed <=2%, lgConfigK=12 rse "
+    "~1.6%); the oracle computes the exact count and literal TRUE.",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    partials = (
+        li.withColumn("__half", (F.col("l_orderkey") % 2).cast("int"))
+        .groupBy("l_returnflag", "__half")
+        .agg(F.hll_sketch_agg("l_partkey").alias("__sk"))
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    rel_err = F.abs(F.col("__est") - F.col("exact_parts")) / F.col("exact_parts")
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag", "exact_parts", (rel_err <= F.lit(0.05)).alias("sketch_ok")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="EXACT mergeable distinct count via RoaringBitmap-style bitmaps "
+    "(bitmap_construct_agg / bitmap_or_agg / bitmap_count): per-(status, "
+    "custkey-parity) partial bitmaps OR-merged to status level — unlike "
+    "HLL this is exact AND mergeable, the warehouse pattern for "
+    "distinct-count rollups over bounded-cardinality integer keys "
+    "(bitmap bytes ~ key range / 8, merge is bitwise OR). No tolerance "
+    "boolean needed: the merged bitmap_count equals COUNT(DISTINCT).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    # the general unbounded-key-range shape: one bitmap per 32k-value
+    # bucket (bitmap_bucket_number), OR-merge partials within a bucket,
+    # then SUM per-bucket cardinalities — buckets partition the key
+    # space, so the sum is exact
+    partials = (
+        o.withColumn("__half", (F.col("o_custkey") % 2).cast("int"))
+        .withColumn("__bucket", F.expr("bitmap_bucket_number(o_custkey)"))
+        .groupBy("o_orderstatus", "__bucket", "__half")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+                "__bm"
+            )
+        )
+    )
+    per_bucket = partials.groupBy("o_orderstatus", "__bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(__bm))").alias("__c")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum("__c").cast("bigint").alias("n_cust")
+    )
+
+
+@register(
+    "agg_theta_sketch_intersect",
+    oracle="""
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST((SELECT COUNT(DISTINCT c.user_id)
+             FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+             JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p
+               ON c.user_id = p.user_id) AS BIGINT) AS n_both,
+       TRUE AS sketch_ok
+""",
+    doc="theta sketch set algebra (theta_sketch_agg / "
+    "theta_intersection): audience-overlap distinct counting — |clickers "
+    "INTERSECT purchasers| estimated from two independently-built "
+    "sketches, no joint scan. At 100 TB the sketches are built per "
+    "segment/day and intersected on demand (HLL can union but never "
+    "intersect; theta is the sketch family with full set algebra). "
+    "Oracle-able formulation: the query emits exact counts plus a "
+    "boolean pinning each estimate within 5%; the oracle computes the "
+    "exact counts and literal TRUE.",
+)
+def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.expr("theta_sketch_agg(user_id)").alias("__sk"))
+    both = sk.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(__sk))").alias("__e_both")
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("__dummy"),
+    ).drop("__dummy")
+    exact_both = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    est = (
+        sk.filter(F.col("event_type") == "click")
+        .select(F.expr("theta_sketch_estimate(__sk)").alias("__e_click"))
+        .crossJoin(
+            sk.filter(F.col("event_type") == "purchase").select(
+                F.expr("theta_sketch_estimate(__sk)").alias("__e_purchase")
+            )
+        )
+        .crossJoin(both)
+    )
+    rel = lambda e, x: F.abs(e - x) / F.greatest(x, F.lit(1))  # noqa: E731
+    return (
+        exact.crossJoin(exact_both)
+        .crossJoin(est)
+        .select(
+            "n_click",
+            "n_purchase",
+            "n_both",
+            (
+                (rel(F.col("__e_click"), F.col("n_click")) <= 0.05)
+                & (rel(F.col("__e_purchase"), F.col("n_purchase")) <= 0.05)
+                & (rel(F.col("__e_both"), F.col("n_both")) <= 0.05)
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(12,2)), 0.5) AS DOUBLE) AS exact_p50,
+       TRUE AS sketch_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="mergeable KLL quantile sketches (kll_sketch_agg_double / "
+    "kll_sketch_merge_double): per-(flag, orderkey-parity) partial "
+    "sketches merged to flag level, median read off the merged sketch — "
+    "the percentile analog of the HLL rollup (exact percentiles don't "
+    "merge; KLL partials do, which is what makes p50/p99 dashboards "
+    "incremental at 100 TB). The query emits the exact discrete median "
+    "plus a boolean pinning the merged-sketch estimate within 2% "
+    "rank-tolerance-adjusted value error; the oracle computes the exact "
+    "median (quantile_disc) and literal TRUE.",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "__p", F.col("l_extendedprice").cast("decimal(12,2)").cast("double")
+    )
+    partials = (
+        li.withColumn("__half", (F.col("l_orderkey") % 2).cast("int"))
+        .groupBy("l_returnflag", "__half")
+        .agg(F.expr("kll_sketch_agg_double(__p, 200)").alias("__sk"))
+    )
+    # kll_sketch_merge_double is a scalar two-sketch merge (not an agg):
+    # pivot the two partials side by side and merge pairwise — the same
+    # associative merge a tree-reduction over N partials would run
+    merged = (
+        partials.groupBy("l_returnflag")
+        .pivot("__half", [0, 1])
+        .agg(F.first("__sk"))
+        .select(
+            "l_returnflag",
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "  kll_sketch_merge_double(`0`, `1`), 0.5)"
+            ).alias("__est"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(__p, 0.5, 1)").alias("__exact_cont"),
+        F.expr("approx_percentile(__p, 0.5, 2147483647)").alias("exact_p50"),
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_p50").cast("double").alias("exact_p50"),
+        (
+            F.abs(F.col("__est") - F.col("__exact_cont"))
+            / F.greatest(F.abs(F.col("__exact_cont")), F.lit(1.0))
+            <= 0.02
+        ).alias("sketch_ok"),
+    )

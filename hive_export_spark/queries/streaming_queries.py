@@ -182,9 +182,13 @@ def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
-        raise AssertionError("injected failure did not surface")
     except Exception:
         pass  # the injected failure killed attempt 1; offsets uncommitted
+    else:
+        # must sit OUTSIDE the except (an AssertionError raised inside the
+        # try would be swallowed by its own handler) so a hook that stops
+        # raising fails loudly instead of degrading to a no-replay run
+        raise AssertionError("injected failure did not surface")
     # restart on the same checkpoint: the block replays and its overwrite
     # replaces the orphaned first-attempt files
     q2 = transactional_streaming_export(
@@ -290,8 +294,11 @@ def stream_jdbc_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("stream_jdbc_sink")
     db, ckpt = f"{base}/db", f"{base}/ckpt"
-    for p in (db, ckpt):
-        shutil.rmtree(p, ignore_errors=True)
+    # only the checkpoint is recreated per run — deleting a Derby database
+    # directory the embedded engine may still have booted (bench invokes
+    # this query repeatedly in one JVM) corrupts the next boot; instead the
+    # sink table itself is replaced by batch 0 below
+    shutil.rmtree(ckpt, ignore_errors=True)
     url = f"jdbc:derby:{db};create=true"
 
     stream = read_stream_from_table(spark, "events", sf_dir).select(
@@ -299,8 +306,15 @@ def stream_jdbc_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def jdbc_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # fresh checkpoint => batch ids restart at 0: the first batch
+        # overwrites (DROP+CREATE at the JDBC table level), later batches
+        # of the same run append
         write_jdbc(
-            batch_df, url, "events_sink", mode="append", driver=DERBY_DRIVER
+            batch_df,
+            url,
+            "events_sink",
+            mode="overwrite" if batch_id == 0 else "append",
+            driver=DERBY_DRIVER,
         )
 
     q = (
@@ -415,4 +429,61 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.read.parquet(out)
         .filter(F.col("click_ts") < F.lit("2090-01-01").cast("timestamp"))
         .select("click_id", "p_id")
+    )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM events GROUP BY user_id
+""",
+    doc="custom stateful streaming operator through the gate "
+    "(streaming.stateful.running_user_totals, applyInPandasWithState — "
+    "the sanctioned escape hatch SURVEY section 2.2 names for state "
+    "machines built-in windows can't express): per-user running "
+    "(count, sum, max) accumulated across micro-batches in the "
+    "checkpointed state store, final state per user compared to the "
+    "batch aggregate. Values stream as exact integer cents (whole "
+    "cents in a double are exact to 2^53), so the Python-side float "
+    "accumulation is order-insensitive and hash-stable against the "
+    "oracle's decimal sum. State is one constant-width tuple per user "
+    "— store size grows with distinct keys, not events.",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hive_export_spark.streaming.stateful import running_user_totals
+
+    stream = read_stream_from_table(spark, "events", sf_dir).select(
+        "user_id",
+        # exact cents: DECIMAL(12,2) == value for every fixture row, so
+        # *100 is integral; int-valued doubles sum exactly in any order
+        (F.col("value").cast("decimal(12,2)") * 100).cast("double").alias("value"),
+    )
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user (n_events strictly increases) = final state
+    return spark.sql(
+        f"""
+        SELECT user_id, n_events,
+               CAST(total_value / 100 AS DOUBLE) AS total_value,
+               CAST(max_value / 100 AS DOUBLE) AS max_value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
     )

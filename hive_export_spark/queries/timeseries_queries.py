@@ -39,7 +39,8 @@ WITH buckets AS (
   GROUP BY 1, 2
 ), spine AS (
   SELECT t.event_type, s.bucket_epoch
-  FROM (SELECT DISTINCT event_type FROM events) t
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}') t
   CROSS JOIN (
     SELECT unnest(generate_series({_EPOCH_LO}, {_EPOCH_HI} - {_BUCKET_S}, {_BUCKET_S})) AS bucket_epoch
   ) s
@@ -325,4 +326,62 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count("*").cast("bigint").alias("active_users")
+    )
+
+
+@register(
+    "ts_incremental_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="incremental materialized rollup (the hypertable "
+    "continuous-aggregate / IVM pattern): an hourly rollup parquet is "
+    "built once from the historical partition (ts < Jan 24), then a "
+    "delta batch (ts >= Jan 24) is folded in by aggregating ONLY the "
+    "delta and merging partial states (SUM of counts, SUM of decimal "
+    "sums) with the stored rollup — count/sum are decomposable, so the "
+    "merged result provably equals the full recompute the oracle runs. "
+    "At 100 TB the refresh cost is O(delta + rollup), never a fact-table "
+    "re-scan; the merge shuffles rollup-sized data (#types x #hours "
+    "rows), not events.",
+)
+def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    base = scratch_dir("ts_ivm")
+    shutil.rmtree(base, ignore_errors=True)
+    split = "2024-01-24 00:00:00"
+    ev = load_table(spark, "events", sf_dir)
+    hour = (F.floor(F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias(
+        "hour_epoch"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        # decimal partial sums: merge-safe and hash-stable across engines
+        return df.groupBy("event_type", hour).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("__sum"),
+        )
+
+    # phase 1: historical rollup materialized once
+    partial(ev.filter(F.col("ts") < F.lit(split).cast("timestamp"))).write.parquet(
+        f"{base}/rollup"
+    )
+    # phase 2: delta-only aggregation + partial-state merge
+    delta = partial(ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")))
+    stored = spark.read.parquet(f"{base}/rollup")
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type", "hour_epoch")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum").cast("double").alias("sum_value"),
+        )
     )

@@ -47,36 +47,43 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # (parity R1-R7, TPC-H shapes, remaining fn families, LLM dedup suite)
 # register after position 49 in module order.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # connectors: per-format probes + the reformulated union + JDBC
-    "fmt_roundtrip_orc",
-    "fmt_roundtrip_csv",
-    "fmt_roundtrip_json",
-    "source_formats_roundtrip",
-    "jdbc_roundtrip_derby",
-    # never-verified scalar-function variants
-    "fn_posexplode",
-    "fn_string_extra",
-    # never-verified stats/agg shapes
-    "agg_percentiles",
-    "agg_mode_deterministic",
-    "agg_collect_sorted",
-    "sql_frontend_q1",
-    # oracle-backed approx reformulations (round 3)
-    "agg_approx_count_distinct",
-    "agg_approx_quantile_sketch",
-    # never-verified streaming window
-    "stream_sliding_window",
-    # LLM: never-verified + reformulated + changed-this-round
-    "llm_text_langid",
-    "llm_text_fingerprint",
-    "llm_dedup_minhash_ml",
+    # round-4 rotation: r03 went 50/50 green, so the ten round-3 queries
+    # that registered after position 49 (and therefore have NO driver row
+    # yet) take the slots of ten proven single-purpose probes (the format
+    # round-trips, jdbc_roundtrip_derby, posexplode/string_extra, the
+    # percentile/mode/collect aggregates — all r03-green and unchanged).
+    "window_range_frame",
+    "fn_regexp_family",
+    "stream_jdbc_sink_e2e",
+    "stream_stream_left_outer_join",
+    "llm_text_repetition",
+    "llm_decontaminate_ngram",
+    "ts_rollup_two_level",
+    "ts_funnel_three_stage",
+    "ts_sessionize_batch",
+    "ts_retention_cohorts",
+    # new this round (round 4): custom stateful streaming, incremental
+    # rollup maintenance, compaction, PII redaction, balanced sampling,
+    # intra-doc dedup — they take the slots of six r03-green singles
+    # (sql_frontend_q1, the two approx reformulations, sliding window,
+    # langid, fingerprint)
+    "stream_stateful_totals",
+    "ts_incremental_rollup",
+    "scale_compaction",
+    "llm_text_pii_redact",
+    "llm_sample_balanced",
+    "llm_intradoc_dedup",
+    "agg_hll_sketch_union",
     "llm_sim_lsh_topk",
-    "llm_sim_rp_lsh_topk",
     "llm_sim_ivf_topk",
     "llm_sim_ivf_pruned",
-    "llm_sample_fraction",
-    "llm_sample_stratified",
     "llm_multimodal_features",
+    # round-4 mergeable-sketch family (bitmap exact-merge, theta set
+    # algebra, KLL quantile merge) — swapped for three r03-green
+    # sampling/LSH reps (llm_sample_fraction/stratified, rp_lsh_topk)
+    "agg_bitmap_distinct",
+    "agg_theta_sketch_intersect",
+    "agg_kll_quantile_merge",
     # new TPC-H shapes + layout/corpus ops (round 3): the double-proven
     # r1+r2 greens (parity encode/write, q1, q5, q12, stats, pivot)
     # rotate out to make room

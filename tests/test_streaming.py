@@ -113,9 +113,12 @@ def test_transactional_export_replaces_failed_attempt(spark, sf_dir, tmp_path):
     )
     try:
         q.awaitTermination(120)
-        raise AssertionError("injected failure did not surface")
     except Exception:
         pass
+    else:
+        # outside the except so the guard can actually fire (an
+        # AssertionError inside the try would be self-swallowed)
+        raise AssertionError("injected failure did not surface")
     # the failed attempt's files exist (written before the hook fired)
     assert spark.read.parquet(out).count() == n_src
 
