@@ -158,3 +158,48 @@ def jdbc_roundtrip_derby(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=8,
         driver=DERBY_DRIVER,
     )
+
+
+@register(
+    "fmt_schema_evolution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       CASE WHEN o_orderkey % 2 = 1 THEN CAST(NULL AS VARCHAR)
+            ELSE o_orderpriority END AS priority
+FROM orders
+""",
+    doc="schema evolution across file generations (mergeSchema): batch 1 "
+    "writes odd orderkeys WITHOUT the priority column, batch 2 writes "
+    "even orderkeys WITH it — the lakehouse reality where a producer "
+    "adds a field mid-stream (the reference handles this as a new "
+    "AdvertisedDataSource generation, HiveExportClient.java: schema per "
+    "generation; a file sink must instead reconcile at read time). The "
+    "mergeSchema read unions the schemas, null-filling the old files; "
+    "the oracle reconstructs exactly that null pattern from parquet.",
+)
+def fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = scratch_dir("schema_evolution")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderpriority",
+    )
+    # generation 1: no priority column yet
+    o.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderpriority").write.parquet(
+        f"{base}/t", mode="overwrite"
+    )
+    # generation 2: producer added the column
+    o.filter(F.col("o_orderkey") % 2 == 0).withColumnRenamed(
+        "o_orderpriority", "priority"
+    ).write.parquet(f"{base}/t", mode="append")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/t")
+        .select("o_orderkey", "o_orderstatus", "price", "priority")
+    )

@@ -393,3 +393,36 @@ def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
     )
+
+
+@register(
+    "fn_bitwise_family",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 1365) AS bxor,
+       CAST(o_orderkey << 3 AS BIGINT) AS shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+       bit_count(o_orderkey) AS popcnt,
+       o_orderkey % 16 AS lowbits
+FROM orders WHERE o_orderkey <= 2000
+""",
+    doc="bitwise function family (and/or/xor, shifts, popcount): the "
+    "primitives under every hash-partitioner, bitmap index, bloom probe "
+    "and SimHash distance in the engine — all JVM codegen, shown "
+    "matching DuckDB bit semantics on 64-bit integers.",
+)
+def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.expr("CAST(shiftleft(o_orderkey, 3) AS BIGINT)").alias("shl"),
+        F.expr("CAST(shiftright(o_orderkey, 2) AS BIGINT)").alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+        (k % 16).alias("lowbits"),
+    )

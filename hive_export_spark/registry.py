@@ -87,8 +87,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new TPC-H shapes + layout/corpus ops (round 3): the double-proven
     # r1+r2 greens (parity encode/write, q1, q5, q12, stats, pivot)
     # rotate out to make room
-    "q7_volume_shipping",
-    "q8_market_share",
+    # round-4: schema-evolution probe + bitwise family (swapped for the
+    # r03-green q7/q8 reps)
+    "fmt_schema_evolution",
+    "fn_bitwise_family",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "scale_clustered_scan",
