@@ -10,6 +10,7 @@ so a plain-SQL DuckDB oracle can hash-verify the result.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -454,3 +455,63 @@ def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     ).withColumn("files_reduced", F.lit(bool(reduced)))
+
+
+@register(
+    "scale_dpp_scan",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+    doc="dynamic partition pruning: the fact table is stored partitioned "
+    "by event_type; the query joins it to a derived conversion-category "
+    "dimension whose filter ('conversion' rows only) is NOT a literal "
+    "predicate on the fact — Catalyst inserts a runtime "
+    "dynamicpruning#N subquery on the broadcast dim's keys, so only the "
+    "matching fact partitions are ever read (asserted on the plan in "
+    "tests/test_scale_ops.py). At 100 TB this is THE mechanism that "
+    "turns star-schema filters into I/O savings: partition listing "
+    "happens after the dim side resolves, not at compile time.",
+)
+def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from hive_export_spark.queries.connector_queries import scratch_dir
+    from hive_export_spark.sources import load_table
+
+    base = scratch_dir("dpp_fact")
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        shutil.rmtree(base, ignore_errors=True)
+        ev.write.partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    # a literal mapping dimension (not derived from the fact): the
+    # optimizer cannot fold the category filter into a static IN on the
+    # fact side, so the partition filter MUST come from the runtime
+    # dynamicpruning subquery — the pure DPP shape
+    dim = spark.createDataFrame(
+        [
+            ("click", "browse"),
+            ("view", "browse"),
+            ("error", "browse"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+        ],
+        ["d_type", "category"],
+    )
+    conv = dim.filter(F.col("category") == "conversion")
+    return (
+        fact.join(
+            F.broadcast(conv), fact["event_type"] == conv["d_type"]
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -91,7 +91,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r03-green q7/q8 reps)
     "fmt_schema_evolution",
     "fn_bitwise_family",
-    "q15_top_supplier",
+    # round-4: dynamic partition pruning (swapped for r03-green q15)
+    "scale_dpp_scan",
     "q17_small_quantity_revenue",
     "scale_clustered_scan",
     "llm_text_frequent_ngrams",

@@ -130,3 +130,12 @@ def test_stateful_totals_multibatch_exactness(spark, sf_dir):
         F.col("value").cast("decimal(12,2)") != F.col("value")
     ).count()
     assert bad == 0
+
+
+def test_dpp_scan_uses_runtime_pruning(spark, sf_dir):
+    df = get("scale_dpp_scan").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan must be pruned by a RUNTIME subquery, not a static IN
+    assert "dynamicpruningexpression" in plan
+    fact_lines = [l for l in plan.splitlines() if "dpp_fact" in l]
+    assert any("dynamicpruning" in l for l in fact_lines)
