@@ -909,3 +909,96 @@ def llm_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(dd).cast("bigint").alias("n_unique"),
         F.array_join(dd, " ").alias("dedup_text"),
     )
+
+
+@register(
+    "llm_text_normalize",
+    oracle="""
+WITH laced AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN '  Café  RÉSUMÉ '
+           WHEN 1 THEN ' naïve  Çédille' || chr(9)
+           ELSE ' ASCII  only ' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(lower(strip_accents(t)), '\\s+', ' ', 'g')) AS norm_text,
+       length(t) AS n_before,
+       length(trim(regexp_replace(lower(strip_accents(t)), '\\s+', ' ', 'g'))) AS n_after
+FROM laced
+""",
+    doc="text normalization pass (accent folding + case folding + "
+    "whitespace collapse + trim): the canonicalization every dedup/"
+    "fingerprint pipeline runs first. The fixture corpus is pure ASCII, "
+    "so deterministic accented suffixes are laced in from doc_id; the "
+    "Spark side folds accents with an explicit translate() map (pure "
+    "JVM codegen), the oracle uses DuckDB's strip_accents — agreeing "
+    "outputs prove the map is faithful for the laced alphabet. Zero "
+    "shuffle, scan-fused.",
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    laced = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("  Café  RÉSUMÉ "))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" naïve  Çédille\t"))
+        .otherwise(F.lit(" ASCII  only ")),
+    )
+    accents, plain = "éÉïÇé", "eEiCe"
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.translate(F.col("t"), accents, plain)), r"\s+", " ")
+    )
+    t = d.select("doc_id", laced.alias("t"))
+    return t.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("t").cast("bigint").alias("n_before"),
+        F.length(norm).cast("bigint").alias("n_after"),
+    )
+
+
+@register(
+    "fn_url_family",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://node' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example.com/api/v1/doc/' || CAST(doc_id AS VARCHAR)
+           || '?fmt=json&lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+FROM u
+""",
+    doc="URL parsing family (parse_url PROTOCOL/HOST/PATH/QUERY + "
+    "per-parameter extraction): web-corpus curation's source-of-truth "
+    "attribution step. URLs are constructed deterministically from "
+    "doc_id/lang; the oracle parses the same URLs with anchored "
+    "regexes, proving Spark's parse_url semantics on this grammar. "
+    "All JVM expressions, scan-fused.",
+)
+def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("https://node"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/api/v1/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?fmt=json&lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

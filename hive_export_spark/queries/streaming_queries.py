@@ -12,6 +12,7 @@ file source -> foreachBatch partitioned write -> read-back, oracle-checked.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -456,13 +457,32 @@ FROM events GROUP BY user_id
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
+    from hive_export_spark.queries.connector_queries import scratch_dir
     from hive_export_spark.streaming.stateful import running_user_totals
 
-    stream = read_stream_from_table(spark, "events", sf_dir).select(
-        "user_id",
-        # exact cents: DECIMAL(12,2) == value for every fixture row, so
-        # *100 is integral; int-valued doubles sum exactly in any order
-        (F.col("value").cast("decimal(12,2)") * 100).cast("double").alias("value"),
+    # split the source into 4 files and feed them one per micro-batch:
+    # the per-user state genuinely persists across batches (a single-file
+    # source would collapse the run into one batch and never exercise the
+    # state store's cross-batch path)
+    src = scratch_dir("stateful_src")
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        shutil.rmtree(src, ignore_errors=True)
+        load_table(spark, "events", sf_dir).select(
+            "user_id", "value"
+        ).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "user_id",
+            # exact cents: DECIMAL(12,2) == value for every fixture row, so
+            # *100 is integral; int-valued doubles sum exactly in any order
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("double")
+            .alias("value"),
+        )
     )
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     q = (

@@ -93,8 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_bitwise_family",
     # round-4: dynamic partition pruning (swapped for r03-green q15)
     "scale_dpp_scan",
-    "q17_small_quantity_revenue",
-    "scale_clustered_scan",
+    # round-4: normalization + URL families (swapped for r03-green
+    # q17/clustered-scan)
+    "llm_text_normalize",
+    "fn_url_family",
     "llm_text_frequent_ngrams",
     # TPC-H completion set (round 3, never driver-verified): the r2-green
     # join family reps (join_full/range_band/asof), agg_grouping_sets,
