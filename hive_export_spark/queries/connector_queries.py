@@ -203,3 +203,49 @@ def fmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/t")
         .select("o_orderkey", "o_orderstatus", "price", "priority")
     )
+
+
+@register(
+    "source_export_blocks",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="custom connector through the Python DataSource API (Spark 4) — "
+    "the reference's pluggable export-decoder seam "
+    "(HiveExportClient.java:constructExportDecoder) re-expressed as a "
+    "Spark source plugin (sources/export_blocks.py): events are first "
+    "exported as line-JSON block files (the conduit's output format), "
+    "then read back with spark.read.format('export_blocks'), one Spark "
+    "task per block file, and aggregated. Round-tripping the decimal "
+    "sums proves the decoder is lossless on the double payload.",
+)
+def source_export_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from hive_export_spark.sources.export_blocks import (
+        register_export_blocks_source,
+    )
+
+    base = scratch_dir("export_blocks")
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "event_type", "value"
+        )
+        # 4 block files = 4 reader partitions
+        ev.repartition(4).select(
+            F.to_json(F.struct("event_id", "event_type", "value")).alias("v")
+        ).write.text(base)
+    register_export_blocks_source(spark)
+    blocks = (
+        spark.read.format("export_blocks")
+        .schema("event_id bigint, event_type string, value double")
+        .option("path", base)
+        .load()
+    )
+    return blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )

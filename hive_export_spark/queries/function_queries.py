@@ -426,3 +426,46 @@ def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcnt"),
         (k % 16).alias("lowbits"),
     )
+
+
+@register(
+    "fn_variant_family",
+    oracle="""
+SELECT event_id,
+       event_type AS vtype,
+       CAST(value AS DOUBLE) AS vvalue,
+       event_id AS vid1,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    doc="VARIANT type family (parse_json / variant_get, Spark 4): "
+    "semi-structured rows parsed once into the binary variant encoding, "
+    "fields then extracted with typed paths ('$.meta.value', "
+    "'$.ids[1]') — the modern replacement for per-field "
+    "get_json_object re-parsing (one parse, many typed reads; variant "
+    "shreds into columnar form under the hood). The JSON is built from "
+    "fixture columns so the oracle can verify the typed extractions "
+    "against the raw columns directly; props.k exercises a real stored "
+    "JSON column through the same path.",
+)
+def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    j = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(F.col("event_type"), F.col("value")).alias("meta"),
+            F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+        )
+    )
+    parsed = ev.select(
+        "event_id",
+        F.parse_json(j).alias("__v"),
+        F.parse_json(F.col("props")).alias("__pv"),
+    )
+    return parsed.select(
+        "event_id",
+        F.expr("variant_get(__v, '$.meta.event_type', 'string')").alias("vtype"),
+        F.expr("variant_get(__v, '$.meta.value', 'double')").alias("vvalue"),
+        F.expr("variant_get(__v, '$.ids[1]', 'bigint')").alias("vid1"),
+        F.expr("CAST(variant_get(__pv, '$.k', 'int') AS BIGINT)").alias("k"),
+    )

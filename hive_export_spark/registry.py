@@ -101,8 +101,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H completion set (round 3, never driver-verified): the r2-green
     # join family reps (join_full/range_band/asof), agg_grouping_sets,
     # and two pandas-UDF reps rotate out on their proven rows
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
+    # round-4: VARIANT family + Python DataSource connector (swapped for
+    # r03-green q2/q9)
+    "fn_variant_family",
+    "source_export_blocks",
     "q11_important_stock",
     "q16_parts_supplier_relationship",
     "q20_potential_promotion",
