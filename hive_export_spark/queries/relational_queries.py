@@ -1602,3 +1602,106 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+""",
+    doc="correlated EXISTS / NOT EXISTS subqueries through the SQL "
+    "frontend: Catalyst decorrelates both into a left-semi and a "
+    "left-anti join on the correlation key — the declarative form of "
+    "join_semi/join_anti, proving the engine's subquery rewrite matches "
+    "ANSI semantics (same plan family, no per-row re-execution).",
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"__sq_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __sq_customer c
+        WHERE EXISTS (SELECT 1 FROM __sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM __sq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "subquery_not_in_nulls",
+    oracle="""
+SELECT 'no_nulls' AS variant, COUNT(*) AS n FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+UNION ALL
+SELECT 'with_nulls' AS variant, COUNT(*) AS n FROM part
+WHERE p_partkey NOT IN (
+  SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_partkey END
+  FROM lineitem WHERE l_returnflag = 'A')
+""",
+    doc="NOT IN with NULLs — the ANSI three-valued-logic trap, pinned "
+    "from both sides in one probe: the null-free variant returns the "
+    "real anti-join count (> 0), the null-poisoned variant must return "
+    "0 because one NULL in the IN-list makes every NOT IN predicate "
+    "UNKNOWN. Matching DuckDB on both counts proves Spark's null-aware "
+    "anti-join implements the standard exactly — the detail naive "
+    "anti-join rewrites get wrong.",
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"__sqn_{t}")
+    return spark.sql(
+        """
+        SELECT 'no_nulls' AS variant, COUNT(*) AS n FROM __sqn_part
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM __sqn_lineitem WHERE l_returnflag = 'A')
+        UNION ALL
+        SELECT 'with_nulls' AS variant, COUNT(*) AS n FROM __sqn_part
+        WHERE p_partkey NOT IN (
+          SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_partkey END
+          FROM __sqn_lineitem WHERE l_returnflag = 'A')
+        """
+    )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+""",
+    doc="LATERAL correlated table subquery (SQL 2016 / Spark 4): top-2 "
+    "orders per customer expressed as a per-row dependent subquery — "
+    "Catalyst decorrelates it into the same windowed rank shape as "
+    "topk_per_group instead of executing per customer, which is the "
+    "whole point: declarative LATERAL, distributed execution.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"__lat_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM __lat_orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )

@@ -105,9 +105,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r03-green q2/q9)
     "fn_variant_family",
     "source_export_blocks",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
+    # round-4: correlated subqueries + LATERAL (swapped for r03-green
+    # q11/q16/q20)
+    "subquery_correlated_exists",
+    "subquery_not_in_nulls",
+    "join_lateral_topk",
     "q21_suppliers_kept_waiting",
     # CDC + scale ops + stream-stream join (new this round)
     "cdc_upsert_current",
