@@ -1002,3 +1002,70 @@ def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "llm_text_tfidf",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term,
+       CAST(round(tfidf, 6) AS DOUBLE) AS tfidf_r, rk
+FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+    doc="TF-IDF term scoring with smoothed IDF ln((N+1)/(df+1)), top-3 "
+    "terms per document: the classic relevance/keyword-extraction "
+    "statistic over the corpus. Shape: one (doc,term) aggregation, one "
+    "term-keyed DF aggregation joined back (term dictionary is "
+    "vocabulary-sized -> broadcast at corpus scale), one per-doc window "
+    "for the top-k — no pairwise anything. Scores rounded to 6 decimals "
+    "on both sides so ln() ULP noise can't flip the hash; ties broken "
+    "by term for determinism.",
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()  # one scalar; the driver-side read is a count, not data
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf", 6).cast("double").alias("tfidf_r"),
+            "rk",
+        )
+    )

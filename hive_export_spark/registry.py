@@ -97,7 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q17/clustered-scan)
     "llm_text_normalize",
     "fn_url_family",
-    "llm_text_frequent_ngrams",
+    "llm_text_tfidf",
     # TPC-H completion set (round 3, never driver-verified): the r2-green
     # join family reps (join_full/range_band/asof), agg_grouping_sets,
     # and two pandas-UDF reps rotate out on their proven rows
