@@ -1069,3 +1069,55 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "llm_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(greatest(1, ceil((len(toks) - 10) / 40.0)) AS BIGINT))) AS i
+  FROM t
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text,
+       CAST(len(toks[i*40+1 : i*40+50]) AS BIGINT) AS n_tokens
+FROM c
+""",
+    doc="document chunking for context-window training: 50-token chunks "
+    "with 10-token overlap (stride 40) via sequence + slice — the step "
+    "between curation and tokenization in every LLM data pipeline. "
+    "Pure per-row array ops (explode of a per-doc index sequence, "
+    "clipped slices), zero shuffle, no Python; short docs yield one "
+    "clipped chunk. Both engines' slice clip identically at the array "
+    "end, which the tail chunks exercise on every document.",
+)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    size, overlap = 50, 10
+    stride = size - overlap
+    toks = F.split(norm, " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),
+    ).cast("long")
+    t = d.select("doc_id", toks.alias("__toks"), n_chunks.alias("__nc"))
+    c = t.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    sl = F.slice(
+        F.col("__toks"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+    )

@@ -515,3 +515,78 @@ def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "cdc_asof_lookup",
+    oracle="""
+WITH t AS (SELECT o_orderkey, o_orderstatus FROM orders),
+hist AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS effective_from,
+         CAST('2024-06-01 00:00:00' AS TIMESTAMP) AS effective_to
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 'X',
+         CAST('2024-06-01 00:00:00' AS TIMESTAMP),
+         CAST(NULL AS TIMESTAMP)
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST('2024-01-01 00:00:00' AS TIMESTAMP),
+         CAST(NULL AS TIMESTAMP)
+  FROM t WHERE o_orderkey % 10 <> 0
+)
+SELECT o_orderkey,
+       MAX(CASE WHEN TIMESTAMP '2024-03-15 00:00:00' >= effective_from
+                 AND (effective_to IS NULL
+                      OR TIMESTAMP '2024-03-15 00:00:00' < effective_to)
+                THEN o_orderstatus END) AS status_march,
+       MAX(CASE WHEN TIMESTAMP '2024-07-01 00:00:00' >= effective_from
+                 AND (effective_to IS NULL
+                      OR TIMESTAMP '2024-07-01 00:00:00' < effective_to)
+                THEN o_orderstatus END) AS status_july
+FROM hist GROUP BY o_orderkey
+""",
+    doc="point-in-time (AS OF) lookup over the SCD2 history built by "
+    "cdc_scd2_history: the version valid at a probe timestamp is the "
+    "row with effective_from <= t < effective_to (NULL = open). Two "
+    "probes straddle the merge batch time, so every %10 key must "
+    "answer differently at March vs July — the temporal-query face of "
+    "the CDC family. One history scan, no join: at 100 TB the interval "
+    "predicate prunes to current+adjacent versions per key.",
+)
+def cdc_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.cdc import scd2_apply
+
+    current = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.lit("X").alias("o_orderstatus"))
+    )
+    hist = scd2_apply(
+        current,
+        updates,
+        key="o_orderkey",
+        tracked_cols=["o_orderstatus"],
+        batch_time="2024-06-01 00:00:00",
+    )
+
+    def asof(ts: str):
+        probe = F.lit(ts).cast("timestamp")
+        valid = (probe >= F.col("effective_from")) & (
+            F.col("effective_to").isNull() | (probe < F.col("effective_to"))
+        )
+        return F.max(F.when(valid, F.col("o_orderstatus")))
+
+    return hist.groupBy("o_orderkey").agg(
+        asof("2024-03-15 00:00:00").alias("status_march"),
+        asof("2024-07-01 00:00:00").alias("status_july"),
+    )

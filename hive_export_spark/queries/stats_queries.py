@@ -471,3 +471,37 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02
         ).alias("sketch_ok"),
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS DOUBLE) AS corr_qty_price,
+       CAST(round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) AS DOUBLE) AS slope_price_on_qty,
+       CAST(round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) AS DOUBLE) AS intercept_price_on_qty,
+       CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="correlation / linear-regression aggregate family (corr, "
+    "regr_slope, regr_intercept, regr_count): the two-column statistical "
+    "aggregates, all single-pass partial-mergeable (sum of products "
+    "co-moments) — distributed as cheaply as SUM. Outputs rounded "
+    "(corr@6, slope@4, intercept@2) so partial-merge accumulation-order "
+    "float noise cannot flip the cross-engine hash while every rounded "
+    "digit is still load-bearing.",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("p"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("q", "p"), 6).cast("double").alias("corr_qty_price"),
+        F.round(F.regr_slope("p", "q"), 4).cast("double").alias("slope_price_on_qty"),
+        F.round(F.regr_intercept("p", "q"), 2)
+        .cast("double")
+        .alias("intercept_price_on_qty"),
+        F.regr_count("p", "q").cast("bigint").alias("n_pairs"),
+    )
