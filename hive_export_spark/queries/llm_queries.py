@@ -1121,3 +1121,90 @@ def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split({_SQL_NORM}, ' ')) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e
+  FROM t
+), s AS (
+  SELECT doc_id, n, e, e - n AS st FROM c
+)
+SELECT doc_id, CAST(u.b AS BIGINT) AS bin,
+       CAST(least(e, (u.b + 1) * 512) - greatest(st, u.b * 512) AS BIGINT)
+         AS tokens_in_bin
+FROM s, UNNEST(range(CAST(st // 512 AS BIGINT), CAST((e - 1) // 512 + 1 AS BIGINT))) AS u(b)
+""",
+    doc="sequence packing, concatenate-and-chop (the GPT-style training "
+    "packer): documents in doc_id order are laid end-to-end on a global "
+    "token axis and cut into 512-token context bins; each doc emits one "
+    "row per bin it overlaps with its token share. The global offsets "
+    "come from a DISTRIBUTED two-phase prefix sum — per-range-bucket "
+    "window cumsum plus a broadcast of bucket-total prefix offsets — "
+    "never a single-partition global window, so the shape survives a "
+    "corpus that doesn't fit one task (the naive ORDER BY cumsum is the "
+    "scale trap this operator exists to avoid).",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = 512
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("long").alias("n"),
+        # range bucket: keeps each window partition bounded; any
+        # monotonic-in-doc_id bucketing works
+        (F.col("doc_id") / 100).cast("long").alias("__bkt"),
+    )
+    # phase 1: cumsum WITHIN each bucket (bounded window partitions)
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__local_e", F.sum("n").over(w_in))
+    # phase 2: bucket totals -> prefix offsets (bucket count is tiny:
+    # corpus/100 rows — the window here is over the BUCKET table, and at
+    # real scale this stays driver-free: totals are broadcast back)
+    totals = (
+        t.groupBy("__bkt")
+        .agg(F.sum("n").alias("__tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bkt", "__offset")
+    )
+    s = (
+        local.join(F.broadcast(totals), "__bkt")
+        .withColumn("e", F.col("__local_e") + F.col("__offset"))
+        .withColumn("st", F.col("e") - F.col("n"))
+    )
+    bins = F.sequence(
+        F.floor(F.col("st") / cap).cast("long"),
+        F.floor((F.col("e") - 1) / cap).cast("long"),
+    )
+    return s.select(
+        "doc_id", "e", "st", F.explode(bins).alias("bin")
+    ).select(
+        "doc_id",
+        F.col("bin").cast("bigint").alias("bin"),
+        (
+            F.least(F.col("e"), (F.col("bin") + 1) * cap)
+            - F.greatest(F.col("st"), F.col("bin") * cap)
+        )
+        .cast("bigint")
+        .alias("tokens_in_bin"),
+    )

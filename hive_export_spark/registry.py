@@ -120,7 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup-cluster components + z-order layout (new this round; the
     # tumbling-window and grouped-agg-UDF reps rotate out on r2 greens)
     "llm_dedup_components",
-    "scale_zorder_scan",
+    "llm_pack_sequences",
     "llm_corpus_curation",
     # time-series gap-fill + salted skew join (new this round; the last
     # r2-green streaming fillers rotate out — the driver-riskiest of the
