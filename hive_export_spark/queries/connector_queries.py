@@ -228,7 +228,8 @@ def source_export_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_export_blocks_source,
     )
 
-    base = scratch_dir("export_blocks")
+    # sf-keyed: see stream_stateful_totals
+    base = scratch_dir(f"export_blocks_{os.path.basename(sf_dir.rstrip('/'))}")
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)
         ev = load_table(spark, "events", sf_dir).select(

@@ -482,7 +482,8 @@ def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.queries.connector_queries import scratch_dir
     from hive_export_spark.sources import load_table
 
-    base = scratch_dir("dpp_fact")
+    # sf-keyed: see stream_stateful_totals
+    base = scratch_dir(f"dpp_fact_{os.path.basename(sf_dir.rstrip('/'))}")
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)

@@ -464,7 +464,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-user state genuinely persists across batches (a single-file
     # source would collapse the run into one batch and never exercise the
     # state store's cross-batch path)
-    src = scratch_dir("stateful_src")
+    # sf-keyed: a _SUCCESS-cached dir from another scale factor in the
+    # same process must not be reused
+    src = scratch_dir(f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}")
     if not os.path.exists(f"{src}/_SUCCESS"):
         shutil.rmtree(src, ignore_errors=True)
         load_table(spark, "events", sf_dir).select(
