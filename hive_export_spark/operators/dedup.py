@@ -448,15 +448,31 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # unconverged labels are silently WRONG (a >max_iter-hop duplicate
-        # chain would get split cluster_ids with no local symptom) — fail
-        # loudly instead of returning them
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph has a component with diameter > max_iter — raise "
-            "max_iter or switch to the large-star/small-star doubling "
-            "variant documented above"
+        # the loop exhausted with changes still happening in its LAST
+        # round — but that round may itself have reached the fixed point
+        # (convergence exactly at round max_iter has no confirmation
+        # round). Run one extra stability check before deciding:
+        final_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
         )
+        still_changing = (
+            labels.join(final_min, labels.node == final_min.src)
+            .filter(F.col("nbr_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        if still_changing:
+            # unconverged labels are silently WRONG (a long duplicate
+            # chain would get split cluster_ids with no local symptom) —
+            # fail loudly instead of returning them
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the graph has a component with diameter > "
+                "max_iter — raise max_iter or switch to the "
+                "large-star/small-star doubling variant documented above"
+            )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

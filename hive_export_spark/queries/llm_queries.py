@@ -1049,14 +1049,20 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = words.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = d.count()  # one scalar; the driver-side read is a count, not data
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf")
-            * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate: stays lazy and fuses
+    # into the same job instead of an eager driver-side d.count() scan
+    ndocs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

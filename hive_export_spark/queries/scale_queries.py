@@ -484,10 +484,11 @@ def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sf-keyed: see stream_stateful_totals
     base = scratch_dir(f"dpp_fact_{os.path.basename(sf_dir.rstrip('/'))}")
-    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)
-        ev.write.partitionBy("event_type").parquet(base)
+        load_table(spark, "events", sf_dir).select(
+            "event_type", "value"
+        ).write.partitionBy("event_type").parquet(base)
     fact = spark.read.parquet(base)
     # a literal mapping dimension (not derived from the fact): the
     # optimizer cannot fold the category filter into a static IN on the

@@ -373,10 +373,7 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("n_purchase"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("__dummy"),
-    ).drop("__dummy")
+    )
     exact_both = (
         ev.filter(F.col("event_type") == "click")
         .select("user_id")

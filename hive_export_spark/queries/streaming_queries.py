@@ -455,8 +455,6 @@ FROM events GROUP BY user_id
     "— store size grows with distinct keys, not events.",
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from hive_export_spark.queries.connector_queries import scratch_dir
     from hive_export_spark.streaming.stateful import running_user_totals
 
@@ -486,7 +484,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
-    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    # fixed sink name, previous run's view dropped first: a per-call uuid
+    # name would leak one driver-memory table per invocation (bench runs
+    # each query 4x in one session)
+    name = "stateful_totals_gate"
+    spark.catalog.dropTempView(name)
     q = (
         running_user_totals(stream)
         .writeStream.format("memory")

@@ -69,11 +69,16 @@ class ExportBlocksReader(DataSourceReader):
         self._fields = [f.name for f in schema.fields]
 
     def partitions(self):
+        # set-dedup: the two patterns overlap (a file named
+        # part-00000.jsonl matches both) and a duplicated partition would
+        # silently double-count its rows
         files = sorted(
-            f
-            for pat in ("*.jsonl", "part-*")
-            for f in glob.glob(os.path.join(self._path, pat))
-            if os.path.isfile(f) and not f.endswith(".crc")
+            {
+                f
+                for pat in ("*.jsonl", "part-*")
+                for f in glob.glob(os.path.join(self._path, pat))
+                if os.path.isfile(f) and not f.endswith(".crc")
+            }
         )
         if not files:
             raise FileNotFoundError(f"no block files under {self._path}")
@@ -92,9 +97,7 @@ class ExportBlocksReader(DataSourceReader):
 
 
 def register_export_blocks_source(spark) -> None:
-    """Idempotently register the plugin on a session."""
-    try:
-        spark.dataSource.register(ExportBlocksDataSource)
-    except Exception:
-        # already registered in this session — the API has no lookup
-        pass
+    """Register the plugin on a session (re-registration replaces with a
+    WARN, so this is already idempotent — swallowing exceptions here
+    would only hide real registration failures)."""
+    spark.dataSource.register(ExportBlocksDataSource)
