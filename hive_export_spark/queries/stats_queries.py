@@ -502,3 +502,28 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intercept_price_on_qty"),
         F.regr_count("p", "q").cast("bigint").alias("n_pairs"),
     )
+
+
+@register(
+    "agg_bool_family",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (l_quantity > 45) AS n_large,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_extendedprice >= 900) AS all_pricey
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="boolean aggregate family (count_if, every/bool_and, "
+    "any/bool_or): predicate rollups — the assertion layer of data "
+    "quality monitors (\"all rows positive\", \"any outlier present\") "
+    "as single-pass partial-mergeable aggregates.",
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 45).alias("n_large"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.every(F.col("l_extendedprice") >= 900).alias("all_pricey"),
+    )

@@ -215,3 +215,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_in_band"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    doc="time-interval RANGE frame (RANGE BETWEEN INTERVAL 1 HOUR "
+    "PRECEDING): per-user trailing-hour rolling count/sum keyed on "
+    "event time — the time-based sibling of the numeric-offset "
+    "window_range_frame; the frame follows the ORDER BY timestamp "
+    "VALUE, not row positions, so irregular event spacing is handled "
+    "exactly. Decimal sums keep the rolling totals hash-stable.",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("__wri_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                 AS sum_last_hour
+        FROM __wri_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -104,7 +104,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "subquery_correlated_exists",
     "subquery_not_in_nulls",
     "join_lateral_topk",
-    "q21_suppliers_kept_waiting",
+    # round-4: interval-RANGE window (swapped for r03-green q21)
+    "window_range_interval",
     # CDC + scale ops + stream-stream join (new this round)
     # round-4: AS-OF lookup joins the window for its family (upsert
     # rep r03-green rotates out)
@@ -112,7 +113,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_scd2_history",
     "agg_corr_regression",
     "scale_bucketed_join",
-    "stream_stream_interval_join",
+    # round-4: boolean aggregates (swapped for r03-green interval join)
+    "agg_bool_family",
     # OPH minhash + embedding near-dup (new this round; the ten fn
     # families and window_distribution carry r2 greens)
     "llm_dedup_minhash_oph",
