@@ -78,3 +78,68 @@ def running_user_totals(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TYPE_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def running_type_totals_tws(df: DataFrame) -> DataFrame:
+    """Per-event-type running (count, sum, max) via transformWithState —
+    the second-generation stateful API (Spark 4): explicit ValueState
+    handles, timer support, state schema declared per variable. Same
+    constant-width-per-key contract as :func:`running_user_totals`, so
+    state grows with distinct types, not events; kept alongside the
+    applyInPandasWithState form to cover both sanctioned stateful seams.
+
+    Environment gate: executing this operator requires ``google.protobuf``
+    (the transformWithState worker protocol is protobuf-framed); in
+    environments without it the stream fails at initialization, so the
+    test suite skips via ``pytest.importorskip`` and the driver-gated
+    stateful query uses :func:`running_user_totals` instead.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType=TYPE_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hive_export_spark.sources import load_table, read_stream_from_table
@@ -53,3 +55,50 @@ def test_running_totals_match_batch(spark, sf_dir):
     }
     for r in streamed:
         assert abs(r.total_value - expected_sums[r.user_id]) < 1e-6
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState worker protocol requires protobuf",
+    )
+    import shutil
+
+    from hive_export_spark.streaming.stateful import running_type_totals_tws
+
+    src = "/tmp/tws_pytest_src"
+    shutil.rmtree(src, ignore_errors=True)
+    load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("double").alias("value"),
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_type_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: r.n
+        for r in spark.sql(
+            f"SELECT event_type, max(n_events) AS n FROM {name} GROUP BY 1"
+        ).collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
