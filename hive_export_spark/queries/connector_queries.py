@@ -50,6 +50,19 @@ def scratch_dir(name: str) -> str:
     return base
 
 
+def sf_scratch_dir(name: str, sf_dir: str) -> str:
+    """Scratch path for _SUCCESS-cached data derived from ``sf_dir``.
+
+    Keyed on a hash of the FULL fixture path, not its basename: two
+    fixture roots with the same leaf name (``.../a/sf1`` and ``.../b/sf1``)
+    in one process must not silently reuse each other's cached data.
+    """
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return scratch_dir(f"{name}_{key}")
+
+
 _FMT_ORACLE = """
 SELECT l_orderkey,
        l_linenumber,
@@ -228,8 +241,8 @@ def source_export_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_export_blocks_source,
     )
 
-    # sf-keyed: see stream_stateful_totals
-    base = scratch_dir(f"export_blocks_{os.path.basename(sf_dir.rstrip('/'))}")
+    # sf-keyed on the full fixture path: see sf_scratch_dir
+    base = sf_scratch_dir("export_blocks", sf_dir)
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)
         ev = load_table(spark, "events", sf_dir).select(

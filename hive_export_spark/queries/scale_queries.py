@@ -479,11 +479,11 @@ GROUP BY event_type
 def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    from hive_export_spark.queries.connector_queries import scratch_dir
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
     from hive_export_spark.sources import load_table
 
-    # sf-keyed: see stream_stateful_totals
-    base = scratch_dir(f"dpp_fact_{os.path.basename(sf_dir.rstrip('/'))}")
+    # sf-keyed on the full fixture path: see sf_scratch_dir
+    base = sf_scratch_dir("dpp_fact", sf_dir)
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)
         load_table(spark, "events", sf_dir).select(

@@ -417,9 +417,16 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_kll_quantile_merge",
     oracle="""
 SELECT l_returnflag,
-       CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(12,2)), 0.5) AS DOUBLE) AS exact_p50,
+       CAST(__p AS DOUBLE) AS exact_p50,
        TRUE AS sketch_ok
-FROM lineitem GROUP BY l_returnflag
+FROM (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS __p,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DECIMAL(12,2))) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+) WHERE rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
 """,
     doc="mergeable KLL quantile sketches (kll_sketch_agg_double / "
     "kll_sketch_merge_double): per-(flag, orderkey-parity) partial "
@@ -428,8 +435,14 @@ FROM lineitem GROUP BY l_returnflag
     "merge; KLL partials do, which is what makes p50/p99 dashboards "
     "incremental at 100 TB). The query emits the exact discrete median "
     "plus a boolean pinning the merged-sketch estimate within 2% "
-    "rank-tolerance-adjusted value error; the oracle computes the exact "
-    "median (quantile_disc) and literal TRUE.",
+    "rank-tolerance-adjusted value error. The exact median is pinned to "
+    "ONE convention on both sides — the lower-middle element, "
+    "rank = floor((n+1)/2) of the value-ordered group, picked with "
+    "ROW_NUMBER — because engine quantile builtins disagree on the "
+    "even-count discrete-median element (Spark approx_percentile vs "
+    "DuckDB quantile_disc), which would make the hash brittle to "
+    "fixture regeneration; the oracle computes the identical pick and "
+    "literal TRUE.",
 )
 def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).withColumn(
@@ -455,10 +468,24 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__est"),
         )
     )
+    from pyspark.sql.window import Window
+
+    # exact discrete median, SAME convention as the oracle: lower-middle
+    # element at rank floor((n+1)/2) of the value-ordered group (builtin
+    # discrete-quantile rank conventions differ between engines for
+    # even-count groups, so neither side uses one)
+    w_rank = Window.partitionBy("l_returnflag").orderBy("__p")
+    w_all = Window.partitionBy("l_returnflag")
+    exact_disc = (
+        li.select("l_returnflag", "__p")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        .select("l_returnflag", F.col("__p").alias("exact_p50"))
+    )
     exact = li.groupBy("l_returnflag").agg(
         F.expr("percentile(__p, 0.5, 1)").alias("__exact_cont"),
-        F.expr("approx_percentile(__p, 0.5, 2147483647)").alias("exact_p50"),
-    )
+    ).join(exact_disc, "l_returnflag")
     return exact.join(merged, "l_returnflag").select(
         "l_returnflag",
         F.col("exact_p50").cast("double").alias("exact_p50"),

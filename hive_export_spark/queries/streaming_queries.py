@@ -306,17 +306,24 @@ def stream_jdbc_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
 
+    # reset the sink BEFORE the stream starts: an empty overwrite is a
+    # DROP+CREATE at the JDBC table level, so stale rows from a prior run
+    # (or prior scale factor) cannot survive even if this run's source
+    # yields no batches at all — relying on batch 0 to overwrite would
+    # silently keep them in that case
+    write_jdbc(
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "event_type", "value")
+        .limit(0),
+        url,
+        "events_sink",
+        mode="overwrite",
+        driver=DERBY_DRIVER,
+    )
+
     def jdbc_sink(batch_df: DataFrame, batch_id: int) -> None:
-        # fresh checkpoint => batch ids restart at 0: the first batch
-        # overwrites (DROP+CREATE at the JDBC table level), later batches
-        # of the same run append
-        write_jdbc(
-            batch_df,
-            url,
-            "events_sink",
-            mode="overwrite" if batch_id == 0 else "append",
-            driver=DERBY_DRIVER,
-        )
+        # the table was reset above; every micro-batch appends
+        write_jdbc(batch_df, url, "events_sink", mode="append", driver=DERBY_DRIVER)
 
     q = (
         stream.writeStream.foreachBatch(jdbc_sink)
@@ -455,16 +462,16 @@ FROM events GROUP BY user_id
     "— store size grows with distinct keys, not events.",
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hive_export_spark.queries.connector_queries import scratch_dir
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
     from hive_export_spark.streaming.stateful import running_user_totals
 
     # split the source into 4 files and feed them one per micro-batch:
     # the per-user state genuinely persists across batches (a single-file
     # source would collapse the run into one batch and never exercise the
     # state store's cross-batch path)
-    # sf-keyed: a _SUCCESS-cached dir from another scale factor in the
-    # same process must not be reused
-    src = scratch_dir(f"stateful_src_{os.path.basename(sf_dir.rstrip('/'))}")
+    # sf-keyed on the full fixture path (sf_scratch_dir): a _SUCCESS-cached
+    # dir from another fixture root in the same process must not be reused
+    src = sf_scratch_dir("stateful_src", sf_dir)
     if not os.path.exists(f"{src}/_SUCCESS"):
         shutil.rmtree(src, ignore_errors=True)
         load_table(spark, "events", sf_dir).select(

@@ -16,12 +16,23 @@ independent ``InputPartition`` so a 1000-block directory reads
 1000-way parallel — the per-(table x partition) decoder-thread shape of
 the reference (HiveExportClient.java:131-134) without any thread code.
 
-Scale notes: the reader is line-streaming (never loads a whole block into
-memory) and yields per-row tuples; for wide/hot paths the API's Arrow
-batch variant (yielding pyarrow.RecordBatch) drops in without changing
-the plugin contract. Schema is declared by the caller via the ``schema``
-option as a DDL string — like the reference, the decoder trusts the
-advertised schema rather than inferring per block.
+Scale notes: the decode hot path is Arrow-vectorized — each block file is
+parsed by ``pyarrow.json.read_json`` (C++ NDJSON parser) and ``read()``
+yields ``pyarrow.RecordBatch`` objects, so rows cross the Python worker
+boundary as Arrow batches, never as per-row tuples (the reference's
+block-decode loop, HiveExportClient.java:176-187, gets the vectorized
+treatment). A line-streaming per-row fallback is kept only for
+environments without ``pyarrow.json``. Schema is declared by the caller
+via ``.schema(ddl)`` — like the reference, the decoder trusts the
+advertised schema rather than inferring per block: parsed columns are
+cast to it, columns absent from a block surface as typed nulls.
+
+Filesystem note: ``partitions()``/``read()`` list and open block files
+through the local filesystem (``glob``/``open``) on purpose — the block
+directory in this engine is a local staging/spool directory, the same
+role the reference's on-host export spool plays. Reading block
+directories off HDFS/S3 is out of scope for this connector; land remote
+blocks with a plain ``spark.read`` format or sync them locally first.
 """
 
 from __future__ import annotations
@@ -66,6 +77,7 @@ class ExportBlocksReader(DataSourceReader):
         if not path:
             raise ValueError("export_blocks requires .option('path', <dir>)")
         self._path = path
+        self._schema = schema
         self._fields = [f.name for f in schema.fields]
 
     def partitions(self):
@@ -86,6 +98,32 @@ class ExportBlocksReader(DataSourceReader):
         return [_BlockPartition(f) for f in files]
 
     def read(self, partition: _BlockPartition):
+        try:
+            import pyarrow as pa
+            import pyarrow.json as pa_json
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+        except ImportError:  # pragma: no cover - pyarrow is baked in here
+            yield from self._read_rows(partition)
+            return
+
+        if os.path.getsize(partition.path) == 0:
+            return  # an empty block carries no rows
+        target = to_arrow_schema(self._schema)
+        # C++ NDJSON parse of the whole block (a block is the bounded unit
+        # of export, sized by the producer), then conform to the advertised
+        # schema: cast parsed columns, null-fill absent ones
+        parsed = pa_json.read_json(partition.path)
+        columns = [
+            parsed.column(f.name).cast(f.type)
+            if f.name in parsed.column_names
+            else pa.nulls(parsed.num_rows, f.type)
+            for f in target
+        ]
+        yield from pa.Table.from_arrays(columns, schema=target).to_batches()
+
+    def _read_rows(self, partition: _BlockPartition):
+        """Line-streaming per-row fallback (no pyarrow.json available)."""
         fields = self._fields
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
