@@ -393,7 +393,9 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_decontaminate_ngram",
-    oracle="""
+    # raw string: the '\s' regex must not trip Python's invalid-escape
+    # deprecation (string content is identical either way)
+    oracle=r"""
 WITH toks AS (
   SELECT doc_id,
          string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t

@@ -518,3 +518,73 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
         """
     )
+
+
+# --- second-generation stateful API (transformWithState) -------------------
+# Registered ONLY when the worker protocol can actually run here (it is
+# protobuf-framed; see streaming.stateful.has_tws_runtime). In protobuf-less
+# environments the name is absent from the registry — not a permanently
+# red/skipped entry — and self-activates the moment the env supports it.
+from hive_export_spark.streaming.stateful import has_tws_runtime  # noqa: E402
+
+if has_tws_runtime():
+
+    @register(
+        "stream_stateful_totals_tws",
+        oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+""",
+        doc="custom stateful operator through the SECOND stateful seam "
+        "(transformWithStateInPandas, Spark 4's explicit-ValueState API): "
+        "per-event-type running (count, sum, max) across micro-batches, "
+        "final state vs the batch aggregate — the typed-state twin of "
+        "stream_stateful_totals (applyInPandasWithState). Values stream "
+        "as exact integer cents so Python float accumulation is "
+        "order-insensitive and hash-stable.",
+    )
+    def stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hive_export_spark.queries.connector_queries import sf_scratch_dir
+        from hive_export_spark.streaming.stateful import running_type_totals_tws
+
+        src = sf_scratch_dir("tws_src", sf_dir)
+        if not os.path.exists(f"{src}/_SUCCESS"):
+            shutil.rmtree(src, ignore_errors=True)
+            load_table(spark, "events", sf_dir).select(
+                "event_type",
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("double")
+                .alias("value"),
+            ).repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = "stateful_totals_tws_gate"
+        spark.catalog.dropTempView(name)
+        q = (
+            running_type_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.sql(
+            f"""
+            SELECT event_type, n_events,
+                   CAST(total_value / 100 AS DOUBLE) AS total_value,
+                   CAST(max_value / 100 AS DOUBLE) AS max_value
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY n_events DESC) AS rn
+              FROM {name}
+            ) WHERE rn = 1
+            """
+        )

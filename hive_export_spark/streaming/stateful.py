@@ -90,6 +90,21 @@ TYPE_TOTALS_OUTPUT = T.StructType(
 )
 
 
+def has_tws_runtime() -> bool:
+    """True when the transformWithState worker protocol can run here: the
+    Python worker frames state-server messages with google.protobuf, so
+    without it the stream fails at initialization. Query registration and
+    tests key off this — the operator activates the moment the
+    environment gains protobuf instead of bit-rotting behind a permanent
+    skip."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def running_type_totals_tws(df: DataFrame) -> DataFrame:
     """Per-event-type running (count, sum, max) via transformWithState —
     the second-generation stateful API (Spark 4): explicit ValueState
@@ -100,9 +115,12 @@ def running_type_totals_tws(df: DataFrame) -> DataFrame:
 
     Environment gate: executing this operator requires ``google.protobuf``
     (the transformWithState worker protocol is protobuf-framed); in
-    environments without it the stream fails at initialization, so the
-    test suite skips via ``pytest.importorskip`` and the driver-gated
-    stateful query uses :func:`running_user_totals` instead.
+    environments without it the stream fails at initialization. Gate on
+    :func:`has_tws_runtime` — the pytest coverage and the registered
+    ``stream_stateful_totals_tws`` query are only defined when it returns
+    True, so nothing skips permanently and the operator self-activates
+    when the environment supports it; the always-on driver-gated stateful
+    query is :func:`running_user_totals`.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

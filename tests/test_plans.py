@@ -77,3 +77,17 @@ def test_partitioned_write_single_shuffle(spark, sf_dir):
     routed = route_partitions(export_pipeline(ev, ["event_type"]), ["event_type"])
     plan = executed_plan(routed)
     assert plan.count("Exchange") == 1
+
+
+def test_no_unguarded_scale_killers():
+    # static source sweep: any new .collect(), F.udf, non-broadcast
+    # crossJoin, .toPandas or .rdd outside the reviewed allowlist in
+    # plans/audit.py fails here the day it lands (automates the manual
+    # per-round anti-pattern audit)
+    import os
+
+    from hive_export_spark.plans.audit import scan_scale_killers
+
+    root = os.path.join(os.path.dirname(__file__), "..", "hive_export_spark")
+    violations = scan_scale_killers(os.path.normpath(root))
+    assert violations == [], "\n".join(violations)

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hive_export_spark.sources import load_table, read_stream_from_table
-from hive_export_spark.streaming.stateful import running_user_totals
+from hive_export_spark.streaming.stateful import has_tws_runtime, running_user_totals
 
 
 def test_running_totals_match_batch(spark, sf_dir):
@@ -57,11 +57,11 @@ def test_running_totals_match_batch(spark, sf_dir):
         assert abs(r.total_value - expected_sums[r.user_id]) < 1e-6
 
 
-def test_transform_with_state_totals(spark, sf_dir):
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState worker protocol requires protobuf",
-    )
+# conditionally DEFINED, not skipped: a permanent skip in the default run
+# is dead weight — this coverage self-activates the moment the environment
+# gains google.protobuf (the transformWithState worker protocol needs it),
+# exactly like the conditionally-registered stream_stateful_totals_tws query
+def _test_transform_with_state_totals(spark, sf_dir):
     import shutil
 
     from hive_export_spark.streaming.stateful import running_type_totals_tws
@@ -102,3 +102,7 @@ def test_transform_with_state_totals(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+if has_tws_runtime():
+    test_transform_with_state_totals = _test_transform_with_state_totals
