@@ -40,6 +40,17 @@ HEADLINE = [
     "llm_sim_topk_bruteforce",
     "llm_text_quality",
     "llm_multimodal_features",
+    # round-3/4 heavy operators (added round 5 so regressions in the
+    # operators that carry the 100 TB story surface in BENCH, not just in
+    # the correctness gate): distributed prefix-sum packing, iterative
+    # label propagation, OPH signatures, mergeable KLL, salted skew join,
+    # partition-pruned ANN probes
+    "llm_pack_sequences",
+    "llm_dedup_components",
+    "llm_dedup_minhash_oph",
+    "agg_kll_quantile_merge",
+    "scale_skew_join",
+    "llm_sim_ivf_pruned",
 ]
 
 

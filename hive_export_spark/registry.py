@@ -41,98 +41,80 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # CORRECTNESS_r0N.json and to every query whose code/oracle changed this
 # round (old rows are stale evidence for those), THEN to proven family
 # representatives. Everything rotated out keeps its earlier green row as
-# evidence. Round 4: the ten round-3 stragglers + the twenty-plus new
-# round-4 operators + the four behavior-touched queries hold ~34 slots.
+# evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-3 stragglers (registered after position 49 last round, so no
-    # driver row yet)
-    "window_range_frame",
-    "fn_regexp_family",
-    "stream_jdbc_sink_e2e",
-    "stream_stream_left_outer_join",
-    "llm_text_repetition",
-    "llm_decontaminate_ngram",
-    "ts_rollup_two_level",
-    "ts_funnel_three_stage",
-    "ts_sessionize_batch",
-    "ts_retention_cohorts",
-    # new this round (round 4): custom stateful streaming, incremental
-    # rollup maintenance, compaction, PII redaction, balanced sampling,
-    # intra-doc dedup — they take the slots of six r03-green singles
-    # (sql_frontend_q1, the two approx reformulations, sliding window,
-    # langid, fingerprint)
-    "stream_stateful_totals",
-    "ts_incremental_rollup",
-    "scale_compaction",
-    "llm_text_pii_redact",
-    "llm_sample_balanced",
-    "llm_intradoc_dedup",
-    "agg_hll_sketch_union",
-    "llm_sim_lsh_topk",
-    "llm_sim_ivf_topk",
-    "llm_sim_ivf_pruned",
-    "llm_multimodal_features",
-    # round-4 mergeable-sketch family (bitmap exact-merge, theta set
-    # algebra, KLL quantile merge) — swapped for three r03-green
-    # sampling/LSH reps (llm_sample_fraction/stratified, rp_lsh_topk)
-    "agg_bitmap_distinct",
-    "agg_theta_sketch_intersect",
-    "agg_kll_quantile_merge",
-    # new TPC-H shapes + layout/corpus ops (round 3): the double-proven
-    # r1+r2 greens (parity encode/write, q1, q5, q12, stats, pivot)
-    # rotate out to make room
-    # round-4: schema-evolution probe + bitwise family (swapped for the
-    # r03-green q7/q8 reps)
-    "fmt_schema_evolution",
-    "fn_bitwise_family",
-    # round-4: dynamic partition pruning (swapped for r03-green q15)
-    "scale_dpp_scan",
-    # round-4: normalization + URL families (swapped for r03-green
-    # q17/clustered-scan)
-    "llm_text_normalize",
-    "fn_url_family",
-    "llm_text_tfidf",
-    # TPC-H completion set (round 3, never driver-verified): the r2-green
-    # join family reps (join_full/range_band/asof), agg_grouping_sets,
-    # and two pandas-UDF reps rotate out on their proven rows
-    # round-4: VARIANT family + Python DataSource connector (swapped for
-    # r03-green q2/q9)
-    "fn_variant_family",
+    # --- round 5 rotation. Slot policy (unchanged): (1) queries whose code
+    # or oracle changed this round — their old rows are stale evidence;
+    # (2) the stale-evidence tail, oldest green first (fixtures regenerate
+    # between rounds, so an r1-era green row is the weakest evidence in the
+    # repo — this round retires ALL 32 queries whose newest green is r1);
+    # (3) the riskiest r2-latest queries (events.ts-dependent streaming/
+    # parity shapes, double-hash-sensitive stats, and the flagship heavies).
+    # Everything rotated out keeps its newest green row (r2+) as evidence,
+    # and the all-165 local replica (ORACLE_r05.txt) covers the remainder
+    # on current fixtures.
+    #
+    # (1) changed this round: Arrow batch reader, sf_scratch_dir keying,
+    # KLL median convention, JDBC sink pre-stream reset
     "source_export_blocks",
-    # round-4: correlated subqueries + LATERAL (swapped for r03-green
-    # q11/q16/q20)
-    "subquery_correlated_exists",
-    "subquery_not_in_nulls",
-    "join_lateral_topk",
-    # round-4: interval-RANGE window (swapped for r03-green q21)
-    "window_range_interval",
-    # CDC + scale ops + stream-stream join (new this round)
-    # round-4: AS-OF lookup joins the window for its family (upsert
-    # rep r03-green rotates out)
-    "cdc_asof_lookup",
-    "cdc_scd2_history",
-    "agg_corr_regression",
-    "scale_bucketed_join",
-    # round-4: boolean aggregates (swapped for r03-green interval join)
-    "agg_bool_family",
-    # OPH minhash + embedding near-dup (new this round; the ten fn
-    # families and window_distribution carry r2 greens)
-    "llm_dedup_minhash_oph",
-    "llm_chunking",
-    # dedup-cluster components + z-order layout (new this round; the
-    # tumbling-window and grouped-agg-UDF reps rotate out on r2 greens)
-    "llm_dedup_components",
-    "llm_pack_sequences",
-    "llm_corpus_curation",
-    # time-series gap-fill + salted skew join (new this round; the last
-    # r2-green streaming fillers rotate out — the driver-riskiest of the
-    # four new time-series/skew queries take the slots, the rollup and
-    # funnel compositions of proven shapes wait for the next rotation)
-    "ts_gap_fill_locf",
-    "scale_skew_join",
-    # structured streaming (replay + watermark are new this round)
-    "stream_replay_exactly_once",
-    "stream_watermark_late_drop",
+    "scale_dpp_scan",
+    "stream_stateful_totals",
+    "agg_kll_quantile_merge",
+    "stream_jdbc_sink_e2e",
+    # (2) the full r1-latest tail: joins
+    "q3_shipping_priority",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_theta_inequality",
+    # aggregations + set ops
+    "agg_groupby",
+    "agg_rollup",
+    "agg_cube",
+    "sort_limit",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    # TPC-H shapes
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    # subquery / reshape / CDC
+    "subquery_scalar_avg",
+    "unpivot_stack",
+    "cdc_upsert",
+    # window functions
+    "window_row_number",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_sliding_avg",
+    # (3) riskiest r2-latest: events.ts-dependent parity + streaming (the
+    # r4 nanos->NTZ fixture flip hit exactly these shapes)
+    "parity_timestamp_format",
+    "parity_json_encode",
+    "parity_partition_routing",
+    "parity_partitioned_write",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup_keys",
+    "stream_export_e2e",
+    # double-hash-sensitive stats
+    "agg_stats_moments",
+    "window_distribution",
+    # flagship heavies under bench watch
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "llm_dedup_minhash_lsh",
 )
 
 

@@ -1,0 +1,123 @@
+"""Measured sub-quadratic scaling probe for the dedup pipeline.
+
+SCALING.md argues MinHash-LSH / OPH / connected-components are
+sub-quadratic from their shuffle shapes; this tool MEASURES it past
+fixture scale. It synthesizes replicated corpora (1x / 3x / 10x of the
+sf0.1 documents table, 5k -> 50k docs) where every replica's words carry
+a replica-unique suffix, so
+
+  - replicas are NOT near-duplicates of each other (every shingle
+    differs), keeping near-dup density constant as the corpus grows —
+    true pairs and clusters must scale exactly linearly with the
+    replication factor, which makes super-linear growth in candidates
+    or wall time attributable to the ALGORITHM, not the data;
+  - per-replica shingle-set structure is isomorphic to the fixture's, so
+    exact-Jaccard verification finds the same pairs in each replica.
+
+For each scale and variant (classic MinHash, OPH) it records wall time,
+candidate-pair count (the LSH bucket self-join output BEFORE exact
+verification — the quantity that goes quadratic if banding breaks), and
+verified pairs; components runs over the verified pairs. Emits one JSON
+line per measurement; paste the table into SCALING.md.
+
+Usage:  python tools/scale_probe.py [sf_dir] [replications ...]
+        (defaults: /root/testdata/sf0.1, 1 3 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hive_export_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    minhash_lsh_pairs,
+)
+from hive_export_spark.session import get_spark  # noqa: E402
+from hive_export_spark.sources import load_table  # noqa: E402
+
+
+def replicated_corpus(spark, sf_dir: str, k: int, out_root: str) -> str:
+    """Write a k-times corpus: replica r suffixes every word with ``_r<r>``
+    (disjoint shingles across replicas) and remaps doc_id by a 1M stride."""
+    path = os.path.join(out_root, f"docs_x{k}")
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(
+                            w, F.lit("_r"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+        )
+        .repartition(32)
+        .write.parquet(path)
+    )
+    return path
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ks = [int(a) for a in sys.argv[2:]] or [1, 3, 10]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_root = os.path.join(tempfile.gettempdir(), "hive_export_scale_probe")
+
+    results = []
+    for k in ks:
+        path = replicated_corpus(spark, sf_dir, k, out_root)
+        corpus = spark.read.parquet(path)
+        n_docs = corpus.count()
+        for variant, oph in (("minhash", False), ("oph", True)):
+            # candidate pairs = pipeline at threshold 0.0 (every bucket
+            # candidate survives verification), verified = threshold 0.8
+            t0 = time.perf_counter()
+            verified = minhash_lsh_pairs(corpus, oph=oph)
+            n_verified = verified.count()
+            wall = time.perf_counter() - t0
+            n_candidates = minhash_lsh_pairs(corpus, threshold=0.0, oph=oph).count()
+            row = {
+                "probe": variant,
+                "replication": k,
+                "docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "candidate_pairs": n_candidates,
+                "verified_pairs": n_verified,
+            }
+            if variant == "minhash":
+                t0 = time.perf_counter()
+                n_clusters = (
+                    connected_components(verified)
+                    .agg(F.countDistinct("cluster_id"))
+                    .collect()[0][0]
+                )
+                row["components_wall_sec"] = round(time.perf_counter() - t0, 2)
+                row["clusters"] = n_clusters
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
