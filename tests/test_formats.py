@@ -57,3 +57,18 @@ def test_json_preserves_nested(spark, tmp_path):
     write_table(df, path, fmt="json")
     back = read_table(spark, path, fmt="json", schema=df.schema)
     assert back.collect() == df.collect()
+
+
+def test_sf_scratch_dir_keys_on_full_path(tmp_path):
+    # two fixture roots with the SAME leaf name must get distinct scratch
+    # dirs (basename keying silently reused stale cached data across roots)
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+
+    a = tmp_path / "a" / "sf1"
+    b = tmp_path / "b" / "sf1"
+    da, db = sf_scratch_dir("probe", str(a)), sf_scratch_dir("probe", str(b))
+    assert da != db
+    # stable for the same root (the cache must still hit within a process)
+    assert da == sf_scratch_dir("probe", str(a))
+    # trailing-slash and relative-path spellings of one root agree
+    assert db == sf_scratch_dir("probe", str(b) + "/")

@@ -47,8 +47,15 @@ from hive_export_spark.sources import load_table  # noqa: E402
 
 def replicated_corpus(spark, sf_dir: str, k: int, out_root: str) -> str:
     """Write a k-times corpus: replica r suffixes every word with ``_r<r>``
-    (disjoint shingles across replicas) and remaps doc_id by a 1M stride."""
-    path = os.path.join(out_root, f"docs_x{k}")
+    (disjoint shingles across replicas) and remaps doc_id by a 1M stride.
+
+    Keyed on the full fixture path (same rule as sf_scratch_dir): a cached
+    corpus built from another fixture must never be silently reused.
+    """
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(out_root, f"docs_{key}_x{k}")
     if os.path.exists(f"{path}/_SUCCESS"):
         return path
     shutil.rmtree(path, ignore_errors=True)
