@@ -1216,3 +1216,84 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_in_bin"),
     )
+
+
+@register(
+    "llm_split_train_val_test",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="deterministic train/val/test split: the assignment is a pure "
+    "function of the stable document id (first md5 hex digit -> 75/12.5/"
+    "12.5), so it is reproducible across runs, engines, and re-partitions "
+    "— no RNG state, no shuffle, and a re-ingested document always lands "
+    "in the same split (the property that prevents train/test leakage "
+    "when a corpus is rebuilt). Narrow map-only plan at any scale.",
+)
+def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "llm_global_shuffle",
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS pos
+FROM documents
+""",
+    doc="seeded global shuffle for training-order randomization: position "
+    "= rank of md5(seed || doc_id) — deterministic for a fixed seed, "
+    "uniformly 'random' in order. The global rank comes from the same "
+    "DISTRIBUTED two-phase prefix sum as llm_pack_sequences: rows bucket "
+    "by the key's leading byte (a PREFIX of the sort key, so bucket "
+    "order == global order), rank within bucket via a bounded window, "
+    "then broadcast bucket-count prefix offsets — never a "
+    "single-partition global ROW_NUMBER, which is the scale trap for "
+    "corpus-wide shuffles.",
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    t = d.select(
+        "doc_id",
+        key.alias("__k"),
+        F.substring(key, 1, 2).alias("__bkt"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__k", "doc_id")
+    local = t.withColumn("__local_rk", F.row_number().over(w_in))
+    offsets = (
+        t.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bkt", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .select(
+            "doc_id",
+            (F.col("__local_rk") + F.col("__offset")).cast("long").alias("pos"),
+        )
+    )

@@ -1705,3 +1705,49 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1997-12-01'
+)
+SELECT m AS month_start,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+         AS total_price
+FROM months
+LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+""",
+    doc="recursive CTE (SQL:1999 / Spark 4): a 36-row month spine generated "
+    "by WITH RECURSIVE, left-joined to orders so empty months surface as "
+    "zero rows — the date-scaffold shape reporting pipelines need and "
+    "plain GROUP BY cannot produce. The recursion is driver-cheap (36 "
+    "iterations over a 1-row frontier); the fact-side join stays a "
+    "broadcast of the spine against a pushed-down orders scan.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '1997-12-01'
+        )
+        SELECT m AS month_start,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0)
+                    AS DOUBLE) AS total_price
+        FROM months
+        LEFT JOIN __rec_orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )

@@ -554,3 +554,39 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.every(F.col("l_extendedprice") >= 900).alias("all_pricey"),
     )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_exact, TRUE AS topk_ok
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="approximate heavy hitters (approx_top_k, Spark 4): single-pass "
+    "mergeable top-k item/count sketch — the scale substitute for a full "
+    "GROUP BY + ORDER BY when only the head of the distribution matters "
+    "(trending tokens, hot keys, top URLs over 100 TB without "
+    "materializing the tail). Oracle-able formulation: sketch internals "
+    "are engine-specific, so the query emits each item's exact count "
+    "plus a boolean asserting the sketch found the item with the exact "
+    "count (k=16 exceeds the 5-value priority domain, so the sketch "
+    "admits no collision error here); the oracle computes the exact "
+    "counts and literal TRUE.",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("__atk_orders")
+    sketch = spark.sql(
+        "SELECT approx_top_k(o_orderpriority, 16) AS tk FROM __atk_orders"
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("o_orderpriority"),
+        F.col("e.count").alias("__est"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(sketch, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_exact",
+        (F.coalesce(F.col("__est"), F.lit(-1)) == F.col("n_exact")).alias(
+            "topk_ok"
+        ),
+    )

@@ -91,3 +91,85 @@ def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         penny_sum("o_totalprice").alias("total_price")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price
+FROM lineitem WHERE l_orderkey <= 2000
+""",
+    doc="mapInArrow (Spark 4): whole-partition transform over raw "
+    "pyarrow.RecordBatch objects — the zero-copy tier below pandas UDFs "
+    "(no pandas materialization, columns stay Arrow buffers end to end). "
+    "The batch math runs in Arrow's C++ compute kernels, so elementwise "
+    "float64 results are bit-identical to the SQL oracle. This is the "
+    "seam for vectorized Python libraries that speak Arrow natively "
+    "(tokenizers, image codecs) without the pandas round-trip tax.",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def add_net_price(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            net = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net],
+                ["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    return li.mapInArrow(
+        add_net_price, "l_orderkey long, l_linenumber int, net_price double"
+    )
+
+
+@register(
+    "udtf_word_positions",
+    oracle="""
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id <= 200
+) WHERE pos <= 5
+""",
+    doc="Python UDTF (Spark 4): a user-defined TABLE function applied per "
+    "row via LATERAL join — each document expands to its first five "
+    "(position, word) rows. UDTFs are the sanctioned seam for "
+    "one-row-to-many-rows Python logic (parsers, tokenizers) that scalar "
+    "UDFs cannot express; Catalyst plans the lateral as a distributed "
+    "generate, never a driver loop. Equivalent built-in (posexplode of "
+    "split) proven by the oracle.",
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, word string")
+    class HeadWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")[:5], start=1):
+                yield i, w
+
+    spark.udtf.register("__head_words", HeadWords)
+    load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") <= 200
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word
+        FROM __udtf_docs d, LATERAL __head_words(d.text) t
+        """
+    )
