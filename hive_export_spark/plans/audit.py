@@ -79,6 +79,11 @@ def scan_scale_killers(package_root: str) -> list[str]:
         ('operators/scale.py', 'rows = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()'),
         # 1-row min/max bounds for JDBC range partitioning
         ('sources/jdbc.py', 'row = bounds_df.collect()[0]'),
+        # k-means: the k x dim centroid matrix + one SSE scalar per
+        # iteration — the documented bounded driver exchange of Lloyd's
+        ('operators/kmeans.py', '(r["cluster_id"], list(r["centroid"])) for r in init.collect()'),
+        ('operators/kmeans.py', 'sse = assignment.agg(F.sum("dist2")).collect()[0][0] or 0.0'),
+        ('operators/kmeans.py', 'for r in new_cent.collect()'),
         # partition-count metadata probe, not a data materialization
         ('operators/dedup.py', 'if df.rdd.getNumPartitions() < target:'),
         # broadcast of 1-row aggregates (scalar fan-out, not a cartesian)

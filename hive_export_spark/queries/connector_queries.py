@@ -263,3 +263,91 @@ def source_export_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "fmt_roundtrip_xml",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+""",
+    doc="native XML connector (Spark 4, the built-in spark-xml): "
+    "write a documents projection as row-tagged XML, read it back with "
+    "an explicit schema — fidelity is hash-compared against the parquet "
+    "source. XML is the one text format where attribute/element escaping "
+    "can silently mangle values, which is exactly what the hash gate "
+    "checks. Free-text columns are excluded on purpose: XML whitespace "
+    "normalization (trailing newlines in element text) is lossy by "
+    "specification, not a connector bug; typed scalar fidelity is the "
+    "contract worth pinning.",
+)
+def fmt_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(scratch_dir("fmt_roundtrip"), "xml")
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "documents")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(src.schema)
+        .load(path)
+    )
+
+
+@register(
+    "source_binary_files",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(substr(text, 1, 64)) AS BIGINT) AS n_bytes,
+       substr(text, 1, 64) AS head
+FROM documents WHERE doc_id < 100
+""",
+    doc="binaryFile source: the ingest path for opaque blobs (the "
+    "multimodal column story's front door — images/audio land as files, "
+    "enter the engine as (path, length, content) rows). Each document's "
+    "64-char head is written as a real .txt file, read back via "
+    "spark.read.format('binaryFile'), the id parsed from the filename "
+    "with regexp_extract and the payload decoded/measured — byte length "
+    "from the actual file content, hash-checked against the source text "
+    "(oracle strlen = bytes, exercising multi-byte text if present). At "
+    "scale the format reads files in parallel with one task per file "
+    "group and never materializes blobs on the driver.",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.substring("text", 1, 64).alias("head"))
+    )
+    out = sf_scratch_dir("source_binary_files", sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        # write the blob files distributed (one partition dir sweep), not
+        # via a driver loop: foreachPartition runs on executors
+        def write_files(rows):
+            for r in rows:
+                with open(
+                    os.path.join(out, f"doc_{r.doc_id}.txt"), "wb"
+                ) as f:
+                    f.write(r.head.encode("utf-8"))
+
+        d.foreachPartition(write_files)
+        open(marker, "w").close()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.txt")
+        .load(out)
+    )
+    return files.select(
+        F.regexp_extract(
+            F.col("path"), r"doc_(\d+)\.txt$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").cast("string").alias("head"),
+    )

@@ -1297,3 +1297,107 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__local_rk") + F.col("__offset")).cast("long").alias("pos"),
         )
     )
+
+
+@register(
+    "llm_kmeans_assign",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cluster_id, embedding AS c FROM embeddings WHERE vec_id < 8
+), dists AS (
+  SELECT e.vec_id, cents.cluster_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(cents.c[i] AS DOUBLE)) ^ 2)) AS d2
+  FROM embeddings e CROSS JOIN cents
+)
+SELECT vec_id, cluster_id FROM (
+  SELECT vec_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+  FROM dists
+) t WHERE rk = 1
+""",
+    doc="k-means nearest-centroid assignment (operators/kmeans.py): every "
+    "vector scored against 8 fixed centroids (the vec_id<8 embeddings — "
+    "deterministic, so the oracle can replicate them), argmin with "
+    "cluster-id tie-break. The corpus-scale shape of Lloyd's assignment "
+    "step: centroids broadcast, map-only scoring, per-vector argmin over "
+    "k bounded rows — the corpus itself never shuffles. Distances are "
+    "deterministic double folds on both engines; only the integer argmin "
+    "is emitted so the hash is immune to end-ulp drift.",
+)
+def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.kmeans import assign_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return assign_clusters(emb, cents).select("vec_id", "cluster_id")
+
+
+@register(
+    "llm_kmeans_iterate",
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cluster_id, embedding AS c FROM embeddings WHERE vec_id < 8
+), dists AS (
+  SELECT e.vec_id, cents.cluster_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(cents.c[i] AS DOUBLE)) ^ 2)) AS d2
+  FROM embeddings e CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+    FROM dists
+  ) t WHERE rk = 1
+), dims AS (
+  SELECT a.cluster_id,
+         generate_subscripts(e.embedding, 1) - 1 AS dim,
+         unnest(e.embedding) AS val
+  FROM assign a JOIN embeddings e USING (vec_id)
+)
+SELECT cluster_id, CAST(dim AS BIGINT) AS dim,
+       ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val,
+       COUNT(*) AS n_members
+FROM dims GROUP BY cluster_id, dim
+""",
+    doc="one full Lloyd iteration (operators/kmeans.py assign + mean "
+    "update) from the deterministic vec_id<8 centroids, emitted long-form "
+    "(cluster, dim, new centroid coordinate, cluster size). The mean "
+    "update is the iteration's only shuffle: (cluster, dim, value) "
+    "triples aggregate with map-side partials — corpus x dim rows of "
+    "three scalars, never whole vectors through the shuffle. Coordinates "
+    "round to 6dp on both sides because float mean reduction order is "
+    "engine-specific (sum-order ulps); the full training loop "
+    "(kmeans_fit: SSE-monotone, bounded k x dim driver exchange per "
+    "iteration) is pinned in tests/test_llm_ops.py.",
+)
+def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.kmeans import assign_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assignment = assign_clusters(emb, cents).select("vec_id", "cluster_id")
+    dims = (
+        emb.join(assignment, "vec_id")
+        .select(
+            "cluster_id",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "dim", "val"
+            ),
+        )
+    )
+    return dims.groupBy("cluster_id", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select(
+        "cluster_id", F.col("dim").cast("bigint").alias("dim"),
+        "centroid_val", "n_members",
+    )

@@ -1716,7 +1716,7 @@ WITH RECURSIVE months(m) AS (
   SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
   WHERE m < DATE '1997-12-01'
 )
-SELECT m AS month_start,
+SELECT CAST(m AS TIMESTAMP) AS month_start,
        COUNT(o_orderkey) AS n_orders,
        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
          AS total_price
@@ -1741,7 +1741,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
           WHERE m < DATE '1997-12-01'
         )
-        SELECT m AS month_start,
+        SELECT CAST(m AS TIMESTAMP) AS month_start,
                COUNT(o_orderkey) AS n_orders,
                CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0)
                     AS DOUBLE) AS total_price

@@ -592,3 +592,109 @@ def cdc_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof("2024-03-15 00:00:00").alias("status_march"),
         asof("2024-07-01 00:00:00").alias("status_july"),
     )
+
+
+@register(
+    "scale_runtime_bloom_join",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY l.l_orderkey
+""",
+    doc="runtime bloom-filter join (AQE runtime filtering): a highly "
+    "selective dimension-side predicate (o_totalprice > 400000 keeps "
+    "~1% of orders) lets Spark inject a bloom filter built from the "
+    "filtered orders side into the lineitem scan, so the fact table's "
+    "shuffle carries only rows that can possibly join — at 100 TB this "
+    "is the difference between shuffling the whole fact table and "
+    "shuffling ~1% of it. The creation/application thresholds keep the "
+    "rewrite off at fixture scale; tests/test_plans.py pins the "
+    "BloomFilter injection with thresholds lowered, proving the plan "
+    "shape this query is declared for.",
+)
+def scale_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "scale_profile_columns",
+    oracle="""
+SELECT col, n_rows, n_nulls, n_distinct, min_s, max_s FROM (
+  SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+         COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+         MAX(o_orderpriority)
+  FROM orders
+) t
+""",
+    doc="column profiling (the ANALYZE TABLE / data-quality audit shape): "
+    "row count, null count, exact distinct count, min/max per column, "
+    "emitted long-form one row per column. Computed in a single "
+    "DataFrame aggregate (Catalyst expands the multi-distinct into one "
+    "pass per distinct set) then unpivoted via stack — no per-column "
+    "re-scan of the table. At 100 TB swap exact COUNT(DISTINCT) for "
+    "approx_count_distinct (documented trade; the rest is one scan "
+    "regardless), and numeric min/max stay long-typed here so the "
+    "string rendering is engine-portable.",
+)
+def scale_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max on the NATIVE type (string-cast first would make
+            # numeric min/max lexicographic), rendered to string after
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_s, max_s)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")

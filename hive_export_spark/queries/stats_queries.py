@@ -590,3 +590,32 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topk_ok"
         ),
     )
+
+
+@register(
+    "agg_listagg_strings",
+    oracle="""
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc="ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP, "
+    "Spark 4): per-nation supplier roster concatenated in deterministic "
+    "sort order — the ordered-concat shape reporting layers need. The "
+    "WITHIN GROUP ordering is what makes the result hash-stable; a bare "
+    "collect_list/concat would be partition-order-dependent.",
+)
+def agg_listagg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("__la_sn")
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)
+                 AS suppliers
+        FROM __la_sn GROUP BY n_name
+        """
+    )

@@ -588,3 +588,52 @@ FROM events GROUP BY event_type
             ) WHERE rn = 1
             """
         )
+
+
+@register(
+    "stream_static_enrich_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="stream-static enrichment join as a REAL streaming query: the "
+    "events file stream joins a STATIC customer dimension (broadcast — "
+    "the dim is re-resolved per micro-batch, needs no watermark and "
+    "holds no join state), enriched rows land append-only in the sink, "
+    "then the read-back aggregates per market segment. This is the "
+    "canonical streaming-ETL shape — enrich a firehose against a "
+    "slowly-changing dim at line rate; per-batch broadcast keeps it "
+    "shuffle-free on the stream side at any scale.",
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    ev = read_stream_from_table(spark, "events", sf_dir)
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "c_mktsegment", "value")
+    name = f"gate_sse_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -352,3 +352,37 @@ def test_repetition_stats_flags_loops(spark):
     assert rows[1].dup_bigram_ratio > 0.5
     assert rows[2].distinct_word_ratio == 1.0
     assert rows[2].dup_bigram_ratio == 0.0
+
+
+def test_kmeans_fit_converges_and_sse_monotone(spark, sf_dir):
+    from hive_export_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    res = kmeans_fit(emb, k=4, max_iter=8)
+    # SSE never increases across Lloyd iterations (exact-arithmetic
+    # invariant; float slack of 1e-9 relative)
+    for a, b in zip(res.sse_history, res.sse_history[1:]):
+        assert b <= a * (1 + 1e-9), res.sse_history
+    # every vector assigned exactly once, to a live cluster
+    assert res.assignment.count() == n
+    cents = {r.cluster_id for r in res.centroids.collect()}
+    assigned = {
+        r.cluster_id
+        for r in res.assignment.select("cluster_id").distinct().collect()
+    }
+    assert assigned <= cents and len(cents) <= 4
+    assert res.iterations <= 8
+
+
+def test_kmeans_assignment_is_deterministic(spark, sf_dir):
+    from hive_export_spark.operators.kmeans import assign_clusters
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    a1 = {(r.vec_id, r.cluster_id) for r in assign_clusters(emb, cents).collect()}
+    a2 = {(r.vec_id, r.cluster_id) for r in assign_clusters(emb, cents).collect()}
+    assert a1 == a2 and len(a1) == emb.count()

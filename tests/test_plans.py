@@ -91,3 +91,31 @@ def test_no_unguarded_scale_killers():
     root = os.path.join(os.path.dirname(__file__), "..", "hive_export_spark")
     violations = scan_scale_killers(os.path.normpath(root))
     assert violations == [], "\n".join(violations)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """scale_runtime_bloom_join's declared plan shape: with the size
+    thresholds lowered to fixture scale, Spark injects a bloom filter
+    built from the selective orders side into the lineitem scan side
+    (might_contain in the optimized plan)."""
+    from hive_export_spark.queries.scale_queries import scale_runtime_bloom_join
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = scale_runtime_bloom_join(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized or "bloom_filter_agg" in optimized
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
