@@ -698,3 +698,74 @@ def scale_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_s, max_s)",
         "n_rows",
     ).select("col", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+@register(
+    "scale_dq_checks",
+    oracle="""
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'lineitem_quantity_range' AS rule, COUNT(*) AS n_violations
+  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+  UNION ALL
+  SELECT 'lineitem_null_orderkey', COUNT(*)
+  FROM lineitem WHERE l_orderkey IS NULL
+  UNION ALL
+  SELECT 'lineitem_negative_price', COUNT(*)
+  FROM lineitem WHERE l_extendedprice < 0
+  UNION ALL
+  SELECT 'lineitem_fk_orphans', COUNT(*)
+  FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'orders_duplicate_pk',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+) t
+""",
+    doc="declarative data-quality rule evaluation (the expectation-suite / "
+    "constraint-validation shape): range, null, sign, FK-orphan "
+    "(anti-join) and PK-uniqueness rules over lineitem/orders, one "
+    "(rule, violation count, passed) row each. Filter-count rules fuse "
+    "into pushed-down scans; the FK rule is the only join (shuffled on "
+    "the key, broadcast when the parent side is dim-sized); PK "
+    "uniqueness is one keyed aggregation. The rule results union to a "
+    "handful of rows however large the audited table is — this runs as "
+    "a gate before every training-data release.",
+)
+def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+
+    def rule(name: str, df) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("rule"),
+            F.coalesce(F.first("n"), F.lit(0)).alias("n_violations"),
+        )
+
+    checks = [
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_quantity_range").alias("rule"), F.col("n")),
+        li.filter(F.col("l_orderkey").isNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_null_orderkey").alias("rule"), F.col("n")),
+        li.filter(F.col("l_extendedprice") < 0)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_negative_price").alias("rule"), F.col("n")),
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem_fk_orphans").alias("rule"), F.col("n")),
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
+        .select(F.lit("orders_duplicate_pk").alias("rule"), F.col("n")),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "rule",
+        F.col("n").alias("n_violations"),
+        (F.col("n") == 0).alias("passed"),
+    )

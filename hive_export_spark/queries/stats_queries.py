@@ -619,3 +619,33 @@ def agg_listagg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __la_sn GROUP BY n_name
         """
     )
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle="""
+SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 11) AS BIGINT) AS bin,
+       CAST(LEAST(FLOOR(o_totalprice / 50000), 11) AS BIGINT) * 50000
+         AS bin_lo,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="equi-width histogram (12 fixed 50k bins over order value, top "
+    "bin clamped open-ended): integer floor arithmetic on both engines, "
+    "map-side combinable — one scan + one tiny-key shuffle at any "
+    "scale. Fixed literal bin edges keep the result engine-exact; "
+    "data-driven edges would need a (bounded, 2-value) min/max "
+    "broadcast first.",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast(
+        "long"
+    )
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("bin") * 50000).alias("bin_lo"), "n")
+    )

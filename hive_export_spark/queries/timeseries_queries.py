@@ -385,3 +385,58 @@ def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__sum").cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+         value, ts, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT event_type, bucket_epoch,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       MIN(CASE WHEN rn_z = 1 THEN value END) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       COUNT(*) AS n_points
+FROM pts
+GROUP BY event_type, bucket_epoch
+""",
+    doc="M4 downsampling (the lossless-for-rendering time-series "
+    "reduction): per series x 1h bucket keep first/last/min/max — the "
+    "four points a line plot of the bucket actually needs — plus the "
+    "point count. Each series shrinks from its raw rate to 4 values per "
+    "bucket regardless of input density, which is what makes dashboard "
+    "queries over 100 TB of telemetry feasible. One shuffle on (series, "
+    "bucket); first/last are deterministic via (ts, event_id) "
+    "tie-breaks, min/max are comparisons not arithmetic, so every "
+    "output double is bit-exact across engines.",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    pts = ev.select(
+        "event_type", bucket.alias("bucket_epoch"), "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type", "bucket_epoch")
+    rn_a = F.row_number().over(w.orderBy("ts", "event_id"))
+    rn_z = F.row_number().over(
+        w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    flagged = pts.withColumn("rn_a", rn_a).withColumn("rn_z", rn_z)
+    return flagged.groupBy("event_type", "bucket_epoch").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -44,19 +44,19 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 5 rotation. Slot policy (unchanged): (1) queries with NO
-    # green driver row in any round (the 10 operators NEW this round) and
-    # queries whose code or oracle changed this round — their old rows are
-    # stale evidence; (2) the stale-evidence tail, oldest green first
-    # (fixtures regenerate between rounds, so an r1-era green row is the
-    # weakest evidence in the repo — this round retires ALL 32 queries
-    # whose newest green is r1); (3) the riskiest r2-latest queries. The
-    # 10 new-query slots came out of category (3) — those were bonus
-    # rotation of already-r2-green, unchanged queries, the lowest slot
-    # priority; the 3 kept are the most fixture-drift-exposed (ts parity,
-    # ts windows) plus the flagship heavy under bench watch. Everything
-    # rotated out keeps its newest green row (r2+) as evidence, and the
-    # all-165+ local replica (ORACLE_r05.txt, refreshed this session)
-    # covers the remainder on current fixtures.
+    # green driver row in any round — the 18 operators NEW this round —
+    # and queries whose code or oracle changed this round (their old rows
+    # are stale evidence); (2) the stale-evidence tail, oldest green
+    # first (fixtures regenerate between rounds, so an r1-era green row
+    # is the weakest evidence in the repo); (3) the riskiest r2-latest
+    # queries. The 18 new-query slots came first out of category (3) —
+    # bonus rotation of already-r2-green, unchanged queries, the lowest
+    # priority — then, once (3) was down to its single must-keep, out of
+    # category (2) entries whose implementation family keeps an in-window
+    # representative (noted inline below). Everything rotated out keeps
+    # its newest green row as evidence, and the all-query local replica
+    # (ORACLE_r05.txt, hostile driver-shaped session, refreshed this
+    # session) covers the remainder on current fixtures.
     #
     # (1a) NEW this round, never driver-verified:
     "sql_recursive_cte",
@@ -73,6 +73,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_static_enrich_join",
     "llm_kmeans_assign",
     "llm_kmeans_iterate",
+    "ts_downsample_m4",
+    "scale_dq_checks",
+    "join_fuzzy_levenshtein",
+    "agg_histogram_equiwidth",
     # (1b) changed this round: Arrow batch reader, sf_scratch_dir keying,
     # KLL median convention, JDBC sink pre-stream reset
     "source_export_blocks",
@@ -80,19 +84,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_stateful_totals",
     "agg_kll_quantile_merge",
     "stream_jdbc_sink_e2e",
-    # (2) the full r1-latest tail: joins
+    # (2) the r1-latest tail: joins (join_left/join_right ceded slots to
+    # round-5 new queries — same _join_frames/_join_select implementation
+    # as join_inner, which stays, and both are green in ORACLE_r05.txt)
     "q3_shipping_priority",
     "join_inner",
-    "join_left",
-    "join_right",
     "join_semi",
     "join_anti",
     "join_broadcast_dim",
     "join_theta_inequality",
     # aggregations + set ops
     "agg_groupby",
+    # (agg_cube ceded its slot: one grouping-set expansion family with
+    # agg_rollup, which stays)
     "agg_rollup",
-    "agg_cube",
     "sort_limit",
     # (setop_intersect / setop_intersect_all ceded their slots to the two
     # k-means queries: the four set-ops share one implementation family,
@@ -114,8 +119,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "unpivot_stack",
     "cdc_upsert",
     # window functions
+    # (window_rank_dense ceded its slot: same ranking-window family as
+    # window_row_number, which stays)
     "window_row_number",
-    "window_rank_dense",
     "window_lag_lead",
     "window_running_sum",
     "window_sliding_avg",

