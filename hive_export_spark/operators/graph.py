@@ -1,0 +1,130 @@
+"""Distributed graph primitives over relation-derived edge lists.
+
+The reference engine exports relational streams; downstream consumers
+routinely build co-occurrence graphs from them (items sharing an order,
+users sharing a session) and run structural analytics. These are the two
+building blocks that cover that family Spark-first:
+
+- ``cooccurrence_edges``: derive an undirected edge list from a
+  (group, item) relation — one shuffle on the group key, per-group
+  pairing, support-count sparsification.
+- ``triangle_count``: exact global triangle count with the
+  degree-orientation trick, the standard way to keep the wedge join
+  sub-quadratic on skewed (power-law) graphs.
+
+Everything is declarative DataFrame composition — no driver-side graph,
+no collect; both operators are a fixed number of shuffles regardless of
+data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Vertex ids are packed with their degree into one orderable BIGINT
+# (degree * 2^40 + id). 2^40 leaves room for ~10^12 vertices and ~2^23
+# max degree — callers with wider ids should switch the rank key to a
+# struct column instead.
+_RANK_SHIFT = 1 << 40
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Undirected edge list (u < v) of items co-occurring in ``group_col``,
+    kept only when they share at least ``min_support`` distinct groups.
+
+    Scale shape: one distinct (group, item) projection, one self-join
+    keyed on the group (equi-join — the shuffle is on the group key, no
+    cross product), one edge aggregation. Per-group work is quadratic in
+    the group's item count, so bound group width upstream (orders have a
+    bounded line count; for unbounded groups cap with a per-group top-N
+    by relevance first). ``min_support`` is the sparsifier that keeps the
+    edge set linear-ish in the input instead of quadratic.
+    """
+    po = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    a = po.alias("a")
+    b = po.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("u"), F.col("b.__i").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_support)
+        .select("u", "v", "n_common")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected simple graph.
+
+    ``edges`` must be distinct undirected edges with ``u < v``. Returns a
+    1-row DataFrame (``n_nodes``, ``n_edges``, ``n_triangles``).
+
+    Algorithm — degree orientation (Chiba–Nishizeki / the standard
+    MapReduce formulation): orient every edge from its lower-(degree, id)
+    endpoint to its higher one. Every vertex then has out-degree
+    O(sqrt(m)) regardless of how skewed the raw degree distribution is,
+    so the wedge self-join (out-neighbors paired at their common source)
+    produces at most O(m^1.5) candidates instead of sum(deg^2) — the
+    difference between a feasible and an exploding join on power-law
+    graphs at 100 TB. Each triangle is counted exactly once: it has a
+    unique lowest-ranked vertex, and only that vertex emits the wedge
+    that its closing edge matches.
+
+    Shuffles: degree agg (1), two degree joins (broadcastable when the
+    vertex set is small relative to edges), the wedge self-join keyed on
+    the source vertex, and the closing-edge equi-join keyed on (b, c).
+    """
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "x", (F.col("deg") * F.lit(_RANK_SHIFT) + F.col("x")).alias("rk")
+        )
+    )
+    # Orient: src = endpoint with the smaller (degree, id) rank.
+    e = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("rk", "rku"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("rk", "rkv"), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("rkv")).otherwise(F.col("rku")).alias("rk_dst"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    w1 = e.alias("w1")
+    w2 = e.alias("w2")
+    # Wedges at the lowest-ranked vertex: unordered out-neighbor pairs,
+    # ordered by rank so each pair is emitted once.
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.rk_dst") < F.col("w2.rk_dst")),
+    ).select(F.col("w1.dst").alias("b"), F.col("w2.dst").alias("c"))
+    # A wedge closes iff the oriented edge (b -> c) exists; orientation
+    # guarantees the closing edge runs rank-upward, matching the wedge's
+    # (b, c) rank order.
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    return counts.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

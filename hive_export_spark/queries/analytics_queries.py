@@ -1,0 +1,139 @@
+"""Structural / multi-objective analytics: co-occurrence graph metrics,
+Pareto skyline, and windowed distinct-count — operator families the
+reference's exported relational streams feed downstream.
+
+Every query is oracle-backed. Where Spark and the oracle use *different
+formulations on purpose* (degree-oriented wedge join vs naive triple
+join; two-phase pruned skyline vs NOT EXISTS), the disagreement surface
+is the algorithm itself — a stronger check than mirroring one SQL text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_export_spark.operators.graph import cooccurrence_edges, triangle_count
+from hive_export_spark.operators.skyline import skyline_2d
+from hive_export_spark.registry import register
+from hive_export_spark.sources import load_table
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nodes AS (
+  SELECT u AS x FROM edges UNION SELECT v FROM edges
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+""",
+    doc="exact triangle count of the part co-purchase graph (parts "
+    "sharing >= 2 orders). Spark side uses DEGREE ORIENTATION "
+    "(operators/graph.py): every edge oriented low->high (degree, id) "
+    "rank caps out-degree at O(sqrt(m)), so the wedge self-join stays "
+    "O(m^1.5) on power-law graphs where the naive join is sum(deg^2) — "
+    "the difference between feasible and exploding at 100 TB. The "
+    "oracle deliberately uses the naive ordered triple join: triangle "
+    "count is orientation-invariant, so an algorithm-level disagreement "
+    "would show as a hash mismatch.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_count(edges.select("u", "v"))
+
+
+@register(
+    "pareto_skyline",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+    doc="Pareto skyline of parts (minimize retail price, maximize size): "
+    "rows no other row strictly dominates — the ICDE'01 skyline "
+    "operator. Spark side (operators/skyline.py) is the two-phase "
+    "distributed algorithm: shuffle-free partition-local dominance "
+    "prune (survivors bounded by each partition's own skyline) then an "
+    "exact sweep over the skyline-sized survivor value set. The oracle "
+    "is the definitional NOT EXISTS — quadratic, fine for DuckDB at "
+    "oracle scale, and formulation-independent of the Spark algorithm.",
+)
+def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(p, "p_retailprice", "p_size")
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_distinct_types
+FROM flagged
+""",
+    doc="running COUNT(DISTINCT event_type) per user in event-time "
+    "order — a window shape neither Spark nor ANSI allows directly "
+    "(no DISTINCT aggregates over windows). Canonical reformulation: "
+    "flag each (user, type)'s first occurrence, then a running SUM of "
+    "flags. Both windows are partitioned by user_id alone (the flag "
+    "window detects first occurrence via lag over a (type, ts) sort "
+    "within the user) so Catalyst reuses ONE Exchange with two sorts — "
+    "not the two shuffles the naive (user, type)-partitioned flag "
+    "would cost. Deterministic via the (ts, event_id) tiebreak. The "
+    "oracle uses the independent ROW_NUMBER-per-(user, type) "
+    "formulation.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_first = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("event_type").over(w_first).isNull()
+            | (F.lag("event_type").over(w_first) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias("n_distinct_types"),
+    )

@@ -1401,3 +1401,135 @@ def llm_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", F.col("dim").cast("bigint").alias("dim"),
         "centroid_val", "n_members",
     )
+
+
+@register(
+    "llm_text_perplexity",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM words GROUP BY term
+), total AS (
+  SELECT COUNT(*) AS n_total FROM words
+), surprisal AS (
+  SELECT term,
+         CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS micro_nats
+  FROM vocab CROSS JOIN total
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(round(SUM(s.micro_nats) / COUNT(*) / 1000000.0, 6) AS DOUBLE)
+         AS avg_surprisal
+FROM words w JOIN surprisal s USING (term)
+GROUP BY w.doc_id
+""",
+    doc="unigram-LM perplexity proxy for corpus quality scoring: "
+    "per-document mean token surprisal -ln p(token) under the corpus's "
+    "own unigram distribution — the cheap first-pass quality filter "
+    "before any neural scorer (gibberish and boilerplate score high/"
+    "low respectively). Shape: one (token) vocabulary aggregation "
+    "(vocabulary-sized -> broadcast back), one per-doc reduce — never "
+    "anything pairwise. Numerics: per-token surprisal is QUANTIZED to "
+    "integer micro-nats at the vocabulary level (one ln per DISTINCT "
+    "token, then exact integer sums), the same pinned-quantization "
+    "convention as agg_kll_quantile_merge, so per-doc accumulation "
+    "order can never drift the hash across engines.",
+)
+def llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    surprisal = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("n_total")) * 1000000
+        )
+        .cast("bigint")
+        .alias("micro_nats"),
+    )
+    return (
+        words.join(F.broadcast(surprisal), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("micro_nats") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            )
+            .cast("double")
+            .alias("avg_surprisal"),
+        )
+    )
+
+
+_WS_K = 50
+
+
+@register(
+    "llm_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(
+           -ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1) / 4503599627370496.0)
+           / n_chars, 9) AS k9
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       CAST(round(k9, 6) AS DOUBLE) AS key_r,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, n_chars, k9,
+         ROW_NUMBER() OVER (ORDER BY k9, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= {_WS_K}
+""",
+    doc="weighted sampling without replacement (Efraimidis–Spirakis "
+    "A-ES): top-k documents by exponential key -ln(u)/w with weight "
+    "w = n_chars and u a 52-bit uniform derived from md5(seed || id) — "
+    "deterministic, reproducible across runs/engines/partitionings, "
+    "inclusion probability proportional to weight. The top-k is a "
+    "TreeLimit (per-partition heads then one tiny merge), never a "
+    "global sort. Keys are quantized to 9 decimals with a doc_id "
+    "tiebreak before ranking (pinned convention) so a last-ulp ln() "
+    "difference between engines cannot flip the selected set.",
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") > 0)
+    u52 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 52))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u52) / F.col("n_chars"), 9).alias("k9"),
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # top-k heaps merged once on the driver — no global sort, no
+    # single-partition window over the corpus. The ranking window then
+    # runs over only the k survivors.
+    top = keyed.orderBy("k9", "doc_id").limit(_WS_K)
+    w = Window.orderBy("k9", "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("k9", 6).cast("double").alias("key_r"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

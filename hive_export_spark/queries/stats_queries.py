@@ -10,7 +10,7 @@ both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_export_spark.registry import register
@@ -648,4 +648,104 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bin", (F.col("bin") * 50000).alias("bin_lo"), "n")
+    )
+
+
+@register(
+    "stats_zscore_outliers",
+    oracle="""
+WITH sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx
+  FROM events GROUP BY event_type
+), stats AS (
+  SELECT event_type,
+         CAST(sx AS DOUBLE) / n AS mean_v,
+         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) AS sd_v
+  FROM sums
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(round((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - s.mean_v) / s.sd_v, 6)
+            AS DOUBLE) AS z_r
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - s.mean_v) / s.sd_v) > 2.5
+""",
+    doc="z-score anomaly detection: per-series population mean/stddev "
+    "from EXACT decimal power sums (order-insensitive partial "
+    "aggregation — the only way both engines' reduction orders can "
+    "yield bit-identical moments), broadcast back onto the stream, "
+    "flag |z| > 2.5. Two scans fused by Catalyst into one shuffle-light "
+    "plan: the per-type stats table is series-cardinality-sized and "
+    "broadcast, so the fact side never shuffles — at 100 TB this is a "
+    "map-only scoring pass after one partial-agg exchange. The "
+    "selection predicate compares bit-identical doubles, so the outlier "
+    "SET is exact; round(6) guards only the reported z.",
+)
+def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast(_DEC)
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    n = F.col("n")
+    stats = sums.select(
+        "event_type",
+        (sx / n).alias("mean_v"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("sd_v"),
+    )
+    z = (v.cast("double") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).cast("double").alias("z_r"),
+        )
+    )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+WITH binned AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bin
+  FROM lineitem
+)
+SELECT bin, COUNT(*) AS n,
+       MIN(l_extendedprice) AS bin_lo,
+       MAX(l_extendedprice) AS bin_hi
+FROM binned GROUP BY bin
+""",
+    doc="equi-depth (equi-height) histogram via ntile(10): the "
+    "quantile-binned companion to agg_histogram_equiwidth, the shape "
+    "optimizers and data-profiling pipelines store as column stats. "
+    "Deterministic through a total order ((price, orderkey, "
+    "linenumber) tiebreak) so both engines cut identical bins; bounds "
+    "are raw column values (comparisons, no arithmetic). The fixture-"
+    "scale plan is a global-sort window; at 100 TB the same result "
+    "shape comes from approx_percentile cut points + a map-side "
+    "bucketizer — documented in SCALING.md, with this exact variant as "
+    "the correctness oracle for that rewrite.",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("bin_lo"),
+            F.max("l_extendedprice").alias("bin_hi"),
+        )
     )

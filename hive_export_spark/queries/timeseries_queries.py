@@ -440,3 +440,246 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("v_max"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_K = 20
+# Quantized finite-impulse EWMA weights: w_k = round(alpha*(1-alpha)^k * 1e9)
+# as exact integers. Float pow() is evaluated ONCE here in Python and the
+# resulting literals are shared verbatim by the Spark plan and the oracle
+# SQL, so no runtime libm call can drift between engines; all per-bucket
+# arithmetic below is decimal x integer (exact, order-insensitive) until a
+# single identical double division at the end.
+_EWMA_W = [int(round(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k * 1e9)) for k in range(_EWMA_K)]
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS bucket_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), spine AS (
+  SELECT t.event_type, s.bucket_epoch
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}') t
+  CROSS JOIN (
+    SELECT unnest(generate_series({_EPOCH_LO}, {_EPOCH_HI} - {_BUCKET_S}, {_BUCKET_S})) AS bucket_epoch
+  ) s
+), joined AS (
+  SELECT sp.event_type, sp.bucket_epoch,
+         CAST(b.bucket_value AS DOUBLE) AS v,
+         CASE WHEN b.bucket_value IS NULL THEN 1 ELSE 0 END AS was_gap
+  FROM spine sp
+  LEFT JOIN buckets b
+    ON b.event_type = sp.event_type AND b.bucket_epoch = sp.bucket_epoch
+), anchored AS (
+  SELECT event_type, bucket_epoch, v, was_gap,
+         last_value(v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+           OVER w_prev AS pe,
+         first_value(v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+           OVER w_next AS ne
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY bucket_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY bucket_epoch
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_epoch,
+       CAST(round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (bucket_epoch - pe) / (ne - pe)
+         WHEN pv IS NOT NULL THEN pv
+         WHEN nv IS NOT NULL THEN nv
+         ELSE 0.0 END, 6) AS DOUBLE) AS value_interp,
+       was_gap
+FROM anchored
+""",
+    doc="gap-filled continuous series with LINEAR interpolation: empty "
+    "15-minute buckets get the straight line between the nearest "
+    "observed buckets either side (LOCF / NOCB at the series edges) — "
+    "the hypertable interpolate() primitive, complementing "
+    "ts_gap_fill_locf. Anchors come from last_value/first_value(IGNORE "
+    "NULLS) windows over the dense spine — both directions reuse ONE "
+    "partitioning (event_type), no self-join, no per-gap search. Bucket "
+    "sums are exact decimals and the anchor epochs exact longs, so both "
+    "engines feed bit-identical doubles into one identical interpolation "
+    "expression; round(6) guards the final float arithmetic.",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("bucket_value"))
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(_EPOCH_LO).cast("long"),
+                            F.lit(_EPOCH_HI - _BUCKET_S).cast("long"),
+                            F.lit(_BUCKET_S).cast("long"),
+                        )
+                    ).alias("bucket_epoch")
+                )
+            )
+        )
+    )
+    joined = (
+        spine.join(buckets, ["event_type", "bucket_epoch"], "left")
+        .select(
+            "event_type",
+            "bucket_epoch",
+            F.col("bucket_value").cast("double").alias("v"),
+            F.when(F.col("bucket_value").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    epoch_if_obs = F.when(F.col("v").isNotNull(), F.col("bucket_epoch"))
+    anchored = joined.select(
+        "event_type",
+        "bucket_epoch",
+        "v",
+        "was_gap",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(epoch_if_obs, ignorenulls=True).over(w_prev).alias("pe"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(epoch_if_obs, ignorenulls=True).over(w_next).alias("ne"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("bucket_epoch") - F.col("pe"))
+            / (F.col("ne") - F.col("pe")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .when(F.col("nv").isNotNull(), F.col("nv"))
+        .otherwise(F.lit(0.0))
+    )
+    return anchored.select(
+        "event_type",
+        "bucket_epoch",
+        F.round(interp, 6).cast("double").alias("value_interp"),
+        "was_gap",
+    )
+
+
+@register(
+    "ts_ewma_window",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS bucket_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), weights AS (
+  SELECT unnest(range(0, {_EWMA_K})) AS k,
+         unnest({_EWMA_W!r}) AS w
+), contrib AS (
+  SELECT b.event_type,
+         b.bucket_epoch + wt.k * {_BUCKET_S} AS target_epoch,
+         CAST(b.bucket_value * wt.w AS DECIMAL(38,2)) AS num_part,
+         wt.w AS den_part
+  FROM buckets b CROSS JOIN weights wt
+), sums AS (
+  SELECT c.event_type, c.target_epoch,
+         SUM(c.num_part) AS num, SUM(c.den_part) AS den
+  FROM contrib c
+  JOIN buckets t
+    ON t.event_type = c.event_type AND t.bucket_epoch = c.target_epoch
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(target_epoch AS BIGINT) AS bucket_epoch,
+       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE)
+         AS ewma
+FROM sums
+""",
+    doc="finite-impulse EWMA smoothing (alpha=0.2, 20-tap truncated "
+    "kernel, weights renormalized over the taps actually present): "
+    "per-series smoothed value at every observed 15-minute bucket. "
+    "Spark side SCATTERS each bucket to the <=20 future buckets it "
+    "contributes to (one narrow explode) and reduces with a single "
+    "(series, target) aggregation — no per-row lookback join, no "
+    "recursive dependency, so the shape is one shuffle at any scale. "
+    "The quantized integer weight table (module constant, shared "
+    "verbatim with the oracle) keeps every product and sum exact "
+    "decimal/integer arithmetic; the only float ops are one identical "
+    "division and round(6) on both engines.",
+)
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("bucket_value"))
+    )
+    kw = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.lit(w).alias("w"))
+        for k, w in enumerate(_EWMA_W)
+    ])
+    contrib = (
+        buckets.select(
+            "event_type", "bucket_epoch", "bucket_value",
+            F.explode(kw).alias("__kw"),
+        )
+        .select(
+            "event_type",
+            (F.col("bucket_epoch") + F.col("__kw.k") * _BUCKET_S).alias("target_epoch"),
+            (F.col("bucket_value") * F.col("__kw.w"))
+            .cast("decimal(38,2)")
+            .alias("num_part"),
+            F.col("__kw.w").alias("den_part"),
+        )
+    )
+    targets = buckets.select(
+        "event_type", F.col("bucket_epoch").alias("target_epoch")
+    )
+    sums = (
+        contrib.join(targets, ["event_type", "target_epoch"])
+        .groupBy("event_type", "target_epoch")
+        .agg(F.sum("num_part").alias("num"), F.sum("den_part").alias("den"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("target_epoch").cast("long").alias("bucket_epoch"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).cast("double").alias("ewma"),
+    )

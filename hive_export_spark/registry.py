@@ -194,5 +194,6 @@ def _load_all() -> None:
     import hive_export_spark.queries.llm_queries  # noqa: F401
     import hive_export_spark.queries.scale_queries  # noqa: F401
     import hive_export_spark.queries.timeseries_queries  # noqa: F401
+    import hive_export_spark.queries.analytics_queries  # noqa: F401
 
     _LOADED = True
