@@ -51,6 +51,12 @@ HEADLINE = [
     "agg_kll_quantile_merge",
     "scale_skew_join",
     "llm_sim_ivf_pruned",
+    # round-5 structural analytics: degree-oriented triangle counting
+    # (wedge-join heavy), two-phase skyline (local prune + sweep), and
+    # the scatter-reduce EWMA kernel
+    "graph_triangle_count",
+    "pareto_skyline",
+    "ts_ewma_window",
 ]
 
 

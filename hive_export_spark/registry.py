@@ -44,7 +44,7 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 5 rotation. Slot policy (unchanged): (1) queries with NO
-    # green driver row in any round — the 18 operators NEW this round —
+    # green driver row in any round — the 27 operators NEW this round —
     # and queries whose code or oracle changed this round (their old rows
     # are stale evidence); (2) the stale-evidence tail, oldest green
     # first (fixtures regenerate between rounds, so an r1-era green row
@@ -59,6 +59,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # session) covers the remainder on current fixtures.
     #
     # (1a) NEW this round, never driver-verified:
+    "graph_triangle_count",
+    "pareto_skyline",
+    "window_running_distinct",
+    "ts_interpolate_linear",
+    "ts_ewma_window",
+    "stats_zscore_outliers",
+    "agg_histogram_equidepth",
+    "llm_text_perplexity",
+    "llm_sample_weighted",
     "sql_recursive_cte",
     "agg_approx_top_k",
     "agg_listagg_strings",
@@ -105,26 +114,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # displaced queries are green in ORACLE_r05.txt on current fixtures)
     "setop_union_all",
     "setop_except",
-    # TPC-H shapes
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
+    # TPC-H shapes (q4/q6/q10/q13/q14/q19/q22 ceded their slots to the
+    # nine operators NEW this session — same TPC-H family machinery as
+    # q3/q18 which stay as in-window representatives; all displaced
+    # queries are green in the committed all-query replica on current
+    # fixtures)
     "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
     # subquery / reshape / CDC
     "subquery_scalar_avg",
     "unpivot_stack",
     "cdc_upsert",
-    # window functions
-    # (window_rank_dense ceded its slot: same ranking-window family as
-    # window_row_number, which stays)
+    # window functions (window_rank_dense earlier, and now window_lag_lead
+    # + window_sliding_avg, ceded slots: one ordered-window family with
+    # window_row_number / window_running_sum, which stay; the new
+    # window_running_distinct adds a third in-window window-family probe)
     "window_row_number",
-    "window_lag_lead",
     "window_running_sum",
-    "window_sliding_avg",
     # (3) riskiest r2-latest kept after the new-query displacement: the
     # single most fixture-drift-exposed shape (ts-format parity — the r4
     # nanos->NTZ fixture flip hit exactly this). llm_dedup_minhash_lsh
