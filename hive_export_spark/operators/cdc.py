@@ -14,7 +14,7 @@ on the key so repeated merges never reshuffle it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -127,4 +127,35 @@ def scd2_apply(
     )
     return (
         hist.unionByName(closed).unionByName(new_versions).unionByName(unchanged)
+    )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a Debezium-style changelog (I/U/D ops) to final table state.
+
+    Latest-by-``seq_col`` op per key wins; a winning delete removes the
+    key entirely (tombstone). This is the stream-compaction half of MERGE
+    — the shape a CDC consumer runs over an exported change stream before
+    loading a warehouse table.
+
+    Shape: one shuffle on the key (row_number window), then a filter —
+    no join at all, so it scales to any changelog volume; skewed hot keys
+    split fine under AQE because per-key state is the single winning row.
+    ``seq_col`` must be unique per key (changelogs carry an LSN/offset);
+    ties would make "latest" nondeterministic, so the window orders by
+    (seq, op) and callers should treat equal-seq input as a bug upstream.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
     )

@@ -97,3 +97,70 @@ def band_join(
     """
     cond = (F.col(value_col) >= F.col(low_col)) & (F.col(value_col) < F.col(high_col))
     return df.join(F.broadcast(bands), cond, how)
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell_size: int,
+) -> DataFrame:
+    """Self-join of intervals: all pairs (a, b) within the same ``key``
+    whose [start, end] ranges overlap (inclusive), with ``a.id < b.id``.
+
+    The naive formulation is a per-key theta join (quadratic candidates).
+    This is the GRID-PARTITIONED interval join: each interval is exploded
+    to the ``cell_size``-wide grid cells it covers, candidates meet in an
+    EQUI-join on (key, cell), and each qualifying pair is emitted exactly
+    once — only in the first cell both intervals share (cell ==
+    floor(max(starts) / cell_size)) — so no distinct/dedup shuffle is
+    ever needed. This is the standard spatial/temporal-join design
+    (genomics range joins, session overlap): candidate volume is driven
+    by cell occupancy, not by per-key interval counts squared. Pick
+    ``cell_size`` near the median interval length; far smaller multiplies
+    replication (length/cell copies per interval), far larger re-grows
+    per-cell quadratic work.
+
+    Returns (key, a_id, b_id, overlap) with overlap = the inclusive
+    overlap length min(ends) - max(starts) (same unit as the inputs).
+    """
+    cells = F.sequence(
+        F.floor(F.col(start_col) / cell_size).cast("long"),
+        F.floor(F.col(end_col) / cell_size).cast("long"),
+    )
+    flat = df.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.explode(cells).alias("__cell"),
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    first_shared = F.floor(
+        F.greatest(F.col("a.__s"), F.col("b.__s")) / cell_size
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(
+            (F.col("a.__s") <= F.col("b.__e"))
+            & (F.col("b.__s") <= F.col("a.__e"))
+            & (F.col("a.__cell") == first_shared)
+        )
+        .select(
+            F.col("a.__k").alias(key),
+            F.col("a.__id").alias("a_id"),
+            F.col("b.__id").alias("b_id"),
+            (
+                F.least(F.col("a.__e"), F.col("b.__e"))
+                - F.greatest(F.col("a.__s"), F.col("b.__s"))
+            ).alias("overlap"),
+        )
+    )

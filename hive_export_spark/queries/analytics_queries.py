@@ -137,3 +137,116 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_first").over(w_run).cast("bigint").alias("n_distinct_types"),
     )
+
+
+_PR_ITER_SQL = """
+s{i} AS (
+  SELECT d.dst, SUM(r.rank_int // r.deg) AS s
+  FROM dir d JOIN r{prev} r ON r.node = d.src GROUP BY d.dst
+),
+r{i} AS (
+  SELECT p.node, p.deg, p.tele,
+         p.tele + (85 * COALESCE(s{i}.s, 0)) // 100 AS rank_int
+  FROM r{prev} p LEFT JOIN s{i} ON s{i}.dst = p.node
+)"""
+
+_PR_ORACLE = (
+    """
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+dir AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (
+  SELECT deg.src AS node, deg.deg,
+         1000000000000 // n.n AS rank_int,
+         (15 * (1000000000000 // n.n)) // 100 AS tele
+  FROM deg CROSS JOIN n
+),"""
+    + ",".join(
+        _PR_ITER_SQL.format(i=i, prev=i - 1) for i in (1, 2, 3)
+    )
+    + """
+SELECT node, CAST(deg AS BIGINT) AS deg, CAST(rank_int AS BIGINT) AS rank_int,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT node, deg, rank_int,
+         ROW_NUMBER() OVER (ORDER BY rank_int DESC, node) AS rk
+  FROM r3
+) WHERE rk <= 20
+"""
+)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_PR_ORACLE,
+    doc="PageRank (3 iterations, damping 0.85) over the part co-purchase "
+    "graph, top-20 vertices. INTEGER-QUANTIZED arithmetic "
+    "(operators/graph.pagerank_int): ranks in 1e-12 units, contribution "
+    "= rank div degree, update = teleport + (85 * inflow) div 100 — "
+    "every step exact BIGINT, order-insensitive, bit-identical across "
+    "engines (float PageRank drifts a ulp per iteration and flips "
+    "rankings; quantization error is nanoscale). Per iteration: one "
+    "vertex-keyed join + one inflow sum shuffle — both partial-"
+    "mergeable and AQE-splittable on celebrity-vertex skew. The oracle "
+    "unrolls the same pinned integer recurrence in SQL.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.graph import pagerank_int
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    ranks = pagerank_int(edges.select("u", "v"), iterations=3)
+    top = ranks.orderBy(F.col("rank_int").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("rank_int").desc(), "node")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("rank_int").cast("bigint").alias("rank_int"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS e
+  FROM events
+)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+""",
+    doc="interval self-overlap join: event activity windows [ts, "
+    "ts+value] that overlap within a user, with inclusive overlap "
+    "length. Spark side is the GRID-PARTITIONED interval join "
+    "(operators/relational.interval_overlap_join): intervals explode to "
+    "15-minute grid cells, candidates meet in an EQUI-join on (user, "
+    "cell), and each pair is emitted exactly once in the FIRST shared "
+    "cell — no theta join, no dedup shuffle; candidate volume scales "
+    "with cell occupancy, not per-key count squared. The oracle is the "
+    "definitional per-user theta join — an independent formulation.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.relational import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + F.floor("value").cast("long")).alias("e"),
+    )
+    return interval_overlap_join(
+        ev, "user_id", "event_id", "s", "e", cell_size=900
+    )

@@ -351,3 +351,38 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.col("content").cast("string").alias("head"),
     )
+
+
+@register(
+    "fmt_roundtrip_text",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+""",
+    doc="line-oriented text connector round-trip: documents metadata "
+    "serialized as tab-separated lines through spark.write.text, read "
+    "back with spark.read.text and re-parsed with split() — the "
+    "log-shipping format the reference's consumers commonly land "
+    "(HivePartitionStream.java writes line-delimited records). Fields "
+    "chosen are delimiter-free by schema (bigint, single-token lang "
+    "code, bigint), so the round trip is lossless by construction; "
+    "hash-compared against the parquet source. Text scans split by "
+    "line ranges, so the read parallelizes like any file source.",
+)
+def fmt_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, "documents", sf_dir).select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    path = os.path.join(scratch_dir("fmt_roundtrip"), "text")
+    src.write.mode("overwrite").format("text").save(path)
+    lines = spark.read.format("text").load(path)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).cast("bigint").alias("n_chars"),
+    )

@@ -1818,3 +1818,64 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("probe_name", "s_name").cast("int").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "cdc_changelog_compact",
+    oracle="""
+WITH changelog AS (
+  SELECT l_orderkey AS k,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                      l_extendedprice) AS seq,
+         CASE WHEN l_returnflag = 'R' THEN 'D' END AS op0,
+         l_quantity AS qty
+  FROM lineitem
+), ops AS (
+  SELECT k, seq,
+         COALESCE(op0, CASE WHEN seq = 1 THEN 'I' ELSE 'U' END) AS op, qty
+  FROM changelog
+), ranked AS (
+  SELECT k, seq, op, qty,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+  FROM ops
+)
+SELECT k, seq, op, qty FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    doc="Debezium-style changelog compaction with DELETE tombstones: "
+    "latest-by-sequence op per key wins, a winning delete removes the "
+    "key — the stream-compaction half of MERGE a CDC consumer runs "
+    "before loading a warehouse table (the reference exports exactly "
+    "such change streams; HiveExportClient.java:129-135 block "
+    "sequencing is the seq column's analog). operators/cdc."
+    "apply_changelog: ONE shuffle on the key (row_number window) + a "
+    "filter — no join, per-key state is the single winning row, hot "
+    "keys AQE-splittable. Changelog derived deterministically from "
+    "lineitem (seq = linenumber, returns are tombstones).",
+)
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.cdc import apply_changelog
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # the fixture's l_linenumber is NOT unique within an order, so derive
+    # a real LSN: row_number over a pinned total order (any residual tie
+    # is output-invariant because qty participates in the ordering)
+    w_seq = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
+    changelog = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.row_number().over(w_seq).alias("seq"),
+        F.col("l_returnflag").alias("__rf"),
+        F.col("l_quantity").alias("qty"),
+    ).select(
+        "k",
+        "seq",
+        F.when(F.col("__rf") == "R", "D")
+        .when(F.col("seq") == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        "qty",
+    )
+    return apply_changelog(changelog, "k", "seq")

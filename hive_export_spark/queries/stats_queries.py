@@ -749,3 +749,78 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("bin_hi"),
         )
     )
+
+
+@register(
+    "stats_mad_outliers",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(value AS DECIMAL(12,2)) AS vd,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, vd AS med FROM v WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT v.event_id, v.event_type, v.value, v.vd, m.med,
+         abs(v.vd - m.med) AS ad,
+         ROW_NUMBER() OVER (PARTITION BY v.event_type
+                            ORDER BY abs(v.vd - m.med), v.event_id) AS rn2,
+         COUNT(*) OVER (PARTITION BY v.event_type) AS n2
+  FROM v JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, ad AS mad FROM dev WHERE rn2 = (n2 + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value,
+       CAST(d.med AS DOUBLE) AS med, CAST(md.mad AS DOUBLE) AS mad
+FROM dev d JOIN mad md USING (event_type)
+WHERE d.ad > 3 * md.mad
+""",
+    doc="robust outlier detection via median absolute deviation: flag "
+    "rows with |v - median| > 3 * MAD per series — the estimator that "
+    "survives the very outliers it hunts (z-scores inflate their own "
+    "stddev). Medians are the PINNED discrete convention from "
+    "agg_kll_quantile_merge: the ((n+1) div 2)-th element under a "
+    "(value, event_id) total order, picked identically by both engines "
+    "via ROW_NUMBER — engine quantile builtins disagree on even-count "
+    "rank conventions. All arithmetic is decimal-exact, so the outlier "
+    "SET is bit-deterministic. Shape: two (series)-keyed sort windows "
+    "reusing one Exchange + two broadcast joins of series-cardinality "
+    "tables; the fact stream shuffles once.",
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    vd = F.col("value").cast(_DEC)
+    w_n = Window.partitionBy("event_type")
+    w_rn = Window.partitionBy("event_type").orderBy(vd, "event_id")
+    v = ev.select(
+        "event_id", "event_type", "value", vd.alias("vd"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = v.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("vd").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("vd") - F.col("med"))
+    )
+    w_rn2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    dev = dev.withColumn("rn2", F.row_number().over(w_rn2)).withColumn(
+        "n2", F.count(F.lit(1)).over(w_n)
+    )
+    mad = dev.filter(
+        F.col("rn2") == F.expr("(n2 + 1) div 2")
+    ).select("event_type", F.col("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > F.lit(3) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("med").cast("double").alias("med"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )

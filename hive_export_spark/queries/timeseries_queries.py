@@ -683,3 +683,83 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / F.col("den").cast("double"), 6
         ).cast("double").alias("ewma"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, bucket_epoch, v,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type) AS s
+  FROM buckets
+), scored AS (
+  SELECT event_type, bucket_epoch, n,
+         n * r - k * s AS score,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * r - k * s) DESC, bucket_epoch) AS pick
+  FROM ranked
+)
+SELECT event_type, bucket_epoch AS cp_epoch,
+       CAST(score AS DOUBLE) AS score_scaled,
+       CAST(n AS BIGINT) AS n_buckets
+FROM scored WHERE pick = 1
+""",
+    doc="CUSUM change-point detection per series: the bucket where the "
+    "cumulative deviation from the series mean peaks — the classic "
+    "single-changepoint statistic argmax_k |sum_{{i<=k}}(v_i - mean)|. "
+    "Computed SCALE-FREE of division: the statistic is multiplied "
+    "through by n (score_k = n*R_k - k*S, same argmax), so every value "
+    "is exact decimal/integer arithmetic — no mean division, no float "
+    "drift, bit-identical across engines and reduction orders. Shape: "
+    "one (series)-keyed aggregation plus windows sharing ONE Exchange; "
+    "state per row is O(1).",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    ranked = buckets.select(
+        "event_type",
+        "bucket_epoch",
+        F.sum("v").over(w_run).alias("r"),
+        F.row_number().over(w_ord).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_all).alias("s"),
+    )
+    score = F.col("n") * F.col("r") - F.col("k") * F.col("s")
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(score).desc(), "bucket_epoch"
+    )
+    return (
+        ranked.withColumn("score", score)
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("bucket_epoch").alias("cp_epoch"),
+            F.col("score").cast("double").alias("score_scaled"),
+            F.col("n").cast("bigint").alias("n_buckets"),
+        )
+    )

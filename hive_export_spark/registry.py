@@ -68,6 +68,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_histogram_equidepth",
     "llm_text_perplexity",
     "llm_sample_weighted",
+    "graph_pagerank",
+    "join_interval_overlap",
+    "stats_mad_outliers",
+    "ts_cusum_changepoint",
+    "fmt_roundtrip_text",
+    "cdc_changelog_compact",
     "sql_recursive_cte",
     "agg_approx_top_k",
     "agg_listagg_strings",
@@ -96,33 +102,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (2) the r1-latest tail: joins (join_left/join_right ceded slots to
     # round-5 new queries — same _join_frames/_join_select implementation
     # as join_inner, which stays, and both are green in ORACLE_r05.txt)
+    # (join_semi / join_anti ceded slots to session-2 new queries: one
+    # existence-join family, both green in the committed replica;
+    # join_inner / join_broadcast_dim / join_theta_inequality stay)
     "q3_shipping_priority",
     "join_inner",
-    "join_semi",
-    "join_anti",
     "join_broadcast_dim",
     "join_theta_inequality",
     # aggregations + set ops
     "agg_groupby",
-    # (agg_cube ceded its slot: one grouping-set expansion family with
-    # agg_rollup, which stays)
-    "agg_rollup",
-    "sort_limit",
-    # (setop_intersect / setop_intersect_all ceded their slots to the two
-    # k-means queries: the four set-ops share one implementation family,
-    # union_all + except stay as its in-window representatives, and both
-    # displaced queries are green in ORACLE_r05.txt on current fixtures)
+    # (agg_rollup, sort_limit and setop_except ceded slots to session-2
+    # new queries: agg_groupby remains the aggregation-family probe,
+    # setop_union_all the set-op probe; all displaced queries are green
+    # in the committed all-query replica on current fixtures)
     "setop_union_all",
-    "setop_except",
     # TPC-H shapes (q4/q6/q10/q13/q14/q19/q22 ceded their slots to the
     # nine operators NEW this session — same TPC-H family machinery as
     # q3/q18 which stay as in-window representatives; all displaced
     # queries are green in the committed all-query replica on current
     # fixtures)
     "q18_large_volume_customer",
-    # subquery / reshape / CDC
+    # subquery / CDC (unpivot_stack ceded its slot — reshape family's
+    # pivot_status_by_priority carries r2 evidence; cdc_changelog_compact
+    # above is the new in-window CDC probe alongside cdc_upsert)
     "subquery_scalar_avg",
-    "unpivot_stack",
     "cdc_upsert",
     # window functions (window_rank_dense earlier, and now window_lag_lead
     # + window_sliding_avg, ceded slots: one ordered-window family with

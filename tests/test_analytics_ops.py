@@ -167,3 +167,91 @@ def test_perplexity_rare_tokens_score_higher(spark, sf_dir):
     assert stats.hi > stats.lo
     n_docs = out.count()
     assert out.filter(F.col("n_tokens") > 0).count() == n_docs
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark):
+    from hive_export_spark.operators.graph import _PR_BASE, pagerank_int
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    r1 = {r.node: r.rank_int for r in pagerank_int(df, 3).collect()}
+    r2 = {
+        r.node: r.rank_int
+        for r in pagerank_int(df.repartition(5), 3).collect()
+    }
+    assert r1 == r2  # partitioning-independent (integer arithmetic)
+    # mass conservation up to floor-division loss: each of the 3
+    # iterations loses < n per div step, nanoscale vs BASE
+    total = sum(r1.values())
+    assert abs(total - _PR_BASE) < 1000 * len(r1)
+    # the degree-3 hub must outrank every degree-1 leaf
+    assert r1[3] == max(r1.values())
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    from hive_export_spark.operators.relational import interval_overlap_join
+
+    rng = random.Random(5)
+    rows = [
+        (k, i, s, s + rng.randint(0, 400))
+        for i, (k, s) in enumerate(
+            (rng.randint(1, 3), rng.randint(0, 5000)) for _ in range(150)
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    got = sorted(
+        (r.k, r.a_id, r.b_id, r.overlap)
+        for r in interval_overlap_join(df, "k", "id", "s", "e", 300).collect()
+    )
+    want = sorted(
+        (a[0], a[1], b[1], min(a[3], b[3]) - max(a[2], b[2]))
+        for a in rows
+        for b in rows
+        if a[0] == b[0] and a[1] < b[1] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    assert got == want
+
+
+def test_apply_changelog_tombstones_and_latest_wins(spark):
+    from hive_export_spark.operators.cdc import apply_changelog
+
+    rows = [
+        (1, 1, "I", 10.0),
+        (1, 2, "U", 20.0),   # key 1 -> final qty 20
+        (2, 1, "I", 5.0),
+        (2, 2, "D", 0.0),    # key 2 deleted
+        (3, 1, "D", 0.0),
+        (3, 2, "I", 7.0),    # delete then re-insert -> alive
+    ]
+    df = spark.createDataFrame(rows, "k long, seq int, op string, qty double")
+    got = {r.k: (r.op, r.qty) for r in apply_changelog(df, "k", "seq").collect()}
+    assert got == {1: ("U", 20.0), 3: ("I", 7.0)}
+
+
+def test_cusum_changepoint_finds_injected_shift(spark):
+    # synthetic series with a level shift at position 30 of 60
+    import pyspark.sql.functions as SF
+
+    from hive_export_spark.queries.timeseries_queries import ts_cusum_changepoint  # noqa: F401  (registry import only)
+
+    rows = [(i, 10.0 if i < 30 else 50.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    from pyspark.sql import Window as W
+
+    w_run = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    ranked = df.select(
+        "k",
+        SF.sum("v").over(w_run).alias("r"),
+        SF.row_number().over(W.orderBy("k")).alias("rn"),
+        SF.count(SF.lit(1)).over(w_all).alias("n"),
+        SF.sum("v").over(w_all).alias("s"),
+    )
+    score = SF.col("n") * SF.col("r") - SF.col("rn") * SF.col("s")
+    pick = (
+        ranked.withColumn("sc", SF.abs(score))
+        .orderBy(SF.col("sc").desc(), "k")
+        .limit(1)
+        .collect()[0]
+    )
+    assert pick.k == 29  # the last pre-shift bucket maximizes |CUSUM|
