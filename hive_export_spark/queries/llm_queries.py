@@ -1533,3 +1533,199 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+_MIX_TARGET_DOCS = 300
+_U52 = 1 << 52
+
+
+@register(
+    "llm_sample_mixture",
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         1 + (CAST(substr(source, 4) AS INTEGER) % 5) AS w,
+         COUNT(*) AS n_source
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(w) AS big_w FROM src
+), thresh AS (
+  SELECT s.source, s.w, s.n_source,
+         ({_MIX_TARGET_DOCS} * s.w * {_U52}) // (t.big_w * s.n_source)
+           AS thr
+  FROM src s CROSS JOIN tot t
+)
+SELECT t.source, CAST(t.w AS INTEGER) AS w,
+       CAST(t.n_source AS BIGINT) AS n_source,
+       CAST(COUNT_IF(
+         CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) < t.thr) AS BIGINT) AS n_selected
+FROM documents d JOIN thresh t USING (source)
+GROUP BY t.source, t.w, t.n_source
+""",
+    doc="data-mixture resampling: re-weight corpus sources to a target "
+    "mixture (weights 1..5 by source index, total budget 300 docs) — "
+    "the domain-mixing step every pretraining pipeline runs (e.g. "
+    "upweighting curated sources). Per-source acceptance rates become "
+    "EXACT integer thresholds in 2^-52 units ((budget * w * 2^52) div "
+    "(W * n_source), all BIGINT), and each doc's md5-derived 52-bit "
+    "uniform is compared as an integer — zero float ops anywhere, so "
+    "selection is bit-deterministic across engines and re-runs, and "
+    "re-ingested docs keep their fate (no train-set churn). Shape: one "
+    "source-cardinality aggregation broadcast back, one map-side "
+    "filter, one count — the fact stream shuffles once.",
+)
+def llm_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    src = src.withColumn(
+        "w", 1 + F.substring("source", 4, 10).cast("int") % 5
+    )
+    tot = src.agg(F.sum("w").alias("big_w"))
+    thresh = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        "n_source",
+        F.expr(
+            f"({_MIX_TARGET_DOCS} * w * {_U52}L) div (big_w * n_source)"
+        ).alias("thr"),
+    )
+    u52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(thresh), "source")
+        .groupBy("source", "w", "n_source")
+        .agg(
+            F.sum(F.when(u52 < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected")
+        )
+        .select(
+            "source",
+            F.col("w").cast("int").alias("w"),
+            F.col("n_source").cast("bigint").alias("n_source"),
+            "n_selected",
+        )
+    )
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKS}) AS term FROM documents
+), pairs AS (
+  SELECT substr(term, i, 2) AS pair
+  FROM words
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(length(term), 1))) AS i
+  )
+  WHERE length(term) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS INTEGER) AS rk
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20
+""",
+    doc="distributed BPE vocabulary induction, first merge step: count "
+    "adjacent character-pair frequencies across the tokenized corpus "
+    "and rank the top-20 merge candidates — the inner loop of "
+    "byte-pair-encoding tokenizer training, run at corpus scale. "
+    "Shape: token explode (narrow), position explode bounded by word "
+    "length (narrow), ONE pair-keyed count shuffle whose output is "
+    "alphabet^2-bounded, then a tiny top-k — partial aggregation does "
+    "the heavy lifting map-side, so the shuffle carries pair partials, "
+    "not letter pairs. Exact integer counts; (count, pair) total order "
+    "makes the ranking deterministic.",
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = d.select(F.explode(F.split(norm, " ")).alias("term")).filter(
+        F.length("term") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substr(term, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counted.orderBy(F.col("cnt").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "pair",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), q AS (
+  SELECT vec_id, scale,
+         len(e) AS n_dims,
+         list_max(list_transform(e,
+             x -> abs(x - round(x / scale) * scale))) AS max_err,
+         len(list_filter(e, x -> round(x / scale) <> 0)) AS nnz
+  FROM scaled WHERE scale > 0
+)
+SELECT vec_id,
+       CAST(round(scale, 9) AS DOUBLE) AS scale_r,
+       CAST(n_dims AS INTEGER) AS n_dims,
+       CAST(nnz AS INTEGER) AS nnz,
+       max_err <= scale / 2 + 1e-12 AS err_ok
+FROM q
+""",
+    doc="symmetric int8 embedding quantization (absmax scaling): per "
+    "vector scale = max|x|/127, elements mapped to round(x/scale) — "
+    "the compression step that cuts ANN index storage 4x before "
+    "serving. Entirely JVM-side array higher-order functions "
+    "(transform / array_max / filter — no UDF, no Python); the oracle "
+    "mirrors with DuckDB list lambdas. Verified output is scalar-only "
+    "(scale, dims, nonzeros, and the reconstruction-error bound "
+    "|x - q*scale| <= scale/2 as a boolean) — both engines compute "
+    "identical doubles elementwise so the booleans are exact, and "
+    "array columns never reach the driver hash (risky kind). Shape: "
+    "pure map, zero shuffles, linear at any corpus size.",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = emb.select("vec_id", e.alias("e"))
+    scaled = base.select(
+        "vec_id",
+        "e",
+        (F.expr("array_max(transform(e, x -> abs(x)))") / 127.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = scaled.select(
+        "vec_id",
+        "scale",
+        F.size("e").alias("n_dims"),
+        F.expr(
+            "array_max(transform(e, x -> abs(x - round(x / scale) * scale)))"
+        ).alias("max_err"),
+        F.expr("size(filter(e, x -> round(x / scale) <> 0D))").alias("nnz"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).cast("double").alias("scale_r"),
+        F.col("n_dims").cast("int").alias("n_dims"),
+        F.col("nnz").cast("int").alias("nnz"),
+        (F.col("max_err") <= F.col("scale") / 2 + F.lit(1e-12)).alias("err_ok"),
+    )

@@ -763,3 +763,135 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_buckets"),
         )
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INTEGER)
+           AS hod,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sx
+  FROM events GROUP BY 1, 2
+), overall AS (
+  SELECT event_type,
+         SUM(n) AS n_all, SUM(sx) AS sx_all
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hod, CAST(h.n AS BIGINT) AS n,
+       CAST(round(CAST(h.sx AS DOUBLE) / h.n, 6) AS DOUBLE) AS mean_v,
+       CAST(round((CAST(h.sx AS DOUBLE) / h.n) /
+                  (CAST(o.sx_all AS DOUBLE) / o.n_all), 6) AS DOUBLE)
+         AS seasonal_idx
+FROM hourly h JOIN overall o USING (event_type)
+""",
+    doc="seasonal profile extraction (hour-of-day decomposition): per "
+    "series, the mean value at each UTC hour-of-day and its ratio to "
+    "the series mean — the multiplicative seasonal index dashboards "
+    "and forecasters subtract out before trend analysis. Sums are "
+    "exact decimals (order-insensitive partials), so the two divisions "
+    "and round(6) are the only float ops and run on bit-identical "
+    "inputs in both engines. Shape: one (series, hod) partial "
+    "aggregation — 24 x series rows — then the series totals derive "
+    "from THOSE partials (no second scan); everything after the one "
+    "shuffle is series-cardinality-sized.",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hod = (
+        (F.floor(F.unix_timestamp("ts")).cast("long") / F.lit(3600)).cast("long") % 24
+    ).cast("int")
+    hourly = (
+        ev.select(
+            "event_type",
+            hod.alias("hod"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__v").alias("sx"))
+    )
+    overall = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"), F.sum("sx").alias("sx_all")
+    )
+    mean_v = F.col("sx").cast("double") / F.col("n")
+    mean_all = F.col("sx_all").cast("double") / F.col("n_all")
+    return (
+        hourly.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(mean_v, 6).cast("double").alias("mean_v"),
+            F.round(mean_v / mean_all, 6).cast("double").alias("seasonal_idx"),
+        )
+    )
+
+
+@register(
+    "ts_attribution_last_touch",
+    oracle="""
+WITH stream AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         ts
+  FROM events
+), tagged AS (
+  SELECT user_id, event_id, event_type, sec,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN sec END
+                    IGNORE NULLS) OVER w AS click_sec
+  FROM stream
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, click_id,
+       CASE WHEN click_id IS NOT NULL THEN sec - click_sec END
+         AS secs_since_click
+FROM tagged WHERE event_type = 'purchase'
+""",
+    doc="last-touch attribution: each purchase credits the user's most "
+    "recent STRICTLY-preceding click (the marketing-attribution "
+    "primitive; unattributed purchases keep NULL). One user-keyed "
+    "IGNORE-NULLS window over the event stream — no self-join, no "
+    "per-purchase search, ONE shuffle regardless of events per user; "
+    "the strict 1-PRECEDING frame pins the same-timestamp edge case "
+    "identically in both engines. Latency is exact integer seconds.",
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    click_sec = F.last(
+        F.when(F.col("event_type") == "click", F.col("sec")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("click_id", click_id)
+        .withColumn("click_sec", click_sec)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            F.when(
+                F.col("click_id").isNotNull(),
+                F.col("sec") - F.col("click_sec"),
+            ).alias("secs_since_click"),
+        )
+    )

@@ -74,6 +74,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ts_cusum_changepoint",
     "fmt_roundtrip_text",
     "cdc_changelog_compact",
+    "llm_sample_mixture",
+    "llm_bpe_pair_counts",
+    "llm_embed_quantize",
+    "ts_seasonal_profile",
+    "ts_attribution_last_touch",
     "sql_recursive_cte",
     "agg_approx_top_k",
     "agg_listagg_strings",
@@ -105,28 +110,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (join_semi / join_anti ceded slots to session-2 new queries: one
     # existence-join family, both green in the committed replica;
     # join_inner / join_broadcast_dim / join_theta_inequality stay)
+    # (join_theta_inequality also ceded in session 2 — theta/range family
+    # keeps join_fuzzy_levenshtein + join_interval_overlap in-window)
     "q3_shipping_priority",
     "join_inner",
     "join_broadcast_dim",
-    "join_theta_inequality",
     # aggregations + set ops
     "agg_groupby",
-    # (agg_rollup, sort_limit and setop_except ceded slots to session-2
-    # new queries: agg_groupby remains the aggregation-family probe,
-    # setop_union_all the set-op probe; all displaced queries are green
-    # in the committed all-query replica on current fixtures)
-    "setop_union_all",
-    # TPC-H shapes (q4/q6/q10/q13/q14/q19/q22 ceded their slots to the
-    # nine operators NEW this session — same TPC-H family machinery as
-    # q3/q18 which stay as in-window representatives; all displaced
-    # queries are green in the committed all-query replica on current
+    # (agg_rollup, sort_limit, setop_except, and later setop_union_all,
+    # q18, subquery_scalar_avg and cdc_upsert ceded slots to session-2/3
+    # new queries: agg_groupby remains the aggregation probe, q3 the
+    # TPC-H probe, cdc_changelog_compact the in-window CDC probe,
+    # 20 new queries above took the freed positions; every displaced
+    # query is green in the committed all-query replica on current
     # fixtures)
-    "q18_large_volume_customer",
-    # subquery / CDC (unpivot_stack ceded its slot — reshape family's
-    # pivot_status_by_priority carries r2 evidence; cdc_changelog_compact
-    # above is the new in-window CDC probe alongside cdc_upsert)
-    "subquery_scalar_avg",
-    "cdc_upsert",
     # window functions (window_rank_dense earlier, and now window_lag_lead
     # + window_sliding_avg, ceded slots: one ordered-window family with
     # window_row_number / window_running_sum, which stay; the new

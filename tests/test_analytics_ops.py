@@ -255,3 +255,82 @@ def test_cusum_changepoint_finds_injected_shift(spark):
         .collect()[0]
     )
     assert pick.k == 29  # the last pre-shift bucket maximizes |CUSUM|
+
+
+def test_mixture_sampling_tracks_target_weights(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_sample_mixture
+
+    rows = llm_sample_mixture(spark, sf_dir).collect()
+    # selection rate must be monotone-ish in weight: average rate of the
+    # top-weight sources strictly above the bottom-weight sources
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.w, []).append(r.n_selected / r.n_source)
+    ws = sorted(by_w)
+    assert sum(by_w[ws[-1]]) / len(by_w[ws[-1]]) > sum(by_w[ws[0]]) / len(by_w[ws[0]])
+    # never selects more than the source has
+    assert all(r.n_selected <= r.n_source for r in rows)
+
+
+def test_bpe_pairs_are_adjacent_char_bigrams(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_bpe_pair_counts
+
+    rows = llm_bpe_pair_counts(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(len(r.pair) == 2 for r in rows)
+    # ranking is by (count desc, pair)
+    ordered = sorted(rows, key=lambda r: (-r.cnt, r.pair))
+    assert [r.pair for r in ordered] == [
+        r.pair for r in sorted(rows, key=lambda r: r.rk)
+    ]
+
+
+def test_embed_quantize_error_bound_holds(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_embed_quantize
+
+    rows = llm_embed_quantize(spark, sf_dir).collect()
+    assert rows
+    assert all(r.err_ok for r in rows)  # absmax quantization bound
+    assert all(0 < r.scale_r for r in rows)
+    assert all(0 < r.nnz <= r.n_dims for r in rows)
+
+
+def test_seasonal_idx_averages_to_one(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_seasonal_profile
+
+    rows = ts_seasonal_profile(spark, sf_dir).collect()
+    from hive_export_spark.sources import load_table
+
+    series_mean = {
+        r.event_type: r.m
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.n, r.mean_v, r.seasonal_idx))
+    for t, vals in by_type.items():
+        n_tot = sum(n for n, _, _ in vals)
+        # weighted mean of hourly means reconstructs the series mean
+        wmean = sum(n * m for n, m, _ in vals) / n_tot
+        assert abs(wmean - series_mean[t]) < 1e-4
+        # count-weighted mean of the seasonal indices is 1
+        widx = sum(n * i for n, _, i in vals) / n_tot
+        assert abs(widx - 1) < 1e-3
+
+
+def test_attribution_click_precedes_purchase(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import (
+        ts_attribution_last_touch,
+    )
+
+    rows = ts_attribution_last_touch(spark, sf_dir).collect()
+    assert rows
+    attributed = [r for r in rows if r.click_id is not None]
+    assert attributed  # the fixture has clicks before purchases
+    assert all(r.secs_since_click >= 0 for r in attributed)
+    assert all(
+        r.secs_since_click is None for r in rows if r.click_id is None
+    )
