@@ -124,7 +124,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     counts = edges.agg(
         F.count(F.lit(1)).alias("n_edges")
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
     return counts.crossJoin(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "n_triangles"
     )

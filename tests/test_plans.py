@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hive_export_spark.plans import audit
 from hive_export_spark.plans import (
     executed_plan,
     has_broadcast_hash_join,
@@ -160,3 +161,48 @@ def test_global_shuffle_windows_are_bucketed(spark, sf_dir):
     # the rank window is partitioned (windowspecdefinition lists the
     # partition expr before the first ORDER BY column)
     assert all("windowspecdefinition(__bkt" in l for l in row_number_windows)
+
+
+def test_running_distinct_reuses_one_exchange(spark, sf_dir):
+    """Both windows partition by user_id, so the physical plan must carry
+    exactly ONE hash-partitioning Exchange (two Sorts are fine)."""
+    from hive_export_spark.queries.analytics_queries import (
+        window_running_distinct,
+    )
+
+    plan = audit.executed_plan(window_running_distinct(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zscore_stats_are_broadcast(spark, sf_dir):
+    """The per-series stats table joins back as a broadcast: the fact
+    stream must never shuffle for the scoring pass."""
+    from hive_export_spark.queries.stats_queries import stats_zscore_outliers
+
+    assert audit.has_broadcast_hash_join(stats_zscore_outliers(spark, sf_dir))
+
+
+def test_embed_quantize_is_shuffle_free(spark, sf_dir):
+    """Pure map over arrays: zero Exchanges of any kind."""
+    from hive_export_spark.queries.llm_queries import llm_embed_quantize
+
+    plan = audit.executed_plan(llm_embed_quantize(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_uses_tree_topk(spark, sf_dir):
+    """orderBy().limit() must compile to TakeOrderedAndProject, never a
+    global Sort."""
+    from hive_export_spark.queries.llm_queries import llm_sample_weighted
+
+    plan = audit.executed_plan(llm_sample_weighted(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import (
+        ts_attribution_last_touch,
+    )
+
+    plan = audit.executed_plan(ts_attribution_last_touch(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
