@@ -469,3 +469,55 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(__v, '$.ids[1]', 'bigint')").alias("vid1"),
         F.expr("CAST(variant_get(__pv, '$.k', 'int') AS BIGINT)").alias("k"),
     )
+
+
+@register(
+    "fn_higher_order_family",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(round(list_reduce(e, (acc, x) -> acc + x), 6) AS DOUBLE) AS s,
+       CAST(round(sqrt(list_reduce(
+           list_transform(list_zip(e, e), p -> p[1] * p[2]),
+           (acc, x) -> acc + x)), 6) AS DOUBLE) AS l2,
+       len(list_filter(e, x -> x < 0)) > 0 AS any_neg,
+       len(list_filter(e, x -> NOT abs(x) < 1000000.0)) = 0 AS all_finite,
+       CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos
+FROM base
+""",
+    doc="higher-order array function family over the embedding column: "
+    "aggregate (left fold), zip_with (pairwise product for the L2 "
+    "norm), exists, forall, filter — the lambda calculus Spark executes "
+    "ENTIRELY in the JVM inside codegen (no UDF, no Python worker), "
+    "which is why vector math over array columns is a map-only, "
+    "shuffle-free pass at any corpus size. Both engines fold "
+    "left-to-right over the same element order, so the double sums are "
+    "bit-identical before the guard round(6); boolean/int outputs are "
+    "exact. DuckDB mirrors with list_reduce / list_zip / list_filter.",
+)
+def fn_higher_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).select(
+        "vec_id",
+        F.round(
+            F.expr("aggregate(e, 0D, (acc, x) -> acc + x)"), 6
+        ).cast("double").alias("s"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(e, e, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+            ),
+            6,
+        ).cast("double").alias("l2"),
+        F.expr("exists(e, x -> x < 0)").alias("any_neg"),
+        F.expr("forall(e, x -> abs(x) < 1000000.0D)").alias("all_finite"),
+        F.expr("size(filter(e, x -> x > 0))").cast("int").alias("n_pos"),
+    )

@@ -1879,3 +1879,81 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
     )
     return apply_changelog(changelog, "k", "seq")
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+""",
+    doc="GROUPING() marker functions over a 4-set grouping-sets "
+    "expansion: the markers are what lets a consumer distinguish a "
+    "real NULL group key from a rolled-up one — without them rollup "
+    "outputs are ambiguous on nullable keys. One expand + one shuffle, "
+    "same as any grouping-sets plan; markers are computed from the "
+    "grouping bit vector, zero extra cost.",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("orders_gid")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH keyed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+), dims AS (
+  SELECT DISTINCT c_mktsegment AS seg FROM customer
+  UNION ALL SELECT NULL
+)
+SELECT d.seg, COUNT(k.c_custkey) AS n
+FROM keyed k JOIN dims d ON k.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg
+""",
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping — the semantics a "
+    "dimension join needs when 'unknown' is itself a bucket. Spark "
+    "plans eqNullSafe as a hashable equi-join key (NOT a theta join), "
+    "so it shuffles/broadcasts exactly like = — asserted by the "
+    "BroadcastHashJoin in the plan. Every tenth customer gets a NULL "
+    "segment; the NULL dim row must collect all of them.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    keyed = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    dims = (
+        c.select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+        .unionAll(c.sparkSession.range(1).select(F.lit(None).cast("string").alias("seg")))
+    )
+    return (
+        keyed.alias("k")
+        .join(F.broadcast(dims.alias("d")), F.expr("k.seg <=> d.seg"))
+        .groupBy(F.col("d.seg").alias("seg"))
+        .agg(F.count("c_custkey").alias("n"))
+    )

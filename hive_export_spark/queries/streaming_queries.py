@@ -637,3 +637,77 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
+           AS window_epoch,
+         user_id,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT window_epoch, user_id,
+       CAST(sv AS DOUBLE) AS total_value,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT window_epoch, user_id, sv,
+         ROW_NUMBER() OVER (PARTITION BY window_epoch
+                            ORDER BY sv DESC, user_id) AS rk
+  FROM agg
+) WHERE rk <= 3
+""",
+    doc="streaming per-window top-k: a REAL streaming query aggregates "
+    "sum(value) per (1h tumbling window, user) over the events file "
+    "stream (complete output mode, memory sink, availableNow), then "
+    "the top-3 users per window are ranked over the finalized state — "
+    "the leaderboard shape Structured Streaming cannot express "
+    "directly (no rank over streaming aggregates), composed as "
+    "stream-agg + batch-rank exactly the way production does it with "
+    "foreachBatch. Complete mode here is the CORRECTNESS gate; the "
+    "production shape documented in SCALING.md is append mode + "
+    "watermark with the rank in foreachBatch per finalized window. "
+    "Decimal sums keep the ranking deterministic across engines; "
+    "(sum, user) total order pins ties.",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import Window as W
+
+    ev = read_stream_from_table(spark, "events", sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("user_id")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"))
+    )
+    name = f"gate_swt_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("window_epoch"),
+        "user_id",
+        "sv",
+    )
+    w_rank = W.partitionBy("window_epoch").orderBy(
+        F.col("sv").desc(), "user_id"
+    )
+    return (
+        final.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "window_epoch",
+            "user_id",
+            F.col("sv").cast("double").alias("total_value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -79,6 +79,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "llm_embed_quantize",
     "ts_seasonal_profile",
     "ts_attribution_last_touch",
+    "fn_higher_order_family",
+    "agg_grouping_id",
+    "join_null_safe_eq",
+    "stream_window_topk",
     "sql_recursive_cte",
     "agg_approx_top_k",
     "agg_listagg_strings",
@@ -110,13 +114,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (join_semi / join_anti ceded slots to session-2 new queries: one
     # existence-join family, both green in the committed replica;
     # join_inner / join_broadcast_dim / join_theta_inequality stay)
-    # (join_theta_inequality also ceded in session 2 — theta/range family
-    # keeps join_fuzzy_levenshtein + join_interval_overlap in-window)
+    # (join_theta_inequality, join_inner and join_broadcast_dim ceded in
+    # session 2/4 — the join families keep join_null_safe_eq (broadcast
+    # equi-join, plan-asserted), join_fuzzy_levenshtein and
+    # join_interval_overlap in-window, and q3 exercises the full
+    # broadcast-dim equi-join stack end to end)
     "q3_shipping_priority",
-    "join_inner",
-    "join_broadcast_dim",
     # aggregations + set ops
-    "agg_groupby",
+    # (agg_groupby ceded in session 4 — agg_grouping_id and
+    # agg_histogram_equidepth are the in-window aggregation probes)
     # (agg_rollup, sort_limit, setop_except, and later setop_union_all,
     # q18, subquery_scalar_avg and cdc_upsert ceded slots to session-2/3
     # new queries: agg_groupby remains the aggregation probe, q3 the
@@ -128,7 +134,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # + window_sliding_avg, ceded slots: one ordered-window family with
     # window_row_number / window_running_sum, which stay; the new
     # window_running_distinct adds a third in-window window-family probe)
-    "window_row_number",
     "window_running_sum",
     # (3) riskiest r2-latest kept after the new-query displacement: the
     # single most fixture-drift-exposed shape (ts-format parity — the r4

@@ -334,3 +334,26 @@ def test_attribution_click_precedes_purchase(spark, sf_dir):
     assert all(
         r.secs_since_click is None for r in rows if r.click_id is None
     )
+
+
+def test_null_safe_join_buckets_nulls(spark, sf_dir):
+    from hive_export_spark.queries.relational_queries import join_null_safe_eq
+    from hive_export_spark.sources import load_table
+
+    rows = {r.seg: r.n for r in join_null_safe_eq(spark, sf_dir).collect()}
+    n_cust = load_table(spark, "customer", sf_dir).count()
+    assert sum(rows.values()) == n_cust  # every customer lands somewhere
+    assert None in rows and rows[None] > 0  # NULL bucket collects the 10%
+
+
+def test_grouping_markers_disambiguate(spark, sf_dir):
+    from hive_export_spark.queries.relational_queries import agg_grouping_id
+
+    rows = agg_grouping_id(spark, sf_dir).collect()
+    # grand total row: both markers 1, exactly one such row
+    gt = [r for r in rows if r.g_status == 1 and r.g_priority == 1]
+    assert len(gt) == 1
+    # marker == 1 iff the column is rolled up (NULL by aggregation)
+    for r in rows:
+        assert (r.g_status == 1) == (r.o_orderstatus is None)
+        assert (r.g_priority == 1) == (r.o_orderpriority is None)
