@@ -250,3 +250,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         ev, "user_id", "event_id", "s", "e", cell_size=900
     )
+
+
+@register(
+    "graph_jaccard_linkpred",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nbr AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM nbr GROUP BY x),
+common AS (
+  SELECT least(a.y, b.y) AS u, greatest(a.y, b.y) AS v, COUNT(*) AS cn
+  FROM nbr a JOIN nbr b ON a.x = b.x AND a.y < b.y
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.u, c.v, c.cn,
+         (c.cn * 1000000) // (du.d + dv.d - c.cn) AS j_micro
+  FROM common c
+  JOIN deg du ON du.x = c.u
+  JOIN deg dv ON dv.x = c.v
+  LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+  WHERE e.u IS NULL
+)
+SELECT u, v, CAST(cn AS BIGINT) AS cn,
+       CAST(j_micro AS BIGINT) AS j_micro, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT u, v, cn, j_micro,
+         ROW_NUMBER() OVER (ORDER BY j_micro DESC, u, v) AS rk
+  FROM cand
+) WHERE rk <= 20
+""",
+    doc="Jaccard link prediction on the part co-purchase graph: for "
+    "every NON-edge vertex pair at distance 2, J = |N(u) & N(v)| / "
+    "|N(u) | N(v)| — the classic common-neighbors recommender. "
+    "Candidate pairs come from the wedge join (pairs sharing a "
+    "neighbor; at scale the degree-orientation bound from "
+    "triangle_count applies to the same join), existing edges are "
+    "anti-joined out, and the score is an EXACT integer ((cn * 1e6) "
+    "div (du + dv - cn)) so the ranking can never drift a ulp across "
+    "engines. Top-20 under a (score, u, v) total order.",
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("u", "v")
+    nbr = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = nbr.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    a = nbr.alias("a")
+    b = nbr.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+        )
+        .groupBy(
+            F.least("a.y", "b.y").alias("u"),
+            F.greatest("a.y", "b.y").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = (
+        common.join(
+            deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .join(edges.withColumn("__is_edge", F.lit(1)), ["u", "v"], "left")
+        .filter(F.col("__is_edge").isNull())
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("(cn * 1000000L) div (du + dv - cn)").alias("j_micro"),
+        )
+    )
+    top = cand.orderBy(F.col("j_micro").desc(), "u", "v").limit(20)
+    w = Window.orderBy(F.col("j_micro").desc(), "u", "v")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "u",
+        "v",
+        F.col("cn").cast("bigint").alias("cn"),
+        F.col("j_micro").cast("bigint").alias("j_micro"),
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -1729,3 +1729,90 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nnz").cast("int").alias("nnz"),
         (F.col("max_err") <= F.col("scale") / 2 + F.lit(1e-12)).alias("err_ok"),
     )
+
+
+_SPAN_MASK_RATE_U52 = int(0.15 * (1 << 52))  # exact integer threshold
+_SPAN_LEN = 3
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, len(t) AS n_tokens
+  FROM toks
+), flagged AS (
+  SELECT doc_id, p, n_tokens,
+         CASE WHEN CAST(concat('0x', substr(
+                  md5('sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+                  1, 13)) AS BIGINT) < {_SPAN_MASK_RATE_U52}
+              THEN 1 ELSE 0 END AS is_start
+  FROM pos
+), masked AS (
+  SELECT doc_id, n_tokens, is_start,
+         MAX(is_start) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING
+                                      AND CURRENT ROW) AS in_span
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_start) AS BIGINT) AS n_spans,
+       CAST(SUM(in_span) AS BIGINT) AS n_masked
+FROM masked GROUP BY doc_id
+""",
+    doc="T5-style span-corruption planning: deterministically choose "
+    "~15% of token positions as span starts (md5-derived 52-bit "
+    "uniform vs an EXACT integer threshold — reproducible across "
+    "engines/runs/partitionings, so the same document always gets the "
+    "same corruption mask) and mask 3-token spans; overlapping spans "
+    "union via a running MAX window instead of any per-span explode-"
+    "and-dedup. Per doc: token count, span starts, total masked "
+    "positions — all exact integers. Shape: token explode + ONE "
+    "doc-keyed window + one doc-keyed reduce (same partitioning, one "
+    "shuffle).",
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = d.select("doc_id", F.split(norm, " ").alias("t"))
+    pos = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.posexplode("t"))
+    ).select(
+        "doc_id", "n_tokens", (F.col("pos") + 1).alias("p")
+    )
+    u52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("sc:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    flagged = pos.withColumn(
+        "is_start",
+        F.when(u52 < F.lit(_SPAN_MASK_RATE_U52), 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_SPAN_LEN - 1), Window.currentRow)
+    )
+    masked = flagged.withColumn("in_span", F.max("is_start").over(w))
+    return masked.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("is_start").cast("bigint").alias("n_spans"),
+        F.sum("in_span").cast("bigint").alias("n_masked"),
+    )

@@ -824,3 +824,86 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("double").alias("mad"),
         )
     )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INTEGER)
+           AS hod,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT c.event_type, c.hod, c.o,
+         SUM(c.o) OVER (PARTITION BY c.event_type) AS r,
+         SUM(c.o) OVER (PARTITION BY c.hod) AS col_t,
+         SUM(c.o) OVER () AS n
+  FROM cells c
+), terms AS (
+  SELECT CAST(round(
+           CAST((o * n - r * col_t) AS DOUBLE)
+           * (o * n - r * col_t) / (r * col_t * n) * 1000000
+         ) AS BIGINT) AS term_micro,
+         n
+  FROM margins
+)
+SELECT CAST(round(SUM(term_micro) / 1000000.0, 4) AS DOUBLE) AS chi2,
+       CAST((SELECT (COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS INTEGER)) - 1)
+             FROM events) AS BIGINT) AS dof,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM terms
+""",
+    doc="chi-square test of independence (event type x hour-of-day "
+    "contingency table): the classic data-profiling dependence probe. "
+    "Observed/expected arithmetic is kept in EXACT integers "
+    "((O*N - R*C)^2 / (R*C*N), no expected-count division), each "
+    "cell's statistic is quantized to integer micro-units before the "
+    "cross-cell sum — the pinned-quantization convention again — so "
+    "accumulation order cannot drift the hash. Shape: one (type, hod) "
+    "aggregation (cells = types x 24), margins via windows over that "
+    "tiny table, one scalar reduce.",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hod = (
+        (F.floor(F.unix_timestamp("ts")).cast("long") / F.lit(3600)).cast("long") % 24
+    ).cast("int")
+    cells = (
+        ev.select("event_type", hod.alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("hod")
+    w_n = Window.partitionBy()
+    margins = cells.select(
+        "o",
+        F.sum("o").over(w_r).alias("r"),
+        F.sum("o").over(w_c).alias("col_t"),
+        F.sum("o").over(w_n).alias("n"),
+    )
+    diff = F.col("o") * F.col("n") - F.col("r") * F.col("col_t")
+    term = F.round(
+        diff.cast("double") * diff / (F.col("r") * F.col("col_t") * F.col("n"))
+        * 1000000
+    ).cast("bigint")
+    dims = cells.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hod") - 1)
+        ).cast("bigint").alias("dof")
+    )
+    return (
+        margins.select(term.alias("term_micro"), "n")
+        .agg(
+            F.round(F.sum("term_micro") / 1000000.0, 4)
+            .cast("double")
+            .alias("chi2"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select("chi2", "dof", "n")
+    )

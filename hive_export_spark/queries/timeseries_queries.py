@@ -895,3 +895,65 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_since_click"),
         )
     )
+
+
+@register(
+    "ts_delta_rate",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket_epoch,
+       CAST(v - lag(v) OVER w AS DOUBLE) AS delta,
+       CAST(bucket_epoch - lag(bucket_epoch) OVER w AS BIGINT) AS dt_s,
+       CAST(round(CAST(v - lag(v) OVER w AS DOUBLE)
+                  / (bucket_epoch - lag(bucket_epoch) OVER w), 6) AS DOUBLE)
+         AS rate_per_s
+FROM buckets
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch)
+QUALIFY lag(v) OVER w IS NOT NULL
+""",
+    doc="discrete derivative per series: delta and per-second rate "
+    "between consecutive OBSERVED buckets (gap-aware — dt is the real "
+    "spacing, not the nominal bucket width), the hypertable delta/rate "
+    "primitive monitoring counters need. Deltas are exact decimal "
+    "subtraction; the single rate division runs on bit-identical "
+    "inputs with round(6) guarding it. One series-keyed lag window — "
+    "one shuffle, O(1) state.",
+)
+def ts_delta_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    lv = F.lag("v").over(w)
+    le = F.lag("bucket_epoch").over(w)
+    return (
+        buckets.withColumn("__lv", lv)
+        .withColumn("__le", le)
+        .filter(F.col("__lv").isNotNull())
+        .select(
+            "event_type",
+            "bucket_epoch",
+            (F.col("v") - F.col("__lv")).cast("double").alias("delta"),
+            (F.col("bucket_epoch") - F.col("__le")).cast("bigint").alias("dt_s"),
+            F.round(
+                (F.col("v") - F.col("__lv")).cast("double")
+                / (F.col("bucket_epoch") - F.col("__le")),
+                6,
+            ).cast("double").alias("rate_per_s"),
+        )
+    )

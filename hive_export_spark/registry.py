@@ -135,6 +135,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window_row_number / window_running_sum, which stay; the new
     # window_running_distinct adds a third in-window window-family probe)
     "window_running_sum",
+    # NOT in-window this round (the 50 slots are saturated with 46
+    # never-driver-green queries + 4 anchors): ts_delta_rate,
+    # llm_span_corruption, graph_jaccard_linkpred,
+    # stats_chi2_independence — all green in the committed all-query
+    # replica (ORACLE_r05.txt); they are the ROUND-6 ROTATION HEAD
+    # (highest priority for r6 slots under the standing policy).
+    #
     # (3) riskiest r2-latest kept after the new-query displacement: the
     # single most fixture-drift-exposed shape (ts-format parity — the r4
     # nanos->NTZ fixture flip hit exactly this). llm_dedup_minhash_lsh

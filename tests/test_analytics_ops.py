@@ -357,3 +357,58 @@ def test_grouping_markers_disambiguate(spark, sf_dir):
     for r in rows:
         assert (r.g_status == 1) == (r.o_orderstatus is None)
         assert (r.g_priority == 1) == (r.o_orderpriority is None)
+
+
+def test_jaccard_linkpred_excludes_edges_and_is_bounded(spark, sf_dir):
+    from hive_export_spark.queries.analytics_queries import (
+        graph_jaccard_linkpred,
+    )
+    from hive_export_spark.operators.graph import cooccurrence_edges
+    from hive_export_spark.sources import load_table
+
+    rows = graph_jaccard_linkpred(spark, sf_dir).collect()
+    assert rows and all(0 < r.j_micro <= 1_000_000 for r in rows)
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = {
+        (r.u, r.v)
+        for r in cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+        .select("u", "v")
+        .collect()
+    }
+    assert all((r.u, r.v) not in edges for r in rows)  # non-edges only
+
+
+def test_span_corruption_mask_accounting(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import (
+        _SPAN_LEN,
+        llm_span_corruption,
+    )
+
+    rows = llm_span_corruption(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_masked <= r.n_tokens
+        # union of spans: at most len * starts, at least starts (if any)
+        assert r.n_masked <= _SPAN_LEN * r.n_spans
+        assert (r.n_spans == 0) == (r.n_masked == 0)
+
+
+def test_chi2_is_nonnegative_with_expected_dof(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import (
+        stats_chi2_independence,
+    )
+
+    row = stats_chi2_independence(spark, sf_dir).collect()[0]
+    assert row.chi2 >= 0
+    assert row.dof == (5 - 1) * (24 - 1)
+    assert row.n > 0
+
+
+def test_delta_rate_consistency(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_delta_rate
+
+    rows = ts_delta_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        assert r.dt_s > 0
+        assert abs(r.rate_per_s - r.delta / r.dt_s) < 1e-5
