@@ -164,3 +164,96 @@ def interval_overlap_join(
             ).alias("overlap"),
         )
     )
+
+
+def nearest_value_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    probe_id: str,
+    probe_val: str,
+    ref_id: str,
+    ref_val: str,
+    cell_size: int,
+) -> DataFrame:
+    """For every probe row, the reference row with the nearest value
+    (1-NN on a number line) — WITHOUT a global sort or a cross join.
+
+    Values must be exact integers (scale currency to cents first).
+    Ties break by (distance, ref value, ref id), so the match is total-
+    order deterministic.
+
+    Distributed shape (the same grid discipline as the interval join):
+
+    1. References bucket by ``value div cell_size``; per bucket keep the
+       extreme values and their tie-broken ids (one aggregation).
+    2. A bucket-level anchor index over the union of ref and probe
+       buckets computes, per bucket, the nearest ref BELOW the bucket
+       (running last-non-null over strictly-preceding buckets) and
+       ABOVE it (first-non-null over strictly-following) — a window over
+       the bucket table, which is value-range/cell_size sized, orders of
+       magnitude smaller than the data (choose cell_size accordingly).
+    3. Each probe's candidates are exactly: same-bucket refs (equi-join
+       on the bucket key) plus its bucket's below/above anchors. The
+       true nearest neighbor is provably among them: any ref outside
+       the probe's bucket is dominated by the nearest-below / nearest-
+       above anchor. One per-probe min finishes it.
+
+    Shuffles: ref bucket agg, probe-bucket equi-join, per-probe min —
+    all key-partitioned; nothing global but the tiny anchor window.
+    """
+    p = probes.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(probe_val).alias("__pv"),
+        F.floor(F.col(probe_val) / cell_size).cast("long").alias("__b"),
+    )
+    r = refs.select(
+        F.col(ref_id).alias("__rid"),
+        F.col(ref_val).alias("__rv"),
+        F.floor(F.col(ref_val) / cell_size).cast("long").alias("__b"),
+    )
+    per_bucket = r.groupBy("__b").agg(
+        F.max("__rv").alias("__hi_v"),
+        F.expr("min_by(__rid, struct(-__rv, __rid))").alias("__hi_id"),
+        F.min("__rv").alias("__lo_v"),
+        F.expr("min_by(__rid, struct(__rv, __rid))").alias("__lo_id"),
+    )
+    spine = (
+        p.select("__b").unionAll(r.select("__b")).distinct()
+        .join(per_bucket, "__b", "left")
+    )
+    w_prev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    anchors = spine.select(
+        "__b",
+        F.last("__hi_v", ignorenulls=True).over(w_prev).alias("__below_v"),
+        F.last("__hi_id", ignorenulls=True).over(w_prev).alias("__below_id"),
+        F.first("__lo_v", ignorenulls=True).over(w_next).alias("__above_v"),
+        F.first("__lo_id", ignorenulls=True).over(w_next).alias("__above_id"),
+    )
+    pa = p.join(F.broadcast(anchors), "__b", "left")
+    in_bucket = p.join(r, "__b").select(
+        "__pid", "__pv", F.col("__rid").alias("__cid"), F.col("__rv").alias("__cv")
+    )
+    below = pa.filter(F.col("__below_v").isNotNull()).select(
+        "__pid", "__pv",
+        F.col("__below_id").alias("__cid"), F.col("__below_v").alias("__cv"),
+    )
+    above = pa.filter(F.col("__above_v").isNotNull()).select(
+        "__pid", "__pv",
+        F.col("__above_id").alias("__cid"), F.col("__above_v").alias("__cv"),
+    )
+    cand = in_bucket.unionAll(below).unionAll(above)
+    w_pick = Window.partitionBy("__pid").orderBy(
+        F.abs(F.col("__pv") - F.col("__cv")), "__cv", "__cid"
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__pid").alias(probe_id),
+            F.col("__pv").alias(probe_val),
+            F.col("__cid").alias("nn_id"),
+            F.col("__cv").alias("nn_val"),
+            F.abs(F.col("__pv") - F.col("__cv")).alias("nn_dist"),
+        )
+    )

@@ -340,3 +340,63 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j_micro").cast("bigint").alias("j_micro"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@register(
+    "join_nearest_value",
+    oracle="""
+WITH probes AS (
+  SELECT s_suppkey,
+         CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS pv
+  FROM supplier
+), refs AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rv
+  FROM part
+), scored AS (
+  SELECT p.s_suppkey, p.pv, r.p_partkey, r.rv,
+         abs(p.pv - r.rv) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY p.s_suppkey
+                            ORDER BY abs(p.pv - r.rv), r.rv, r.p_partkey)
+           AS rn
+  FROM probes p CROSS JOIN refs r
+)
+SELECT s_suppkey, pv AS s_acctbal_cents,
+       p_partkey AS nn_id, rv AS nn_val, dist AS nn_dist
+FROM scored WHERE rn = 1
+""",
+    doc="nearest-value (1-NN number-line) join: each supplier balance "
+    "matched to the part with the closest retail price, in exact "
+    "integer cents. Spark side is the GRID-ANCHOR algorithm "
+    "(operators/relational.nearest_value_join): refs bucket once, a "
+    "bucket-level anchor index supplies the provably-sufficient "
+    "below/above candidates, and a per-probe min picks the winner — "
+    "no global sort, no cross join, everything key-partitioned "
+    "(brute-force-pinned in tests). The oracle is the definitional "
+    "quadratic scan. Ties pinned by (distance, value, id).",
+)
+def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.relational import nearest_value_join
+
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        (F.col("s_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("pv"),
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("rv"),
+    )
+    out = nearest_value_join(
+        sup, part, "s_suppkey", "pv", "p_partkey", "rv", cell_size=10000
+    )
+    return out.select(
+        "s_suppkey",
+        F.col("pv").alias("s_acctbal_cents"),
+        "nn_id",
+        "nn_val",
+        "nn_dist",
+    )

@@ -412,3 +412,26 @@ def test_delta_rate_consistency(spark, sf_dir):
     for r in rows[:500]:
         assert r.dt_s > 0
         assert abs(r.rate_per_s - r.delta / r.dt_s) < 1e-5
+
+
+def test_nearest_value_join_matches_bruteforce(spark):
+    from hive_export_spark.operators.relational import nearest_value_join
+
+    rng = random.Random(13)
+    probes = [(i, rng.randint(0, 20000)) for i in range(300)]
+    # clustered refs with big empty gaps — the case that breaks naive
+    # fixed-radius bucketing and that the anchor index must cover
+    refs = [(j, rng.choice([100, 150, 9000, 19990]) + rng.randint(0, 5))
+            for j in range(40)]
+    pdf = spark.createDataFrame(probes, "pid long, pv long")
+    rdf = spark.createDataFrame(refs, "rid long, rv long")
+    got = {
+        r.pid: (r.nn_dist, r.nn_val, r.nn_id)
+        for r in nearest_value_join(
+            pdf, rdf, "pid", "pv", "rid", "rv", 500
+        ).collect()
+    }
+    assert len(got) == len(probes)
+    for pid, pv in probes:
+        want = min((abs(pv - rv), rv, rid) for rid, rv in refs)
+        assert got[pid] == want, (pid, pv, got[pid], want)

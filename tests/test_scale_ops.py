@@ -270,3 +270,29 @@ def test_frequent_ngrams_counts_occurrences_not_docs(spark):
     assert [(r.ngram, r.n_occurrences) for r in top] == [
         ("a b", 4), ("b a", 2), ("b c", 1),
     ]
+
+
+def test_equidepth_bucketize_matches_exact_within_sketch_error(spark, sf_dir):
+    """The sketch-based scale path must reproduce the exact ntile binning
+    up to the sketch rank error, with no global sort in its plan."""
+    from hive_export_spark.operators.scale import equidepth_bucketize
+    from hive_export_spark.plans.audit import executed_plan
+    from hive_export_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_extendedprice")
+    n = li.count()
+    binned = equidepth_bucketize(li, "l_extendedprice", 10)
+    counts = {
+        r.bin: r.n
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) <= set(range(1, 11))
+    # every bin within 5% of the ideal depth (sketch error is far smaller,
+    # but duplicate values at a cut legitimately lump)
+    ideal = n / 10
+    assert all(abs(c - ideal) <= 0.05 * n for c in counts.values())
+    assert sum(counts.values()) == n
+    # the scale property itself: no global Sort in the physical plan
+    plan = executed_plan(binned)
+    assert "Sort [l_extendedprice" not in plan
