@@ -57,6 +57,7 @@ HEADLINE = [
     "graph_triangle_count",
     "pareto_skyline",
     "ts_ewma_window",
+    "graph_pagerank",
 ]
 
 

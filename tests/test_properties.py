@@ -110,3 +110,68 @@ def test_partition_spec_grammar_roundtrip(tables):
     spec = ",".join(f"{t}:{'|'.join(cols)}" for t, cols in tables)
     parsed = parse_partition_spec(spec)
     assert parsed == {t.upper(): [c.upper() for c in cols] for t, cols in tables}
+
+
+point_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),   # price
+        st.integers(min_value=0, max_value=12),   # size
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(pts=point_sets)
+def test_skyline_definition_holds(spark, pts):
+    """For arbitrary point sets (heavy ties by construction): the
+    distributed skyline equals the definitional strict-dominance filter,
+    including duplicate rows."""
+    from hive_export_spark.operators.skyline import skyline_2d
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = sorted(
+        (r.id, r.price, r.size)
+        for r in skyline_2d(df, "price", "size").collect()
+    )
+    want = sorted(
+        (i, float(p), s)
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            q[0] <= p and q[1] >= s and (q[0] < p or q[1] > s) for q in pts
+        )
+    )
+    assert got == want
+
+
+edge_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(raw=edge_sets)
+def test_pagerank_mass_and_orientation_invariance(spark, raw):
+    """Rank mass stays ~BASE and the result is independent of input
+    partitioning for arbitrary small graphs."""
+    from hive_export_spark.operators.graph import _PR_BASE, pagerank_int
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw})
+    df = spark.createDataFrame(edges, "u long, v long")
+    r1 = {r.node: r.rank_int for r in pagerank_int(df, 2).collect()}
+    r2 = {
+        r.node: r.rank_int
+        for r in pagerank_int(df.repartition(3), 2).collect()
+    }
+    assert r1 == r2
+    n = len(r1)
+    # each div step floors away < 1 unit per node per iteration (plus the
+    # teleport rounding), so total loss is bounded by ~200 * n
+    assert 0 <= _PR_BASE - sum(r1.values()) + n <= 400 * n + _PR_BASE // max(n, 1)
