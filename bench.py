@@ -58,6 +58,8 @@ HEADLINE = [
     "pareto_skyline",
     "ts_ewma_window",
     "graph_pagerank",
+    # the custom connector's Arrow batch decode path (round-4 verdict ask)
+    "source_export_blocks",
 ]
 
 
