@@ -38,28 +38,33 @@ def cooccurrence_edges(
     """Undirected edge list (u < v) of items co-occurring in ``group_col``,
     kept only when they share at least ``min_support`` distinct groups.
 
-    Scale shape: one distinct (group, item) projection, one self-join
-    keyed on the group (equi-join — the shuffle is on the group key, no
-    cross product), one edge aggregation. Per-group work is quadratic in
-    the group's item count, so bound group width upstream (orders have a
-    bounded line count; for unbounded groups cap with a per-group top-N
-    by relevance first). ``min_support`` is the sparsifier that keeps the
-    edge set linear-ish in the input instead of quadratic.
+    Scale shape: TWO shuffles total — one group-key aggregation that
+    folds each group to its sorted distinct item array (collect_set
+    subsumes the distinct projection), then a narrow in-JVM pair
+    enumeration (transform + slice over the array — no self-join, no
+    second scan) and one edge aggregation. Per-group work is quadratic
+    in the group's item count, so bound group width upstream (orders
+    have a bounded line count; for unbounded groups cap with a
+    per-group top-N by relevance first). ``min_support`` is the
+    sparsifier that keeps the edge set linear-ish in the input instead
+    of quadratic.
     """
-    po = df.select(
-        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-    ).distinct()
-    a = po.alias("a")
-    b = po.alias("b")
+    grouped = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .groupBy("__g")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, ix) ->"
+                " transform(slice(__items, ix + 2, size(__items)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.u").alias("u"), F.col("__p.v").alias("v"))
     return (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__i") < F.col("b.__i")),
-        )
-        .groupBy(
-            F.col("a.__i").alias("u"), F.col("b.__i").alias("v")
-        )
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_support)
         .select("u", "v", "n_common")
