@@ -521,3 +521,74 @@ def fn_higher_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("forall(e, x -> abs(x) < 1000000.0D)").alias("all_finite"),
         F.expr("size(filter(e, x -> x > 0))").cast("int").alias("n_pos"),
     )
+
+
+@register(
+    "fn_xpath_family",
+    oracle="""
+SELECT doc_id, lang AS x_lang, n_chars AS x_chars,
+       CAST(doc_id AS VARCHAR) AS x_id_attr
+FROM documents
+""",
+    doc="XPath function family (xpath_string / xpath_long over embedded "
+    "XML): construct a well-formed XML fragment per row from typed "
+    "columns, then extract element text, a numeric element, and an "
+    "attribute back out — the construct-then-parse identity pattern "
+    "(same as the serde round-trips), so the oracle is the plain "
+    "source projection and any extraction bug breaks the hash. The "
+    "XPath evaluation is JVM-side codegen (no UDF); inputs are "
+    "XML-safe by schema (ids and language codes).",
+)
+def fn_xpath_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><n>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    return d.withColumn("__xml", xml).select(
+        "doc_id",
+        F.expr("xpath_string(__xml, '/doc/lang')").alias("x_lang"),
+        F.expr("xpath_long(__xml, '/doc/n')").alias("x_chars"),
+        F.expr("xpath_string(__xml, '/doc/@id')").alias("x_id_attr"),
+    )
+
+
+@register(
+    "fn_csv_serde_family",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_returnflag AS c_flag,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS c_qty
+FROM lineitem
+""",
+    doc="CSV serde function family (to_csv / from_csv as expressions, "
+    "not file formats): rows serialize to CSV text and parse back "
+    "with an explicit schema inside one JVM-side projection — the "
+    "embedded-CSV-column shape (e.g. a CSV payload field inside an "
+    "exported stream). Identity oracle; decimal-through-text keeps "
+    "the quantity exact both ways.",
+)
+def fn_csv_serde_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    csv = F.to_csv(
+        F.struct(
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+        )
+    )
+    parsed = F.from_csv(
+        csv, "k BIGINT, ln INT, flag STRING, q DECIMAL(12,2)"
+    )
+    return li.withColumn("__p", parsed).select(
+        F.col("__p.k").alias("l_orderkey"),
+        F.col("__p.ln").alias("l_linenumber"),
+        F.col("__p.flag").alias("c_flag"),
+        F.col("__p.q").cast("double").alias("c_qty"),
+    )

@@ -1957,3 +1957,44 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.seg").alias("seg"))
         .agg(F.count("c_custkey").alias("n"))
     )
+
+
+@register(
+    "agg_argmax_family",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 * 10000000000 + o_orderkey) AS key_of_max,
+       arg_min(o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                 * 10000000000 + o_orderkey) AS key_of_min,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="arg-max/arg-min aggregate family (Spark max_by/min_by == DuckDB "
+    "arg_max/arg_min): the key of the extremal row per group — the "
+    "'which order was the biggest' shape that otherwise costs a window "
+    "+ filter. Bare max_by on a tied maximum is NONDETERMINISTIC "
+    "(engine- and partition-order-dependent), so the ordering argument "
+    "is a packed integer (price_cents * 1e10 + key — exact BIGINT, no "
+    "overlap) that totally orders rows: ties on price resolve by key "
+    "on both extremes. Exact decimal ordering; one "
+    "partial-mergeable aggregation, no window.",
+)
+def agg_argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+            " * 100 AS BIGINT) * 10000000000L + o_orderkey)"
+        ).alias("key_of_max"),
+        F.expr(
+            "min_by(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+            " * 100 AS BIGINT) * 10000000000L + o_orderkey)"
+        ).alias("key_of_min"),
+        F.max(price).cast("double").alias("max_price"),
+        F.min(price).cast("double").alias("min_price"),
+    )

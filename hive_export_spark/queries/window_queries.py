@@ -248,3 +248,39 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+SELECT user_id, event_id,
+       nth_value(value, 2) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_value,
+       nth_value(event_type, 3) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_type
+FROM events
+""",
+    doc="nth_value window function over the full-partition frame: the "
+    "'second/third event of every user' lookup (NULL when the "
+    "partition is shorter). Frame pinned to UNBOUNDED..UNBOUNDED on "
+    "both engines — the default frames differ (running vs full), which "
+    "silently changes nth_value semantics; (ts, event_id) total order "
+    "pins determinism. One user-keyed shuffle.",
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+    )

@@ -138,9 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NOT in-window this round (the 50 slots are saturated with 46
     # never-driver-green queries + 4 anchors): ts_delta_rate,
     # llm_span_corruption, graph_jaccard_linkpred,
-    # stats_chi2_independence — all green in the committed all-query
-    # replica (ORACLE_r05.txt); they are the ROUND-6 ROTATION HEAD
-    # (highest priority for r6 slots under the standing policy).
+    # stats_chi2_independence, join_nearest_value, agg_argmax_family,
+    # window_nth_value, fn_xpath_family, fn_csv_serde_family — all green
+    # in the committed all-query replica (ORACLE_r05.txt, hostile); they
+    # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
+    # the standing policy).
     #
     # (3) riskiest r2-latest kept after the new-query displacement: the
     # single most fixture-drift-exposed shape (ts-format parity — the r4
