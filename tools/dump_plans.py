@@ -22,6 +22,12 @@ PICKS = [
     ("llm_sim_topk_bruteforce", "broadcast queries x partitioned corpus + per-query top-k"),
     ("llm_dedup_minhash_oph", "OPH signatures: one hash pass + banded join (same downstream shape as classic)"),
     ("llm_dedup_embedding", "banded cosine-LSH bucket self-join + exact verify + broadcast exact count"),
+    ("graph_triangle_count", "degree-oriented wedge join: 2-shuffle edge derivation, rank joins, (b,c)-keyed closing join"),
+    ("pareto_skyline", "partition-local prune (no Exchange before the window) + broadcast frontier join"),
+    ("window_running_distinct", "ONE hashpartitioning Exchange reused by both sorts"),
+    ("stats_zscore_outliers", "decimal power-sum agg + BroadcastHashJoin scoring, fact side never shuffles"),
+    ("llm_embed_quantize", "array lambdas fully inside codegen: zero Exchange"),
+    ("join_nearest_value", "grid-anchor 1-NN: bucket agg + broadcast anchors + per-probe min"),
 ]
 
 
