@@ -711,3 +711,60 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "stream_session_window_native",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sess_no
+""",
+    doc="NATIVE session_window() aggregation (the engine-managed merging "
+    "session operator, not the gaps-and-islands reformulation): "
+    "per-user sessions with a 30-minute inactivity gap, each session's "
+    "start/count/sum. Spark merges overlapping [ts, ts+gap) windows in "
+    "the aggregation operator itself — the same code path Structured "
+    "Streaming uses for stateful session windows — while the oracle "
+    "independently derives identical sessions via lag/running-sum "
+    "islands (break iff gap >= 30 min on both sides: session_window "
+    "extends to ts+gap exclusive). Decimal sums; session identity "
+    "pinned by its exact start timestamp.",
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp(F.col("w.start"))).cast("bigint").alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -10,6 +10,8 @@ ordering cannot flap the hash.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -172,4 +174,37 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.word
         FROM __udtf_docs d, LATERAL __head_words(d.text) t
         """
+    )
+
+
+@register(
+    "udf_scalar_iter_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS net_price_iter
+FROM lineitem WHERE l_orderkey <= 2000
+""",
+    doc="iterator-form scalar pandas_udf (Iterator[Series] -> "
+    "Iterator[Series]): same elementwise net price as udf_scalar_pandas "
+    "but through the batch-iterator protocol — the variant that "
+    "amortizes expensive one-time setup (model load, dictionary mmap) "
+    "across ALL Arrow batches of a partition instead of paying it per "
+    "batch. Setup-once semantics pinned by construction: the "
+    "'initialized' state is created before the loop and reused.",
+)
+def udf_scalar_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def net_price_iter(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # one-time setup lives here, before the batch loop
+        one = 1.0
+        for price, disc in batches:
+            yield price * (one - disc)
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_iter("l_extendedprice", "l_discount").alias("net_price_iter"),
     )

@@ -139,7 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-driver-green queries + 4 anchors): ts_delta_rate,
     # llm_span_corruption, graph_jaccard_linkpred,
     # stats_chi2_independence, join_nearest_value, agg_argmax_family,
-    # window_nth_value, fn_xpath_family, fn_csv_serde_family — all green
+    # window_nth_value, fn_xpath_family, fn_csv_serde_family,
+    # udf_scalar_iter_pandas, stream_session_window_native — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).
