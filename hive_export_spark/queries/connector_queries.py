@@ -386,3 +386,41 @@ def fmt_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("lang"),
         parts.getItem(2).cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "source_partition_discovery",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+    doc="Hive-style partition discovery: events written as "
+    "event_type=<v>/ parquet directories, read back through directory-"
+    "layout inference with a partition-column filter — the filter must "
+    "become a PartitionFilter (directories never opened), not a data "
+    "filter, which is THE mechanism that makes 100 TB scans affordable "
+    "when queries carry partition predicates. The partition column "
+    "itself is recovered from the path, exercising type inference on "
+    "the discovered column. Scratch write is _SUCCESS-cached per sf.",
+)
+def source_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = sf_scratch_dir("partition_discovery", sf_dir)
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, "events", sf_dir).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(base)
+    back = spark.read.parquet(base)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -592,3 +592,36 @@ def fn_csv_serde_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__p.flag").alias("c_flag"),
         F.col("__p.q").cast("double").alias("c_qty"),
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'), ' '),
+                     t -> length(t) >= 7) AS longs
+  FROM documents
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+         AS long_term
+FROM arr
+""",
+    doc="explode_outer semantics: generate one row per array element but "
+    "KEEP rows whose array is empty (emitting NULL) — the LEFT OUTER "
+    "LATERAL VIEW shape, vs plain explode which silently drops "
+    "empty-array parents (a classic row-loss bug in flattening "
+    "pipelines). Filtered to 7+-char tokens so a meaningful fraction "
+    "of documents genuinely produce the empty case. DuckDB mirrors "
+    "with a CASE-wrapped [NULL] sentinel since its unnest drops "
+    "empties like plain explode.",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    longs = F.filter(F.split(norm, " "), lambda t: F.length(t) >= 7)
+    return d.select(
+        "doc_id", F.explode_outer(longs).alias("long_term")
+    )

@@ -1998,3 +1998,49 @@ def agg_argmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price).cast("double").alias("max_price"),
         F.min(price).cast("double").alias("min_price"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS DOUBLE) AS hot_total,
+       CAST(round(
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                 FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+            / COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW'), 6)
+            AS DOUBLE) AS low_avg
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="ANSI FILTER (WHERE ...) aggregate clause: per-group conditional "
+    "aggregates in ONE pass — the idiom that replaces N self-joins or "
+    "N CASE-wrapped aggregates when a report needs several "
+    "differently-filtered measures over the same grouping. Decimal "
+    "sums; the filtered average is an explicit "
+    "sum/count double division (engines disagree on AVG(decimal) "
+    "result scale), round(6)-guarded.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("orders_fc")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                 AS n_urgent,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS DOUBLE) AS hot_total,
+               CAST(round(
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                         FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE)
+                    / COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW'), 6)
+                    AS DOUBLE) AS low_avg
+        FROM orders_fc GROUP BY o_orderstatus
+        """
+    )

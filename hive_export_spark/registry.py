@@ -140,7 +140,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # llm_span_corruption, graph_jaccard_linkpred,
     # stats_chi2_independence, join_nearest_value, agg_argmax_family,
     # window_nth_value, fn_xpath_family, fn_csv_serde_family,
-    # udf_scalar_iter_pandas, stream_session_window_native — all green
+    # udf_scalar_iter_pandas, stream_session_window_native,
+    # source_partition_discovery, agg_filter_clause, fn_explode_outer —
+    # all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).

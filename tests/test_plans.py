@@ -206,3 +206,17 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
 
     plan = audit.executed_plan(ts_attribution_last_touch(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partition_discovery_filter_becomes_partition_filter(spark, sf_dir):
+    """The event_type predicate must prune DIRECTORIES (PartitionFilters),
+    not rows (PushedFilters/DataFilters)."""
+    from hive_export_spark.queries.connector_queries import (
+        source_partition_discovery,
+    )
+
+    plan = audit.executed_plan(source_partition_discovery(spark, sf_dir))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
