@@ -907,3 +907,74 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dims))
         .select("chi2", "dof", "n")
     )
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'view')
+), per_value AS (
+  SELECT v, SUM(is_a) AS a_cnt, SUM(is_b) AS b_cnt
+  FROM vals GROUP BY v
+), tot AS (
+  SELECT SUM(a_cnt) AS na, SUM(b_cnt) AS nb FROM per_value
+), cdf AS (
+  SELECT SUM(a_cnt) OVER (ORDER BY v) AS ca,
+         SUM(b_cnt) OVER (ORDER BY v) AS cb
+  FROM per_value
+)
+SELECT CAST(MAX(abs(ca * t.nb - cb * t.na)) AS BIGINT) AS d_scaled,
+       CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(round(CAST(MAX(abs(ca * t.nb - cb * t.na)) AS DOUBLE)
+                  / (t.na * t.nb), 6) AS DOUBLE) AS d_stat
+FROM cdf CROSS JOIN tot t GROUP BY t.na, t.nb
+""",
+    doc="two-sample Kolmogorov-Smirnov drift statistic between the "
+    "'click' and 'view' value distributions: D = max |F_a - F_b| — the "
+    "standard training-data drift detector run between corpus "
+    "snapshots. Computed SCALE-FREE of division: the running CDFs stay "
+    "integer counts and the max is over |ca*nb - cb*na| (exact BIGINT), "
+    "so the argmax and d_scaled are bit-deterministic; the single "
+    "normalizing division happens once on the final row. Shape: one "
+    "value-grid aggregation (cardinality = distinct values, far below "
+    "rows; pre-bucket values to a fixed grid at 100 TB), one ordered "
+    "window over that grid, one scalar reduce.",
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = ev.select(
+        (F.col("value").cast(_DEC) * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_b"),
+    )
+    per_value = vals.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
+    )
+    tot = per_value.agg(
+        F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = per_value.select(
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).cast("bigint").alias("d_scaled"))
+        .select(
+            "d_scaled",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("d_scaled").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).cast("double").alias("d_stat"),
+        )
+    )

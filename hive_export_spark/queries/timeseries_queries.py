@@ -957,3 +957,97 @@ def ts_delta_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("rate_per_s"),
         )
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT b.event_type, k.k, b.v AS x,
+         lag(b.v, k.k) OVER (PARTITION BY b.event_type, k.k
+                             ORDER BY b.bucket_epoch) AS y
+  FROM buckets b CROSS JOIN (VALUES (1), (2), (3)) k(k)
+), sums AS (
+  SELECT event_type, k,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY event_type, k
+)
+SELECT event_type, CAST(k AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n,
+       CAST(round(
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         6) AS DOUBLE) AS acf
+FROM sums
+""",
+    doc="autocorrelation function (lags 1-3) per series over 15-minute "
+    "buckets: the seasonality/persistence fingerprint forecasting "
+    "pipelines read first. Lagged pairs come from lag(v, k) windows "
+    "(the three literal-offset lags unroll into one union over the "
+    "same series-keyed sort — rows multiply, shuffles do not); all five "
+    "co-moment sums are EXACT decimals, so the Pearson formula's float "
+    "ops run on bit-identical inputs in both engines, round(6)-"
+    "guarded. At 100 TB this is the mergeable-co-moment pattern of "
+    "agg_corr_regression applied per (series, lag).",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    # Spark's lag() offset must be a literal, so the three lags unroll
+    # into one union over the SAME (event_type)-keyed sort — Catalyst
+    # reuses the exchange; rows multiply, shuffles do not.
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    parts = [
+        buckets.select(
+            "event_type",
+            F.lit(k).cast("int").alias("k"),
+            F.col("v").alias("x"),
+            F.lag("v", k).over(w).alias("y"),
+        )
+        for k in (1, 2, 3)
+    ]
+    lagged = parts[0].unionAll(parts[1]).unionAll(parts[2]).filter(
+        F.col("y").isNotNull()
+    )
+    sums = lagged.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    acf = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return sums.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag_k"),
+        n.cast("bigint").alias("n"),
+        F.round(acf, 6).cast("double").alias("acf"),
+    )

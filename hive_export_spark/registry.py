@@ -141,8 +141,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stats_chi2_independence, join_nearest_value, agg_argmax_family,
     # window_nth_value, fn_xpath_family, fn_csv_serde_family,
     # udf_scalar_iter_pandas, stream_session_window_native,
-    # source_partition_discovery, agg_filter_clause, fn_explode_outer —
-    # all green
+    # source_partition_discovery, agg_filter_clause, fn_explode_outer,
+    # stats_ks_drift, ts_autocorrelation — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).

@@ -435,3 +435,22 @@ def test_nearest_value_join_matches_bruteforce(spark):
     for pid, pv in probes:
         want = min((abs(pv - rv), rv, rid) for rid, rv in refs)
         assert got[pid] == want, (pid, pv, got[pid], want)
+
+
+def test_ks_drift_bounds(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_ks_drift
+
+    r = stats_ks_drift(spark, sf_dir).collect()[0]
+    assert 0 <= r.d_stat <= 1
+    assert r.d_scaled <= r.n_a * r.n_b
+    # same-distribution sanity: uniform synthetic values -> small D
+    assert r.d_stat < 0.2
+
+
+def test_autocorrelation_in_range_and_decaying_shape(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_autocorrelation
+
+    rows = ts_autocorrelation(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 series x 3 lags
+    assert all(-1 <= r.acf <= 1 for r in rows)
+    assert all(r.n > 0 for r in rows)
