@@ -424,3 +424,45 @@ def source_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "fmt_compression_codecs",
+    oracle="""
+SELECT codec, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM (
+  SELECT 'snappy' AS codec, l_quantity FROM lineitem
+  UNION ALL SELECT 'zstd', l_quantity FROM lineitem
+  UNION ALL SELECT 'gzip', l_quantity FROM lineitem
+)
+GROUP BY codec
+""",
+    doc="parquet compression-codec fidelity probe: the same projection "
+    "written with snappy, zstd and gzip, read back and aggregated per "
+    "codec — every codec must round-trip byte-exact values (the 100 TB "
+    "decision between them is pure speed/ratio, never fidelity, and "
+    "this pins that). Writes are scratch-cached per (process, sf).",
+)
+def fmt_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    base = sf_scratch_dir("codecs", sf_dir)
+    outs = []
+    for codec in ("snappy", "zstd", "gzip"):
+        path = os.path.join(base, codec)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            src.write.mode("overwrite").option("compression", codec).parquet(path)
+        outs.append(
+            spark.read.parquet(path).select(
+                F.lit(codec).alias("codec"), "l_quantity"
+            )
+        )
+    allb = outs[0].unionAll(outs[1]).unionAll(outs[2])
+    return allb.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -978,3 +978,91 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("d_stat"),
         )
     )
+
+
+@register(
+    "stats_ab_proportion_z",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+  FROM users GROUP BY arm
+), wide AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+       CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+       CAST(round(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1, 6)
+            AS DOUBLE) AS rate_diff,
+       CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+            ELSE CAST(round(
+              (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+              / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1)),
+              6) AS DOUBLE) END AS z_stat
+FROM wide
+""",
+    doc="two-proportion z-test (A/B experiment readout): users split "
+    "into arms by id parity, conversion = 14+ purchases, pooled-"
+    "variance z statistic — the experimentation primitive run over "
+    "exported event streams. Counts are exact integers from one "
+    "user-keyed aggregation + one arm rollup; every float expression "
+    "runs on bit-identical inputs, round(6)-guarded. Deterministic "
+    "arm assignment (id parity, not RNG) keeps the readout "
+    "reproducible across engines and reruns.",
+)
+def stats_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0 = F.col("n0")
+    c0 = F.col("c0")
+    n1 = F.col("n1")
+    c1 = F.col("c1")
+    p0 = c0.cast("double") / n0
+    p1 = c1.cast("double") / n1
+    pp = (c0 + c1).cast("double") / (n0 + n1)
+    z = F.when(
+        ((c0 + c1) == 0) | ((c0 + c1) == (n0 + n1)), F.lit(None)
+    ).otherwise(
+        (p0 - p1)
+        / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    )
+    return wide.select(
+        n0.cast("bigint").alias("n0"),
+        c0.cast("bigint").alias("c0"),
+        n1.cast("bigint").alias("n1"),
+        c1.cast("bigint").alias("c1"),
+        F.round(p0 - p1, 6).cast("double").alias("rate_diff"),
+        F.round(z, 6).cast("double").alias("z_stat"),
+    )

@@ -1051,3 +1051,105 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(acf, 6).cast("double").alias("acf"),
     )
+
+
+@register(
+    "ts_linear_forecast",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS t,
+         MAX(bucket_epoch) OVER (PARTITION BY event_type) AS last_epoch
+  FROM buckets
+), fit AS (
+  SELECT event_type, MAX(last_epoch) AS last_epoch,
+         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS stt,
+         SUM(v) AS sv, SUM(t * v) AS stv
+  FROM idx GROUP BY event_type
+), coefs AS (
+  SELECT event_type, last_epoch, n,
+         (n * CAST(stv AS DOUBLE) - st * CAST(sv AS DOUBLE))
+           / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS slope,
+         (CAST(sv AS DOUBLE) - (n * CAST(stv AS DOUBLE) - st * CAST(sv AS DOUBLE))
+            / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * st) / n
+           AS intercept
+  FROM fit
+)
+SELECT c.event_type,
+       CAST(c.last_epoch + h.h * {_BUCKET_S} AS BIGINT) AS forecast_epoch,
+       CAST(h.h AS INTEGER) AS horizon,
+       CAST(round(c.intercept + c.slope * (c.n + h.h), 6) AS DOUBLE)
+         AS forecast
+FROM coefs c CROSS JOIN (VALUES (1), (2), (3)) h(h)
+""",
+    doc="linear-trend forecast per series: OLS slope/intercept fitted "
+    "over the bucket index (t = 1..n) from EXACT decimal/integer "
+    "co-moment sums, extrapolated 1-3 buckets ahead — the baseline "
+    "forecaster every capacity dashboard starts with. The fit sums "
+    "are partial-mergeable (one shuffle to series cardinality); slope "
+    "and intercept are identical float expressions over bit-identical "
+    "inputs on both engines, round(6)-guarded. Horizon expansion is a "
+    "3-row broadcast.",
+)
+def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    w_t = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    w_all = Window.partitionBy("event_type")
+    idx = buckets.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_t).alias("t"),
+        F.max("bucket_epoch").over(w_all).alias("last_epoch"),
+    )
+    fit = idx.groupBy("event_type").agg(
+        F.max("last_epoch").alias("last_epoch"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).alias("stv"),
+    )
+    n = F.col("n")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    sv = F.col("sv").cast("double")
+    stv = F.col("stv").cast("double")
+    slope = (n * stv - st * sv) / (n * stt - st * st)
+    coefs = fit.select(
+        "event_type",
+        "last_epoch",
+        "n",
+        slope.alias("slope"),
+        ((sv - slope * st) / n).alias("intercept"),
+    )
+    hs = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
+    return (
+        coefs.crossJoin(F.broadcast(hs))
+        .select(
+            "event_type",
+            (F.col("last_epoch") + F.col("h") * _BUCKET_S)
+            .cast("bigint")
+            .alias("forecast_epoch"),
+            F.col("h").cast("int").alias("horizon"),
+            F.round(
+                F.col("intercept") + F.col("slope") * (F.col("n") + F.col("h")), 6
+            ).cast("double").alias("forecast"),
+        )
+    )

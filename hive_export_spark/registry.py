@@ -142,7 +142,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window_nth_value, fn_xpath_family, fn_csv_serde_family,
     # udf_scalar_iter_pandas, stream_session_window_native,
     # source_partition_discovery, agg_filter_clause, fn_explode_outer,
-    # stats_ks_drift, ts_autocorrelation — all green
+    # stats_ks_drift, ts_autocorrelation, fmt_compression_codecs,
+    # ts_linear_forecast, stats_ab_proportion_z — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).
