@@ -1830,3 +1830,64 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_start").cast("bigint").alias("n_spans"),
         F.sum("in_span").cast("bigint").alias("n_masked"),
     )
+
+
+@register(
+    "llm_dedup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+kept AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST((SELECT COUNT(*) FROM documents) - COUNT(*) AS BIGINT)
+         AS n_removed
+FROM kept
+""",
+    doc="END-TO-END near-dedup: pairs -> connected components -> keep ONE "
+    "canonical document per duplicate cluster (the min-id member, which "
+    "IS the cluster label from min-label propagation — no extra pass) "
+    "plus every untouched singleton. This is the actual corpus "
+    "deduplication output a training pipeline ships: composition of "
+    "ngram_jaccard_pairs + connected_components + one anti-join-shaped "
+    "left join keyed on doc_id. Output is the (input, kept, removed) "
+    "accounting row — the number a data curator signs off on.",
+)
+def llm_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    # no broadcast hint: membership is duplicate-count sized — tiny here,
+    # potentially large at corpus scale; AQE picks broadcast when it fits
+    joined = d.select("doc_id").join(comp, "doc_id", "left")
+    kept = joined.filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("n_input"))
+    return (
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_input").cast("bigint").alias("n_input"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (F.col("n_input") - F.col("n_kept")).cast("bigint").alias("n_removed"),
+        )
+    )
