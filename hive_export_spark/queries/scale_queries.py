@@ -769,3 +769,36 @@ def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_violations"),
         (F.col("n") == 0).alias("passed"),
     )
+
+
+@register(
+    "scale_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS total_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="join strategy hint surface: the same fact-to-fact join run with "
+    "an explicit SHUFFLE_HASH hint — at 100 TB a sort-merge join of two "
+    "huge tables pays two full sorts, while shuffle-hash streams the "
+    "big side against a hashed build side; when the build side fits per-"
+    "partition memory, the hint (or AQE's preferSortMergeJoin=false) "
+    "saves both sorts. Result identity is the gate: hints must NEVER "
+    "change semantics, only physical strategy (plan assertion in "
+    "tests/test_plans.py pins that the hint is honored).",
+)
+def scale_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).hint("SHUFFLE_HASH")
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -1153,3 +1153,86 @@ def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("forecast"),
         )
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, bucket_epoch,
+         SUM(v) OVER w AS sx,
+         SUM(v * v) OVER w AS sxx,
+         COUNT(*) OVER w AS n
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_epoch, CAST(n AS BIGINT) AS n_window,
+       CAST(round(CAST(sx AS DOUBLE) / n, 6) AS DOUBLE) AS mid,
+       CAST(round(CAST(sx AS DOUBLE) / n
+                  + 2 * sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)),
+                  6) AS DOUBLE) AS upper_band,
+       CAST(round(CAST(sx AS DOUBLE) / n
+                  - 2 * sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)),
+                  6) AS DOUBLE) AS lower_band
+FROM framed
+""",
+    doc="Bollinger bands (20-bucket trailing mean +/- 2 population sigma) "
+    "per series: the volatility envelope, computed from DECIMAL frame "
+    "sums (sum and sum-of-squares over a ROWS frame are exact and "
+    "order-free), so both engines feed bit-identical doubles into the "
+    "identical mean/sigma expressions; round(6) guards the output. One "
+    "series-keyed sort, O(1) running state — the same frame machinery "
+    "as window_sliding_avg, upgraded to second-moment envelopes.",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"),
+                  F.col("value").cast("decimal(12,2)").alias("__v"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    framed = buckets.select(
+        "event_type",
+        "bucket_epoch",
+        F.sum("v").over(w).alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sxx"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    # variance can float-round to a tiny negative on near-constant
+    # frames (DuckDB sqrt raises on negatives; Spark returns NaN) —
+    # clamp identically on both sides
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("sxx").cast("double") / F.col("n") - mean * mean,
+            F.lit(0.0),
+        )
+    )
+    return framed.select(
+        "event_type",
+        "bucket_epoch",
+        F.col("n").cast("bigint").alias("n_window"),
+        F.round(mean, 6).cast("double").alias("mid"),
+        F.round(mean + 2 * sigma, 6).cast("double").alias("upper_band"),
+        F.round(mean - 2 * sigma, 6).cast("double").alias("lower_band"),
+    )

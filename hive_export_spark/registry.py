@@ -144,7 +144,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # source_partition_discovery, agg_filter_clause, fn_explode_outer,
     # stats_ks_drift, ts_autocorrelation, fmt_compression_codecs,
     # ts_linear_forecast, stats_ab_proportion_z,
-    # llm_dedup_keep_canonical — all green
+    # llm_dedup_keep_canonical, ts_bollinger_bands,
+    # scale_shuffle_hash_hint — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).

@@ -220,3 +220,10 @@ def test_partition_discovery_filter_becomes_partition_filter(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    from hive_export_spark.queries.scale_queries import scale_shuffle_hash_hint
+
+    plan = audit.executed_plan(scale_shuffle_hash_hint(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
