@@ -454,3 +454,33 @@ def test_autocorrelation_in_range_and_decaying_shape(spark, sf_dir):
     assert len(rows) == 15  # 5 series x 3 lags
     assert all(-1 <= r.acf <= 1 for r in rows)
     assert all(r.n > 0 for r in rows)
+
+
+def test_linear_fit_recovers_known_slope(spark):
+    # y = 3 + 2t exactly -> slope 2, intercept 3, forecasts exact
+    import pyspark.sql.functions as SF
+
+    rows = [(t, 3.0 + 2.0 * t) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    fit = df.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum("t").alias("st"),
+        SF.sum(SF.col("t") * SF.col("t")).alias("stt"),
+        SF.sum("v").alias("sv"),
+        SF.sum(SF.col("t") * SF.col("v")).alias("stv"),
+    ).collect()[0]
+    n, st, stt, sv, stv = fit.n, fit.st, fit.stt, fit.sv, fit.stv
+    slope = (n * stv - st * sv) / (n * stt - st * st)
+    intercept = (sv - slope * st) / n
+    assert abs(slope - 2.0) < 1e-9
+    assert abs(intercept - 3.0) < 1e-9
+
+
+def test_bollinger_bands_bracket_the_series(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_bollinger_bands
+
+    rows = ts_bollinger_bands(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:1000]:
+        assert r.lower_band <= r.mid <= r.upper_band
+        assert 1 <= r.n_window <= 20
