@@ -625,3 +625,37 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(longs).alias("long_term")
     )
+
+
+@register(
+    "fn_printf_family",
+    oracle="""
+SELECT doc_id,
+       printf('doc-%05d', doc_id) AS padded_id,
+       printf('%s/%d chars', lang, n_chars) AS summary,
+       printf('%08.2f', CAST(n_chars AS DOUBLE) / 7) AS ratio_str,
+       lpad(lang, 6, '.') AS lang_pad,
+       rpad(source, 8, '-') AS source_pad
+FROM documents
+""",
+    doc="printf-style formatting family (format_string == DuckDB "
+    "printf) plus lpad/rpad: the deterministic string-rendering "
+    "surface export pipelines use for fixed-width ids and log lines. "
+    "The %08.2f float case renders a double both engines computed "
+    "identically (exact integer / literal), so even float formatting "
+    "is hash-stable. Pure projection, zero shuffle.",
+)
+def fn_printf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.format_string("doc-%05d", F.col("doc_id")).alias("padded_id"),
+        F.format_string("%s/%d chars", F.col("lang"), F.col("n_chars")).alias(
+            "summary"
+        ),
+        F.format_string(
+            "%08.2f", F.col("n_chars").cast("double") / 7
+        ).alias("ratio_str"),
+        F.lpad("lang", 6, ".").alias("lang_pad"),
+        F.rpad("source", 8, "-").alias("source_pad"),
+    )

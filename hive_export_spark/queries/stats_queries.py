@@ -1066,3 +1066,141 @@ def stats_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0 - p1, 6).cast("double").alias("rate_diff"),
         F.round(z, 6).cast("double").alias("z_stat"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH typed AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(10,2)) AS v,
+         CAST(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))
+              AS DECIMAL(20,4)) AS v2
+  FROM events
+), sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(v) AS s1,
+         SUM(v2) AS s2,
+         SUM(CAST(v2 * v AS DECIMAL(30,6))) AS s3,
+         SUM(CAST(v2 * v2 AS DECIMAL(38,8))) AS s4
+  FROM typed GROUP BY event_type
+), mom AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS m2r,
+         CAST(s3 AS DOUBLE) / n AS m3r,
+         CAST(s4 AS DOUBLE) / n AS m4r
+  FROM sums
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                  / pow(m2r - m1 * m1, 1.5), 6) AS DOUBLE) AS skewness,
+       CAST(round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+                  / ((m2r - m1 * m1) * (m2r - m1 * m1)) - 3, 6) AS DOUBLE)
+         AS excess_kurtosis
+FROM mom
+""",
+    doc="skewness and excess kurtosis per series from EXACT decimal "
+    "power sums through the 4th moment — extends the decimal-moments "
+    "discipline (agg_stats_moments) to the shape statistics "
+    "distribution-drift monitors track. Raw moments are partial-"
+    "mergeable (one shuffle to series cardinality); the central-moment "
+    "expansion runs on bit-identical doubles on both engines, "
+    "round(6)-guarded. Built-in skewness()/kurtosis() are double "
+    "accumulators — order-dependent and engine-divergent — so this is "
+    "also the only hash-stable formulation.",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.col("value").cast("decimal(10,2)")
+    v2 = (v * v).cast("decimal(20,4)")
+    typed = ev.select("event_type", v.alias("v"), v2.alias("v2"))
+    sums = typed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum("v2").alias("s2"),
+        F.sum((F.col("v2") * F.col("v")).cast("decimal(30,6)")).alias("s3"),
+        F.sum((F.col("v2") * F.col("v2")).cast("decimal(38,8)")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    var = m2r - m1 * m1
+    skew = (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
+    ) / (var * var) - 3
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(skew, 6).cast("double").alias("skewness"),
+        F.round(kurt, 6).cast("double").alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle="""
+WITH vals AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         event_id
+  FROM events WHERE value >= 0
+), ranked AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id)
+           AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS sx
+  FROM vals
+), agg AS (
+  SELECT event_type, MAX(n) AS n, MAX(sx) AS sx,
+         SUM(i * x) AS sixr
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(round(CAST(2 * sixr AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                  - CAST(n + 1 AS DOUBLE) / n, 6) AS DOUBLE) AS gini
+FROM agg
+""",
+    doc="Gini concentration coefficient per series (rank-weighted "
+    "formula G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n): the inequality "
+    "metric data curators use to spot source/user dominance before it "
+    "skews a training mix. Values scale to exact integer cents, the "
+    "rank weighting is a (series)-keyed sort window with a total-order "
+    "tiebreak, and every sum is exact integer — only the final two "
+    "divisions are float, on bit-identical inputs. One shuffle.",
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value") >= 0)
+    vals = ev.select(
+        "event_type",
+        (F.col("value").cast(_DEC) * 100).cast("bigint").alias("x"),
+        "event_id",
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("x", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("sixr"),
+    )
+    n = F.col("n")
+    gini = (2 * F.col("sixr")).cast("double") / (
+        n * F.col("sx").cast("double")
+    ) - (n + 1).cast("double") / n
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(gini, 6).cast("double").alias("gini"),
+    )

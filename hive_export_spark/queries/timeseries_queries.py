@@ -1236,3 +1236,79 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean + 2 * sigma, 6).cast("double").alias("upper_band"),
         F.round(mean - 2 * sigma, 6).cast("double").alias("lower_band"),
     )
+
+
+@register(
+    "ts_flatline_runs",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         COUNT(*) AS n_events
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT event_type, bucket_epoch, n_events,
+         CASE WHEN lag(n_events) OVER w IS NULL
+                OR lag(n_events) OVER w <> n_events THEN 1 ELSE 0 END
+           AS new_run
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch)
+), runs AS (
+  SELECT event_type, bucket_epoch, n_events,
+         SUM(new_run) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flagged
+)
+SELECT event_type,
+       CAST(MIN(bucket_epoch) AS BIGINT) AS run_start_epoch,
+       CAST(n_events AS BIGINT) AS stuck_value,
+       COUNT(*) AS run_len
+FROM runs
+GROUP BY event_type, run_id, n_events
+HAVING COUNT(*) >= 4
+""",
+    doc="flatline/stuck-sensor detection: maximal runs of consecutive "
+    "buckets with an IDENTICAL reading (per-bucket event count — exact "
+    "integers, so run boundaries are unambiguous), reported when the "
+    "run reaches 4+ buckets (an hour of identical telemetry = a stuck "
+    "pipeline, the DQ smell rule suites can't express). Gaps-and-"
+    "islands via lag + running sum — the same one-shuffle machinery as "
+    "sessionization, applied to value-equality instead of time "
+    "proximity.",
+)
+def ts_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S)
+    buckets = (
+        ev.select("event_type", bucket.alias("bucket_epoch"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagv = F.lag("n_events").over(w)
+    flagged = buckets.withColumn(
+        "new_run",
+        F.when(lagv.isNull() | (lagv != F.col("n_events")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("new_run").over(w_run))
+    return (
+        runs.groupBy("event_type", "run_id", "n_events")
+        .agg(
+            F.min("bucket_epoch").cast("bigint").alias("run_start_epoch"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 4)
+        .select(
+            "event_type",
+            "run_start_epoch",
+            F.col("n_events").cast("bigint").alias("stuck_value"),
+            "run_len",
+        )
+    )
