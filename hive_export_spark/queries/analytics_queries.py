@@ -400,3 +400,83 @@ def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_val",
         "nn_dist",
     )
+
+
+_BFS_SOURCE = 1  # l_partkey 1 — present in every fixture scale
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+dir AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+h0 AS (SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, 0 AS dist),
+h1 AS (
+  SELECT d.dst AS node, 1 AS dist FROM dir d
+  WHERE d.src = {_BFS_SOURCE}
+    AND d.dst NOT IN (SELECT node FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT d.dst AS node, 2 AS dist
+  FROM dir d JOIN h1 ON d.src = h1.node
+  WHERE d.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)
+),
+h3 AS (
+  SELECT DISTINCT d.dst AS node, 3 AS dist
+  FROM dir d JOIN h2 ON d.src = h2.node
+  WHERE d.dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1
+                      UNION ALL SELECT node FROM h2)
+)
+SELECT CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+GROUP BY dist
+""",
+    doc="breadth-first search to 3 hops from a fixed source on the part "
+    "co-purchase graph: per-hop frontier sizes and node-id bounds — "
+    "the reachability/blast-radius query graph consumers run. "
+    "Frontier-at-a-time BFS: each hop is ONE equi-join of the current "
+    "frontier against the directed edge list plus an anti-join against "
+    "the visited set — the textbook distributed BFS whose work per hop "
+    "is |frontier-adjacent edges|, never |V|^2; visited stays a "
+    "vertex-keyed set. Exact integers throughout; the oracle unrolls "
+    "the same 3 hops with NOT IN visited sets.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("u", "v")
+    direc = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    frontier = li.sparkSession.range(1).select(
+        F.lit(_BFS_SOURCE).cast("bigint").alias("node"),
+        F.lit(0).alias("dist"),
+    )
+    visited = frontier
+    for hop in (1, 2, 3):
+        nxt = (
+            direc.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+        F.max("node").cast("bigint").alias("max_node"),
+    ).select(F.col("dist").cast("int").alias("dist"), "n_nodes", "min_node", "max_node")

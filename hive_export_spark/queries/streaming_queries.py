@@ -768,3 +768,62 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_union_sources",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="multi-source stream union: the events firehose split across TWO "
+    "independent file-stream sources (odd/even user shards written to "
+    "separate directories — the multi-datacenter / multi-topic ingest "
+    "shape), unioned INSIDE one streaming query, aggregated per type, "
+    "and reconciled against the unsharded batch total. Each source "
+    "keeps its own file tracking; union of streams is append-safe with "
+    "no state of its own. Scratch shards are _SUCCESS-cached per sf.",
+)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+
+    ev = load_table(spark, "events", sf_dir)
+    base = sf_scratch_dir("stream_union", sf_dir)
+    shards = []
+    for name, cond in (("odd", F.col("user_id") % 2 == 1),
+                       ("even", F.col("user_id") % 2 == 0)):
+        path = os.path.join(base, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ev.filter(cond).select(
+                "event_id", "event_type", "value"
+            ).repartition(2).write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        shards.append(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+    unioned = shards[0].unionByName(shards[1])
+    name = f"gate_sus_{_uuid.uuid4().hex[:8]}"
+    q = (
+        unioned.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
