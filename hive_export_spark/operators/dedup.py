@@ -239,6 +239,38 @@ def oph_minhash_signatures(
     return doubled.select(F.col(id_col), sig.alias("signature"))
 
 
+def banded_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature table.
+
+    Band bucket = xxhash64 over the band's signature longs directly
+    (multi-arg hash of fixed-width values — no per-band string building).
+    Shared by the batch LSH join and the incremental-store path: a
+    PERSISTED signature table banded with the same (num_hashes, bands)
+    lands in the same buckets forever, which is what makes incremental
+    dedup against a store sound.
+    """
+    r = num_hashes // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[bi * r + j] for j in range(r)],
+                            F.lit(bi),
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -275,25 +307,7 @@ def minhash_lsh_pairs(
     df = ensure_parallelism(df)
     sig_fn = oph_minhash_signatures if oph else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_hashes)
-    # band bucket = xxhash64 over the band's signature longs directly
-    # (multi-arg hash of fixed-width values — no per-band string building)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[bi * r + j] for j in range(r)],
-                            F.lit(bi),
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_buckets(sigs, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -503,4 +517,74 @@ def ngram_overlap(
         c_sh.join(F.broadcast(p_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+def incremental_minhash_pairs(
+    stored_sigs: DataFrame,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new document, against a signature store.
+
+    The production dedup mode: the corpus's MinHash signatures are
+    persisted once at ingest (``stored_sigs`` — (id, signature) rows,
+    e.g. a parquet table); a daily increment only (1) signs the NEW
+    docs, (2) bucket-joins the new side against store + new, (3)
+    exact-verifies candidates. Cost per increment is
+    O(new x bands + candidate pairs) — the full corpus is never
+    re-shingled, re-signed, or self-joined again, which is the entire
+    point at 100 TB. Old-old pairs are excluded by construction (the
+    probe side is always new).
+
+    ``all_docs`` supplies text for exact verification (store + new); at
+    scale the verify join reads only candidate docs (broadcast semi-join
+    pushdown, same as the batch path). Emits (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    all_banded = banded_buckets(
+        stored_sigs.unionByName(new_sigs), id_col, num_hashes, bands
+    )
+    new_banded = banded_buckets(new_sigs, id_col, num_hashes, bands)
+    a, b = new_banded.alias("a"), all_banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    needed = all_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    shsets = needed.select(F.col(id_col), word_shingles(text_col).alias("__shs"))
+    sa = shsets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__shs_a"))
+    sb = shsets.select(F.col(id_col).alias("doc_b"), F.col("__shs").alias("__shs_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__shs_a", "__shs_b"))
+            / (
+                F.size("__shs_a")
+                + F.size("__shs_b")
+                - F.size(F.array_intersect("__shs_a", "__shs_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

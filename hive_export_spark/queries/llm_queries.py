@@ -1891,3 +1891,45 @@ def llm_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_input") - F.col("n_kept")).cast("bigint").alias("n_removed"),
         )
     )
+
+
+_INCR_SPLIT = 400  # doc_id < 400 = the stored corpus; >= 400 = the increment
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=f"""
+SELECT * FROM ({_JACCARD_ORACLE.strip()}
+) WHERE doc_b >= {_INCR_SPLIT}
+""",
+    doc="INCREMENTAL near-dedup against a persisted signature store — "
+    "the production mode: corpus signatures (doc_id < 400) are written "
+    "once to a parquet store (scratch, _SUCCESS-cached), the 'daily' "
+    "increment (doc_id >= 400) is signed fresh, bucket-joined against "
+    "store + increment, and candidates exact-verified. Only pairs "
+    "involving a new doc emerge (old-old is excluded by construction "
+    "because the probe side is always new), and the full corpus is "
+    "never re-shingled or self-joined — the property that keeps daily "
+    "dedup cost O(increment), not O(corpus), at 100 TB. Oracle: the "
+    "exact-Jaccard pair list restricted to pairs whose higher id is in "
+    "the increment (new ids are the largest, so that condition is "
+    "exactly 'involves a new doc').",
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+
+    d = load_table(spark, "documents", sf_dir)
+    old = d.filter(F.col("doc_id") < _INCR_SPLIT)
+    new = d.filter(F.col("doc_id") >= _INCR_SPLIT)
+    store = os.path.join(sf_scratch_dir("minhash_store", sf_dir), "sigs")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        dedup.minhash_signatures(old, "text", "doc_id", 64).write.mode(
+            "overwrite"
+        ).parquet(store)
+    stored_sigs = spark.read.parquet(store)
+    return dedup.incremental_minhash_pairs(
+        stored_sigs, new, d, "text", "doc_id", num_hashes=64, bands=16,
+        threshold=0.8,
+    )

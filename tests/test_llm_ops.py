@@ -386,3 +386,32 @@ def test_kmeans_assignment_is_deterministic(spark, sf_dir):
     a1 = {(r.vec_id, r.cluster_id) for r in assign_clusters(emb, cents).collect()}
     a2 = {(r.vec_id, r.cluster_id) for r in assign_clusters(emb, cents).collect()}
     assert a1 == a2 and len(a1) == emb.count()
+
+
+def test_incremental_dedup_equals_batch_restricted(spark, sf_dir):
+    """Incremental pairs (store + new) must equal the batch LSH pairs
+    restricted to pairs involving a new doc — store persistence and the
+    probe-side-only join change the COST, never the answer."""
+    from pyspark.sql import functions as F
+
+    from hive_export_spark.operators import dedup
+    from hive_export_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    split = 250
+    old = d.filter(F.col("doc_id") < split)
+    new = d.filter(F.col("doc_id") >= split)
+    stored = dedup.minhash_signatures(old, "text", "doc_id", 64)
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_minhash_pairs(
+            stored, new, d, threshold=0.8
+        ).collect()
+    )
+    batch = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.8).collect()
+        if r.doc_b >= split
+    )
+    assert got == batch
+    assert all(b >= split for _a, b in got)  # every pair involves a new doc
