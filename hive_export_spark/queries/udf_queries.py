@@ -208,3 +208,45 @@ def udf_scalar_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net_price_iter("l_extendedprice", "l_discount").alias("net_price_iter"),
     )
+
+
+@register(
+    "udf_window_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(AVG(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+         AS running_avg_qty
+FROM lineitem WHERE l_orderkey <= 2000
+""",
+    doc="pandas_udf as a WINDOW function (grouped-agg UDF over a running "
+    "frame): the third pandas-UDF execution mode after scalar and "
+    "grouped-agg — Spark evaluates the Arrow-batched aggregate once "
+    "per frame. The UDF computes the running mean of exact decimal "
+    "quantities; the oracle is the built-in windowed AVG over the same "
+    "pinned frame, so the UDF must agree with the engine's own "
+    "aggregate to 6 decimals. Frame and (linenumber, partkey) order "
+    "pinned on both sides.",
+)
+def udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    @F.pandas_udf("double")
+    def mean_qty(q: pd.Series) -> float:
+        return float(q.mean())
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") <= 2000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            mean_qty(F.col("l_quantity").cast("decimal(12,2)").cast("double")).over(w),
+            6,
+        ).cast("double").alias("running_avg_qty"),
+    )

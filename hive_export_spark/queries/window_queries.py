@@ -284,3 +284,34 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.nth_value("event_type", 3).over(w).alias("third_type"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(round(
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)
+         / CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_custkey) AS DOUBLE), 6) AS DOUBLE)
+         AS share_of_customer
+FROM orders
+""",
+    doc="ratio-to-report window (each order's share of its customer's "
+    "total spend): the percent-of-total reporting shape that needs the "
+    "whole-partition aggregate alongside every row — one unordered "
+    "window, no self-join. Denominator is an exact decimal partition "
+    "sum (order-free), so both engines divide bit-identical doubles; "
+    "round(6) guards the division.",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            price.cast("double") / F.sum(price).over(w).cast("double"), 6
+        ).cast("double").alias("share_of_customer"),
+    )

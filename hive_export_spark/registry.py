@@ -147,8 +147,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # llm_dedup_keep_canonical, ts_bollinger_bands,
     # scale_shuffle_hash_hint, agg_skew_kurtosis,
     # stats_gini_concentration, fn_printf_family, ts_flatline_runs,
-    # stream_union_sources, graph_bfs_hops, llm_dedup_incremental —
-    # all green
+    # stream_union_sources, graph_bfs_hops, llm_dedup_incremental,
+    # udf_window_pandas, window_ratio_to_report — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).
