@@ -480,3 +480,86 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("bigint").alias("min_node"),
         F.max("node").cast("bigint").alias("max_node"),
     ).select(F.col("dist").cast("int").alias("dist"), "n_nodes", "min_node", "max_node")
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+dir AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT src AS x, COUNT(*) AS d FROM dir GROUP BY src),
+de AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM dir JOIN deg du ON dir.src = du.x JOIN deg dv ON dir.dst = dv.x
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du) AS BIGINT) AS sa,
+         CAST(SUM(dv) AS BIGINT) AS sb,
+         CAST(SUM(du * dv) AS BIGINT) AS sab,
+         CAST(SUM(du * du) AS BIGINT) AS saa,
+         CAST(SUM(dv * dv) AS BIGINT) AS sbb
+  FROM de
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(round(
+         (m * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / sqrt((m * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * (m * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS DOUBLE) AS assortativity_r
+FROM s
+""",
+    doc="degree assortativity of the part co-purchase graph: Pearson "
+    "correlation of endpoint degrees over the directed edge list (both "
+    "orientations, the standard Newman formulation) — do hub parts "
+    "co-sell with hubs or with the periphery? All five moments are "
+    "EXACT integer sums; only the final correlation is double, same "
+    "operand order both sides. Scale shape: one degree aggregation, "
+    "two hash joins keyed on node id to decorate edges with endpoint "
+    "degrees, one scalar aggregate — no all-pairs anything; the edge "
+    "list (already min-support-sparsified by cooccurrence_edges) is "
+    "the largest thing shuffled.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    direc = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = direc.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed(
+        "src", "x"
+    )
+    de = (
+        direc.join(deg.select(F.col("x"), F.col("d").alias("du")), direc.src == F.col("x"))
+        .drop("x")
+        .join(deg.select(F.col("x"), F.col("d").alias("dv")), direc.dst == F.col("x"))
+        .select("du", "dv")
+    )
+    s = de.agg(
+        F.count("*").alias("m"),
+        F.sum("du").alias("sa"),
+        F.sum("dv").alias("sb"),
+        F.sum(F.col("du") * F.col("dv")).alias("sab"),
+        F.sum(F.col("du") * F.col("du")).alias("saa"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sbb"),
+    )
+    m = F.col("m")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    r = (m * sab - sa * sb) / F.sqrt((m * saa - sa * sa) * (m * sbb - sb * sb))
+    counts = deg.agg(F.count("*").alias("n_nodes")).crossJoin(
+        F.broadcast(edges.agg(F.count("*").alias("n_edges")))
+    )
+    return F.broadcast(counts).crossJoin(s).select(
+        "n_nodes",
+        "n_edges",
+        F.round(r, 6).cast("double").alias("assortativity_r"),
+    )

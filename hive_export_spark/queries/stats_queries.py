@@ -1204,3 +1204,233 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(gini, 6).cast("double").alias("gini"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx
+  FROM events WHERE event_type IN ('click', 'error') GROUP BY event_type
+), m AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / n AS mean_v,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var_v
+  FROM g
+), p AS (
+  SELECT
+    (SELECT n FROM m WHERE event_type = 'click') AS n_a,
+    (SELECT n FROM m WHERE event_type = 'error') AS n_b,
+    (SELECT mean_v FROM m WHERE event_type = 'click') AS ma,
+    (SELECT mean_v FROM m WHERE event_type = 'error') AS mb,
+    (SELECT var_v FROM m WHERE event_type = 'click') AS va,
+    (SELECT var_v FROM m WHERE event_type = 'error') AS vb
+)
+SELECT n_a, n_b,
+       CAST(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS DOUBLE) AS t_r,
+       CAST(round(
+         (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+           / ((va / n_a) * (va / n_a) / (n_a - 1)
+              + (vb / n_b) * (vb / n_b) / (n_b - 1)), 3) AS DOUBLE) AS df_r
+FROM p
+""",
+    doc="Welch two-sample t-test (unequal variances) between two event "
+    "series: sample means/variances from EXACT decimal power sums (the "
+    "order-insensitive reduction both engines agree on bit-for-bit), "
+    "then the t statistic and Welch-Satterthwaite degrees of freedom in "
+    "double with identical operand order on both sides. Scale shape: "
+    "one partial-agg exchange over a 2-row group key; everything after "
+    "the agg is constant-size driver-free arithmetic — at 100 TB this "
+    "is a single map-side-combined scan.",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("click", "error")
+    )
+    v = F.col("value").cast(_DEC)
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(v).alias("sx"), F.sum(v * v).alias("sxx")
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_v"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_v"),
+    )
+    a = F.col("event_type") == "click"
+    p = m.agg(
+        F.max(F.when(a, F.col("n"))).alias("n_a"),
+        F.max(F.when(~a, F.col("n"))).alias("n_b"),
+        F.max(F.when(a, F.col("mean_v"))).alias("ma"),
+        F.max(F.when(~a, F.col("mean_v"))).alias("mb"),
+        F.max(F.when(a, F.col("var_v"))).alias("va"),
+        F.max(F.when(~a, F.col("var_v"))).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("va") / F.col("n_a")) * (F.col("va") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (F.col("vb") / F.col("n_b")) * (F.col("vb") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return p.select(
+        "n_a",
+        "n_b",
+        F.round(t, 6).cast("double").alias("t_r"),
+        F.round(df, 3).cast("double").alias("df_r"),
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+), r AS (
+  SELECT event_type, v,
+         RANK() OVER (ORDER BY v) AS rmin,
+         COUNT(*) OVER (PARTITION BY v) AS c
+  FROM s
+), agg AS (
+  SELECT
+    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN event_type = 'view' THEN 2 * rmin + (c - 1) ELSE 0 END) AS r2_a
+  FROM r
+), ties AS (
+  SELECT SUM(c * c * c - c) AS tie_term
+  FROM (SELECT v, COUNT(*) AS c FROM s GROUP BY v)
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(round(
+         (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+            - CAST(n_a AS DOUBLE) * n_b / 2)
+           / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                  * ((n_a + n_b + 1)
+                     - CAST(tie_term AS DOUBLE)
+                       / ((n_a + n_b) * (n_a + n_b - 1)))), 6)
+         AS DOUBLE) AS z_r
+FROM agg, ties
+""",
+    doc="Mann-Whitney U rank-sum test between two event series with the "
+    "EXACT tie correction: average ranks come from min-rank + tie-count "
+    "(2*rank + c - 1 keeps the half-integers in integer space), the "
+    "tie term sums c^3 - c over the per-value histogram, and only the "
+    "final z is computed in double (identical operand order both "
+    "sides). Scale shape: Spark side NEVER sorts the raw rows — it "
+    "folds to the per-value histogram first (one shuffle on value), "
+    "then runs the cumulative min-rank window over that "
+    "distinct-values-sized table; the oracle deliberately uses the "
+    "naive all-rows RANK formulation, so a histogram-vs-rank "
+    "disagreement would hash-mismatch.",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select("event_type", F.col("value").cast(_DEC).alias("v"))
+    is_a = F.col("event_type") == "view"
+    h = s.groupBy("v").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("ca"),
+    )
+    cum = F.sum("c").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = h.select(
+        "v",
+        "c",
+        "ca",
+        (cum - F.col("c") + 1).alias("rmin"),
+    )
+    agg = r.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("rmin") + (F.col("c") - 1))
+        ).alias("r2_a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    j = agg
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u2_a = F.col("r2_a") - n_a * (n_a + 1)
+    n = n_a + n_b
+    z = (
+        u2_a.cast("double") / 2 - n_a.cast("double") * n_b / 2
+    ) / F.sqrt(
+        n_a.cast("double")
+        * n_b
+        / 12
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        F.round(z, 6).cast("double").alias("z_r"),
+    )
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+), t AS (SELECT SUM(n_obs) AS n_total FROM c)
+SELECT digit, n_obs,
+       CAST(round(CAST(n_obs AS DOUBLE) / n_total, 6) AS DOUBLE) AS p_obs,
+       CAST(round(log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS DOUBLE) AS p_benford
+FROM c, t
+ORDER BY digit
+""",
+    doc="Benford's-law first-digit profile of order totals — the "
+    "classic fraud/data-quality screen. The leading significant digit "
+    "is extracted from the DECIMAL's canonical string form (identical "
+    "text on both engines; no float log10 on data values, which would "
+    "be ULP-fragile at power-of-ten boundaries), then observed shares "
+    "vs log10(1+1/d) expectations. Scale shape: map-side digit "
+    "projection + a 9-group aggregate with the 1-row total broadcast "
+    "back — a single-scan, constant-output profile at any corpus size.",
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.col("o_totalprice").cast(_DEC).cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("n_total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6)
+            .cast("double")
+            .alias("p_obs"),
+            F.round(F.log10(1 + F.lit(1.0) / F.col("digit")), 6)
+            .cast("double")
+            .alias("p_benford"),
+        )
+        .orderBy("digit")
+    )

@@ -1312,3 +1312,95 @@ def ts_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_len",
         )
     )
+
+
+@register(
+    "ts_rolling_corr",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sv
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), xy AS (
+  SELECT c.bucket_epoch, c.sv AS x, p.sv AS y
+  FROM (SELECT * FROM b WHERE event_type = 'click') c
+  JOIN (SELECT * FROM b WHERE event_type = 'purchase') p USING (bucket_epoch)
+), w AS (
+  SELECT bucket_epoch,
+         COUNT(*)  OVER win AS n,
+         SUM(x)    OVER win AS sx,
+         SUM(y)    OVER win AS sy,
+         SUM(x*x)  OVER win AS sxx,
+         SUM(y*y)  OVER win AS syy,
+         SUM(x*y)  OVER win AS sxy
+  FROM xy
+  WINDOW win AS (ORDER BY bucket_epoch ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT bucket_epoch,
+       CAST(round(
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS DOUBLE) AS corr_r
+FROM w WHERE n = 24
+""",
+    doc="rolling 24-bucket (6-hour) Pearson correlation between the "
+    "click and purchase per-bucket volume series — the co-movement "
+    "screen behind metric-drift alerting. All six rolling moments are "
+    "EXACT decimal window sums (order-insensitive within the frame), "
+    "with only the final correlation computed in double via the same "
+    "operand order on both engines. Scale shape: the raw stream folds "
+    "to per-bucket sums first (one partial-agg exchange); every window "
+    "after that runs over the BUCKET table (range/bucket-count-sized, "
+    "~2.9k rows/month regardless of event volume), so the unpartitioned "
+    "ordered frame never touches data-sized input.",
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+        & F.col("event_type").isin("click", "purchase")
+    )
+    bucket = F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S
+    b = (
+        ev.select(
+            "event_type",
+            bucket.alias("bucket_epoch"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("sv"))
+    )
+    c = b.where(F.col("event_type") == "click").select(
+        "bucket_epoch", F.col("sv").alias("x")
+    )
+    p = b.where(F.col("event_type") == "purchase").select(
+        "bucket_epoch", F.col("sv").alias("y")
+    )
+    xy = c.join(p, "bucket_epoch")
+    win = Window.orderBy("bucket_epoch").rowsBetween(-23, 0)
+    x, y = F.col("x"), F.col("y")
+    w = xy.select(
+        "bucket_epoch",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(x).over(win).alias("sx"),
+        F.sum(y).over(win).alias("sy"),
+        F.sum(x * x).over(win).alias("sxx"),
+        F.sum(y * y).over(win).alias("syy"),
+        F.sum(x * y).over(win).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return w.where(n == 24).select(
+        "bucket_epoch",
+        F.round(corr, 6).cast("double").alias("corr_r"),
+    )

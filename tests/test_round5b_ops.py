@@ -1,0 +1,145 @@
+"""Independent-recomputation tests for the round-5 second-wave operators:
+hypothesis-test statistics, Benford profiling, rolling correlation, and
+degree assortativity. Each test recomputes the statistic from raw data
+with numpy/pandas (a different engine and reduction order than both the
+Spark implementation and the DuckDB oracle) and checks agreement to
+float tolerance — so all three formulations must agree for green.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from hive_export_spark.sources import load_table
+
+
+def _values(spark, sf_dir, etype):
+    df = load_table(spark, "events", sf_dir).where(f"event_type = '{etype}'")
+    return np.array(
+        [round(r.value, 2) for r in df.select("value").collect()], dtype=float
+    )
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_welch_ttest
+
+    a = _values(spark, sf_dir, "click")
+    b = _values(spark, sf_dir, "error")
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    df_ws = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    row = stats_welch_ttest(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.t_r - t) < 1e-5
+    assert abs(row.df_r - df_ws) < 1e-2
+
+
+def test_mann_whitney_matches_scipy_convention(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_mann_whitney_u
+
+    a = _values(spark, sf_dir, "view")
+    b = _values(spark, sf_dir, "purchase")
+    combined = np.concatenate([a, b])
+    # average ranks with ties (1-based), scipy.stats.rankdata semantics
+    order = combined.argsort(kind="mergesort")
+    ranks = np.empty(len(combined))
+    sorted_v = combined[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    r_a = ranks[: len(a)].sum()
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    row = stats_mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.u2_a == int(round(2 * u_a))
+    # z under the normal approximation with tie correction
+    n = len(combined)
+    _, counts = np.unique(combined, return_counts=True)
+    tie = float((counts**3 - counts).sum())
+    sigma2 = len(a) * len(b) / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - len(a) * len(b) / 2.0) / math.sqrt(sigma2)
+    assert abs(row.z_r - z) < 1e-5
+
+
+def test_benford_digits_partition_and_expectations(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_benford_first_digit
+
+    rows = stats_benford_first_digit(spark, sf_dir).collect()
+    n_orders = load_table(spark, "orders", sf_dir).where(
+        "o_totalprice > 0"
+    ).count()
+    assert sum(r.n_obs for r in rows) == n_orders  # digits partition rows
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert abs(r.p_benford - math.log10(1 + 1 / r.digit)) < 1e-6
+        assert abs(r.p_obs - r.n_obs / n_orders) < 1e-6
+
+
+def test_rolling_corr_matches_pandas(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_rolling_corr
+
+    got = {
+        r.bucket_epoch: r.corr_r
+        for r in ts_rolling_corr(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where("event_type in ('click','purchase')")
+        .selectExpr(
+            "event_type",
+            "cast(floor(unix_timestamp(ts) / 900) * 900 as long) as b",
+            "cast(value as decimal(12,2)) as v",
+        )
+        .where("ts >= '2024-01-01' and ts < '2024-01-31'")
+        .toPandas()
+    )
+    piv = (
+        ev.pivot_table(index="b", columns="event_type", values="v", aggfunc="sum")
+        .dropna()
+        .astype(float)
+        .sort_index()
+    )
+    roll = piv["click"].rolling(24).corr(piv["purchase"])
+    for epoch, corr in got.items():
+        assert abs(corr - roll.loc[epoch]) < 1e-5
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    from hive_export_spark.operators.graph import cooccurrence_edges
+    from hive_export_spark.queries.analytics_queries import (
+        graph_degree_assortativity,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = [
+        (r.u, r.v)
+        for r in cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_support=2
+        ).collect()
+    ]
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    du = np.array(
+        [deg[u] for u, v in edges] + [deg[v] for u, v in edges], dtype=float
+    )
+    dv = np.array(
+        [deg[v] for u, v in edges] + [deg[u] for u, v in edges], dtype=float
+    )
+    expected = np.corrcoef(du, dv)[0, 1]
+    row = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(deg)
+    assert abs(row.assortativity_r - expected) < 1e-5
