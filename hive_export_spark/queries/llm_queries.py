@@ -1933,3 +1933,140 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored_sigs, new, d, "text", "doc_id", num_hashes=64, bands=16,
         threshold=0.8,
     )
+
+
+@register(
+    "llm_boilerplate_chunk_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i*5+1 : i*5+5], ' ') AS ch
+  FROM t, unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS u(i)
+), bp AS (
+  SELECT ch FROM c GROUP BY ch HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE bp.ch IS NULL) AS BIGINT) AS n_kept,
+       coalesce(string_agg(c.ch, ' ' ORDER BY c.i)
+                  FILTER (WHERE bp.ch IS NULL), '') AS clean_text
+FROM c LEFT JOIN bp ON c.ch = bp.ch
+GROUP BY c.doc_id
+""",
+    doc="cross-document boilerplate removal — the C4/CCNet-style "
+    "pipeline stage that strips navigation chrome, cookie banners and "
+    "license headers shared across pages: documents split into "
+    "5-token chunks, any chunk text occurring in >= 2 DISTINCT "
+    "documents is declared boilerplate corpus-wide, and each document "
+    "is reassembled from its surviving chunks in order. Scale shape: "
+    "explode is linear in corpus tokens; the boilerplate table is a "
+    "chunk-hash aggregate (one shuffle) that at real scale is tiny "
+    "relative to the corpus and broadcast into the pruning join; "
+    "reassembly is a per-doc grouped sort over each doc's own chunks "
+    "only. No Python anywhere.",
+)
+def llm_boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    size = 5
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(size))).cast("long")
+    t = d.select("doc_id", toks.alias("__toks"), n_chunks.alias("__nc"))
+    c = t.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice(F.col("__toks"), (F.col("i") * size + 1).cast("int"), size),
+            " ",
+        ).alias("ch"),
+    )
+    bp = (
+        c.groupBy("ch")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("ch", F.lit(True).alias("__bp"))
+    )
+    marked = c.join(F.broadcast(bp), "ch", "left")
+    kept = F.col("__bp").isNull()
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("i"), F.col("ch")))
+                        )
+                    ),
+                    lambda s: s.ch,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+    FROM w GROUP BY word
+  ) WHERE rk <= 10
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.word IS NOT NULL) AS BIGINT) AS n_in_vocab,
+       CAST(round(CAST(COUNT(*) FILTER (WHERE v.word IS NOT NULL) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS coverage_r
+FROM w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY w.doc_id
+""",
+    doc="tokenizer-vocabulary coverage audit: build the top-K corpus "
+    "vocabulary (count-desc, word-asc ROW_NUMBER — a total order, so "
+    "the cutoff is deterministic on ties in both engines), then score "
+    "each document by the fraction of its tokens inside the "
+    "vocabulary — the screen for how much of a corpus a fixed "
+    "tokenizer/vocab actually covers, and the flip side of OOV-rate "
+    "monitoring. Scale shape: one word-count aggregation, a "
+    "vocabulary-sized (K-row) broadcast join onto the exploded token "
+    "stream, one per-doc aggregate; the full sort only ever runs over "
+    "the distinct-word table.",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = d.select("doc_id", F.explode(F.split(norm, " ")).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counts.select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .select("word", F.lit(True).alias("__v"))
+    )
+    j = w.join(F.broadcast(vocab), "word", "left")
+    hit = F.col("__v").isNotNull()
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_in_vocab"),
+        F.round(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        )
+        .cast("double")
+        .alias("coverage_r"),
+    )

@@ -143,3 +143,96 @@ def test_assortativity_matches_numpy(spark, sf_dir):
     assert row.n_edges == len(edges)
     assert row.n_nodes == len(deg)
     assert abs(row.assortativity_r - expected) < 1e-5
+
+
+def test_boilerplate_chunk_dedup_matches_python(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_boilerplate_chunk_dedup
+
+    import re
+
+    docs = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.strip().lower())
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    chunks: dict[int, list[str]] = {}
+    from collections import defaultdict
+
+    docs_per_chunk: dict[str, set[int]] = defaultdict(set)
+    for did, text in docs.items():
+        toks = text.split(" ")
+        cs = [" ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)]
+        chunks[did] = cs
+        for c in cs:
+            docs_per_chunk[c].add(did)
+    boiler = {c for c, ds in docs_per_chunk.items() if len(ds) >= 2}
+    rows = {r.doc_id: r for r in llm_boilerplate_chunk_dedup(spark, sf_dir).collect()}
+    assert set(rows) == set(docs)
+    removed_any = False
+    for did, cs in chunks.items():
+        kept = [c for c in cs if c not in boiler]
+        r = rows[did]
+        assert r.n_chunks == len(cs)
+        assert r.n_kept == len(kept)
+        assert r.clean_text == " ".join(kept)
+        removed_any |= len(kept) < len(cs)
+    assert removed_any  # the corpus actually contains shared chunks
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_vocab_coverage
+
+    import re
+    from collections import Counter
+
+    docs = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.strip().lower()).split(" ")
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    counts = Counter(w for toks in docs.values() for w in toks)
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    }
+    for r in llm_vocab_coverage(spark, sf_dir).collect():
+        toks = docs[r.doc_id]
+        hits = sum(1 for w in toks if w in vocab)
+        assert (r.n_tokens, r.n_in_vocab) == (len(toks), hits)
+        assert abs(r.coverage_r - hits / len(toks)) < 1e-6
+        assert 0.0 <= r.coverage_r <= 1.0
+
+
+def test_interval_family_calendar_semantics(spark, sf_dir):
+    from datetime import date
+
+    from hive_export_spark.queries.function_queries import fn_interval_family
+
+    def add_months(d: date, n: int) -> date:
+        y, m = divmod(d.month - 1 + n, 12)
+        y += d.year
+        m += 1
+        # clamp to month end
+        for day in (d.day, 30, 29, 28):
+            try:
+                return date(y, m, day)
+            except ValueError:
+                continue
+        raise AssertionError
+
+    sample = fn_interval_family(spark, sf_dir).limit(500).collect()
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    assert sample
+    for r in sample:
+        d = orders[r.o_orderkey]
+        if hasattr(d, "date"):
+            d = d.date()
+        assert r.plus_3mo == add_months(d, 3)
+        assert (d - r.minus_45d).days == 45
+        assert r.month_end.month == d.month and r.month_end >= d
+        assert add_months(r.month_end, 1).day >= 28
+        assert 0 <= r.days_left_in_month <= 30
+        assert r.mid_month == date(d.year, d.month, 15)
+        assert r.weeks_since_92 == (d - date(1992, 1, 1)).days // 7
