@@ -2070,3 +2070,54 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("coverage_r"),
     )
+
+
+@register(
+    "llm_frame_sample_plan",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         GREATEST(octet_length(encode(text)) % 100, 1) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(slot AS INTEGER) AS slot,
+       CAST(CASE WHEN n_frames > 1
+                 THEN floor(slot * (n_frames - 1) / 7.0)
+                 ELSE 0 END AS INTEGER) AS frame_idx
+FROM media, unnest(range(0, 8)) AS u(slot)
+""",
+    doc="uniform video-frame sampling plan: for every video asset, the "
+    "8 frame indices an extractor should decode — endpoints included, "
+    "floor(slot*(n-1)/7) spacing, degenerate single-frame clips pinned "
+    "to frame 0. The Spark side gets n_frames by REALLY parsing the "
+    "MJPEG container headers (documents_as_real_media -> "
+    "parse_media_header in Arrow mapInPandas — the same decode seam a "
+    "real ffmpeg-backed extractor plugs into), then derives the plan "
+    "natively; the oracle recomputes frame counts arithmetically from "
+    "the fixture construction. Scale shape: header parse reads only "
+    "leading bytes per asset, the plan explode is 8 rows per video, "
+    "zero shuffles.",
+)
+def llm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    media = multimodal.documents_as_real_media(d)
+    feats = multimodal.extract_media_features(media)
+    v = feats.where(F.col("media_type") == "video").select(
+        "media_id", F.col("n_frames").cast("int").alias("n_frames")
+    )
+    ex = v.select(
+        "media_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"),
+    )
+    idx = F.when(
+        F.col("n_frames") > 1,
+        F.floor(F.col("slot") * (F.col("n_frames") - 1) / 7.0),
+    ).otherwise(0)
+    return ex.select(
+        "media_id",
+        "n_frames",
+        F.col("slot").cast("int").alias("slot"),
+        idx.cast("int").alias("frame_idx"),
+    )

@@ -1434,3 +1434,78 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "stats_winsorize",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+), h AS (
+  SELECT event_type, v, COUNT(*) AS c FROM s GROUP BY event_type, v
+), w AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), q AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= floor(0.05 * (n - 1)) + 1 THEN v END) AS p05,
+         MIN(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN v END) AS p95
+  FROM w GROUP BY event_type
+)
+SELECT s.event_id, s.event_type,
+       CAST(s.v AS DOUBLE) AS value_r,
+       CAST(least(greatest(s.v, q.p05), q.p95) AS DOUBLE) AS winsorized_r,
+       CAST(s.v <> least(greatest(s.v, q.p05), q.p95) AS BOOLEAN) AS clipped
+FROM s JOIN q USING (event_type)
+""",
+    doc="per-series winsorization at the exact discrete p05/p95 — the "
+    "outlier-clipping step in front of fragile downstream estimators. "
+    "The quantile is PINNED to one convention on both engines (0-based "
+    "index floor(q*(n-1)) into the sorted multiset, realized as the "
+    "least value whose cumulative count reaches the index — the "
+    "ROW_NUMBER-style middle-element pick the round-4 advice "
+    "prescribed for discrete quantiles, so no engine quantile-rank "
+    "convention is trusted). Scale shape: the sort runs over the "
+    "per-(series, value) HISTOGRAM, not the raw rows; the 5-row "
+    "quantile table broadcasts back onto the stream for a map-only "
+    "clip pass.",
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "event_id", "event_type", F.col("value").cast(_DEC).alias("v")
+    )
+    h = s.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    w = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    q = w.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(0.05 * (F.col("n") - 1)) + 1, F.col("v")
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(0.95 * (F.col("n") - 1)) + 1, F.col("v")
+            )
+        ).alias("p95"),
+    )
+    clip = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+    return s.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").cast("double").alias("value_r"),
+        clip.cast("double").alias("winsorized_r"),
+        (F.col("v") != clip).alias("clipped"),
+    )

@@ -1404,3 +1404,57 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_epoch",
         F.round(corr, 6).cast("double").alias("corr_r"),
     )
+
+
+@register(
+    "ts_markov_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+       CAST(round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS DOUBLE) AS p_r
+FROM pairs p JOIN tot t USING (prev_type)
+""",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: LAG within each user's (ts, event_id)-ordered stream "
+    "(the id tiebreak makes the order total, hence deterministic on "
+    "both engines), pair counts, and row-normalized transition "
+    "probabilities — the product-analytics building block behind "
+    "next-action prediction and session modeling. Scale shape: one "
+    "shuffle to partition by user (windows stay user-local — no global "
+    "sort), then the pair aggregate folds to a "
+    "|event types|^2-row matrix; the row-total join is a broadcast "
+    "of a type-cardinality table.",
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        o.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6)
+        .cast("double")
+        .alias("p_r"),
+    )

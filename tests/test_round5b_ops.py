@@ -236,3 +236,72 @@ def test_interval_family_calendar_semantics(spark, sf_dir):
         assert 0 <= r.days_left_in_month <= 30
         assert r.mid_month == date(d.year, d.month, 15)
         assert r.weeks_since_92 == (d - date(1992, 1, 1)).days // 7
+
+
+def test_markov_transitions_match_pandas(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_markov_transitions
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    from collections import Counter
+
+    pairs = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp.event_type)
+        pairs.update(zip(types, types[1:]))
+    rows = ts_markov_transitions(spark, sf_dir).collect()
+    got = {(r.prev_type, r.next_type): r for r in rows}
+    assert {k: v for k, v in pairs.items()} == {
+        k: r.n for k, r in got.items()
+    }
+    # probabilities row-normalize
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r.prev_type] += r.p_r
+    for s in by_prev.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_winsorize_matches_numpy(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_winsorize
+
+    rows = stats_winsorize(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        vals = np.sort(np.array([r.value_r for r in rs]))
+        n = len(vals)
+        p05 = vals[int(math.floor(0.05 * (n - 1)))]
+        p95 = vals[int(math.floor(0.95 * (n - 1)))]
+        for r in rs:
+            expect = min(max(r.value_r, p05), p95)
+            assert abs(r.winsorized_r - expect) < 1e-9
+            assert r.clipped == (expect != r.value_r)
+        assert any(r.clipped for r in rs)  # tails exist
+
+
+def test_frame_sample_plan_shape(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_frame_sample_plan
+
+    rows = llm_frame_sample_plan(spark, sf_dir).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert by_media
+    for mid, rs in by_media.items():
+        assert mid % 3 == 2  # only videos
+        assert sorted(r.slot for r in rs) == list(range(8))
+        rs.sort(key=lambda r: r.slot)
+        nf = rs[0].n_frames
+        idxs = [r.frame_idx for r in rs]
+        assert idxs == sorted(idxs)
+        assert idxs[0] == 0
+        assert idxs[-1] == (nf - 1 if nf > 1 else 0)
+        assert all(0 <= i < max(nf, 1) for i in idxs)
