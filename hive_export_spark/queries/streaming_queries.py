@@ -827,3 +827,97 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+SELECT o_orderkey, o_orderstatus AS status
+FROM orders WHERE o_orderkey % 97 <> 0
+""",
+    doc="streaming CDC apply — the MERGE-into-keyed-table pattern "
+    "(Delta/Hudi upsert semantics) on plain parquet via versioned "
+    "snapshots: a 3-wave changelog (seq 1 INSERT every key with status "
+    "'O', seq 2 UPDATE keys whose true status differs, seq 3 DELETE "
+    "keys divisible by 97) is streamed file-per-micro-batch "
+    "(maxFilesPerTrigger=1, availableNow), and each foreachBatch "
+    "merges batch rows into the previous snapshot with max-seq-wins "
+    "per key, writing a NEW immutable snapshot version per batch "
+    "(never read-and-overwrite in place — the transaction-log trick "
+    "that makes the merge restart-safe). Deletes persist as tombstones "
+    "inside snapshots so late-arriving lower-seq rows can never "
+    "resurrect a key across batch boundaries; they are filtered only "
+    "at final read. The merge is batch-boundary-invariant, so the "
+    "oracle is simply the changelog's fixed point computed from "
+    "orders. Scale shape: each merge is one key-partitioned "
+    "max_by aggregation over state+batch — at real scale state would "
+    "be bucketed by key so the merge co-partitions without reshuffling "
+    "state.",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.queries.connector_queries import scratch_dir
+
+    base = scratch_dir("stream_cdc_apply")
+    src, ckpt, state = f"{base}/chg", f"{base}/ckpt", f"{base}/state"
+    for p in (src, ckpt, state):
+        shutil.rmtree(p, ignore_errors=True)
+
+    orders = load_table(spark, "orders", sf_dir)
+    waves = [
+        orders.select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.lit("O").alias("status"),
+        ),
+        orders.where(F.col("o_orderstatus") != "O").select(
+            "o_orderkey",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+        ),
+        orders.where(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+        ),
+    ]
+    # one file per wave -> one micro-batch per wave under maxFilesPerTrigger
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(src)
+
+    versions: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = batch_df.select("o_orderkey", "seq", "op", "status")
+        if versions:
+            cur = s.read.parquet(versions[-1]).unionByName(cur)
+        merged = cur.groupBy("o_orderkey").agg(
+            F.max_by(F.struct("seq", "op", "status"), F.col("seq")).alias("r")
+        ).select(
+            "o_orderkey",
+            F.col("r.seq").alias("seq"),
+            F.col("r.op").alias("op"),
+            F.col("r.status").alias("status"),
+        )
+        v = f"{state}/v{batch_id:05d}"
+        merged.write.mode("overwrite").parquet(v)
+        versions.append(v)
+
+    q = (
+        spark.readStream.schema(
+            "o_orderkey long, seq int, op string, status string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(versions) >= 2, "expected multiple micro-batches"
+    final = spark.read.parquet(versions[-1])
+    return final.where(F.col("op") != "D").select("o_orderkey", "status")

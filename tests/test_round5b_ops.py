@@ -305,3 +305,21 @@ def test_frame_sample_plan_shape(spark, sf_dir):
         assert idxs[0] == 0
         assert idxs[-1] == (nf - 1 if nf > 1 else 0)
         assert all(0 <= i < max(nf, 1) for i in idxs)
+
+
+def test_stream_cdc_apply_semantics(spark, sf_dir):
+    from hive_export_spark.queries.streaming_queries import stream_cdc_apply
+
+    rows = {r.o_orderkey: r.status for r in stream_cdc_apply(spark, sf_dir).collect()}
+    orders = {
+        r.o_orderkey: r.o_orderstatus
+        for r in load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    }
+    deleted = {k for k in orders if k % 97 == 0}
+    assert deleted, "fixture should contain deletable keys"
+    assert set(rows) == set(orders) - deleted  # deletes applied, nothing lost
+    for k, status in rows.items():
+        assert status == orders[k]  # updates won over the seq-1 insert
+    assert any(v != "O" for v in rows.values())  # updates actually occurred
