@@ -10,6 +10,8 @@ both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1508,4 +1510,160 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("value_r"),
         clip.cast("double").alias("winsorized_r"),
         (F.col("v") != clip).alias("clipped"),
+    )
+
+
+_BOOT_B = 50  # bootstrap resamples
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events
+), idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+), grp AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n FROM idx GROUP BY event_type
+), draws AS (
+  SELECT g.event_type, g.n, b.b, j.j,
+         ((((g.n * 0 + b.b * 2654435761 + j.j * 40503 + 986419) % 4294967296)
+            * 69069 + 12345) % 4294967296 * 69069 + 12345) % 4294967296 % g.n AS r
+  FROM grp g,
+       unnest(range(1, {_BOOT_B} + 1)) AS b(b),
+       LATERAL (SELECT unnest(range(0, g.n)) AS j) AS j
+), means AS (
+  SELECT d.event_type, d.b,
+         CAST(SUM(i.v) AS DOUBLE) / MAX(d.n) AS mean_b
+  FROM draws d JOIN idx i ON d.event_type = i.event_type AND d.r = i.i
+  GROUP BY d.event_type, d.b
+), ranked AS (
+  SELECT event_type, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn
+  FROM means
+), ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = 1 + CAST(floor(0.025 * ({_BOOT_B} - 1)) AS BIGINT)
+                  THEN mean_b END) AS lo,
+         MAX(CASE WHEN rn = 1 + CAST(floor(0.975 * ({_BOOT_B} - 1)) AS BIGINT)
+                  THEN mean_b END) AS hi
+  FROM ranked GROUP BY event_type
+), pt AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM s GROUP BY event_type
+)
+SELECT p.event_type, g.n,
+       CAST(round(p.mean_v, 6) AS DOUBLE) AS mean_r,
+       CAST(round(c.lo, 6) AS DOUBLE) AS ci_lo_r,
+       CAST(round(c.hi, 6) AS DOUBLE) AS ci_hi_r
+FROM pt p JOIN ci c USING (event_type) JOIN grp g USING (event_type)
+""",
+    doc="distributed bootstrap 95% CI for the per-series mean with "
+    "ENGINE-INDEPENDENT resampling: draw j of resample b picks sorted "
+    "index LCG(b, j) mod n, where the LCG is two rounds of the classic "
+    "69069 mod 2^32 generator seeded from (b, j) in pure 64-bit-safe "
+    "integer arithmetic — both engines draw bit-identical samples, so "
+    "the whole Monte-Carlo procedure is hash-checkable (no RNG trust, "
+    "no tolerance oracle). Resample means come from exact decimal "
+    "sums; CI endpoints use the pinned floor(q*(B-1)) discrete "
+    "quantile over the B means. Scale shape: the B*n draw table is "
+    "generated, joined to the rank-indexed values on (series, index), "
+    "and folded per (series, resample) — embarrassingly parallel in "
+    "B; the only data-sized sort is the per-series rank assignment, a "
+    "range-partitioned sort at real scale.",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _BOOT_B
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "event_type", "event_id", F.col("value").cast(_DEC).alias("v")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("v", "event_id")
+    w_all = Window.partitionBy("event_type")
+    idx = s.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w_rank) - 1).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    grp = idx.groupBy("event_type").agg(F.max("n").cast("long").alias("n"))
+    draws = (
+        grp.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "b",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n") - 1)
+            ).alias("j"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "b",
+            (
+                (
+                    (
+                        (
+                            F.col("b") * F.lit(2654435761).cast("long")
+                            + F.col("j") * 40503
+                            + 986419
+                        )
+                        % F.lit(4294967296).cast("long")
+                        * 69069
+                        + 12345
+                    )
+                    % F.lit(4294967296).cast("long")
+                    * 69069
+                    + 12345
+                )
+                % F.lit(4294967296).cast("long")
+                % F.col("n")
+            ).alias("r"),
+        )
+    )
+    lookup = idx.select(
+        F.col("event_type").alias("lk_type"),
+        F.col("i").alias("lk_i"),
+        "v",
+    )
+    means = (
+        draws.join(
+            lookup,
+            (draws["event_type"] == lookup["lk_type"])
+            & (draws["r"] == lookup["lk_i"]),
+        )
+        .groupBy("event_type", "b")
+        .agg((F.sum("v").cast("double") / F.max("n")).alias("mean_b"))
+    )
+    w_m = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = means.select(
+        "event_type", "mean_b", F.row_number().over(w_m).alias("rn")
+    )
+    lo_rn = 1 + int(math.floor(0.025 * (B - 1)))
+    hi_rn = 1 + int(math.floor(0.975 * (B - 1)))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("mean_b"))).alias("hi"),
+    )
+    pt = s.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_v")
+    )
+    return (
+        pt.join(ci, "event_type")
+        .join(F.broadcast(grp), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("mean_v", 6).cast("double").alias("mean_r"),
+            F.round("lo", 6).cast("double").alias("ci_lo_r"),
+            F.round("hi", 6).cast("double").alias("ci_hi_r"),
+        )
     )

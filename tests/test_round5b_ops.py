@@ -323,3 +323,31 @@ def test_stream_cdc_apply_semantics(spark, sf_dir):
     for k, status in rows.items():
         assert status == orders[k]  # updates won over the seq-1 insert
     assert any(v != "O" for v in rows.values())  # updates actually occurred
+
+
+def test_bootstrap_ci_statistical_sanity(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_bootstrap_ci
+
+    rows = stats_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a bootstrap CI for the mean must bracket the point estimate and
+        # be non-degenerate but far narrower than the data range
+        assert r.ci_lo_r <= r.mean_r <= r.ci_hi_r
+        assert r.ci_lo_r < r.ci_hi_r
+        width = r.ci_hi_r - r.ci_lo_r
+        # CLT scale check: width should be within an order of magnitude of
+        # 4*sigma/sqrt(n) (sigma unknown here; bound loosely by mean size)
+        assert width < abs(r.mean_r) + 1.0
+
+
+def test_bootstrap_lcg_is_engine_portable():
+    # the two-round 69069 LCG stays inside int64 for every (b, j) the
+    # query can generate (B<=50, j<=10^7): no silent overflow divergence
+    B, jmax = 50, 10**7
+    for b in (1, B):
+        for j in (0, jmax):
+            x = (b * 2654435761 + j * 40503 + 986419) % 4294967296
+            assert x * 69069 + 12345 < 2**63
+            x = (x * 69069 + 12345) % 4294967296
+            assert x * 69069 + 12345 < 2**63
