@@ -563,3 +563,79 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         F.round(r, 6).cast("double").alias("assortativity_r"),
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+@register(
+    "graph_kcore_peel",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+d0 AS (SELECT x, COUNT(*) AS d FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+k1 AS (SELECT x FROM d0 WHERE d >= 3),
+e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT x FROM k1) AND v IN (SELECT x FROM k1)),
+d1 AS (SELECT x, COUNT(*) AS d FROM (SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1) GROUP BY x),
+k2 AS (SELECT x FROM d1 WHERE d >= 3),
+e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT x FROM k2) AND v IN (SELECT x FROM k2)),
+d2 AS (SELECT x, COUNT(*) AS d FROM (SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY x),
+k3 AS (SELECT x FROM d2 WHERE d >= 3),
+e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT x FROM k3) AND v IN (SELECT x FROM k3)),
+d3 AS (SELECT x, COUNT(*) AS d FROM (SELECT u AS x FROM e3 UNION ALL SELECT v FROM e3) GROUP BY x),
+k4 AS (SELECT x FROM d3 WHERE d >= 3),
+e4 AS (SELECT u, v FROM e3 WHERE u IN (SELECT x FROM k4) AND v IN (SELECT x FROM k4))
+SELECT 1 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM k2), (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+UNION ALL
+SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM k3), (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+UNION ALL
+SELECT 4, (SELECT CAST(COUNT(*) AS BIGINT) FROM k4), (SELECT CAST(COUNT(*) AS BIGINT) FROM e4)
+""",
+    doc="k-core peeling (k=3, 4 synchronized rounds) on the part "
+    "co-purchase graph: each round recomputes degrees and drops nodes "
+    "below k, restricting the edge set to survivors — the classic "
+    "community-density screen and the standard preprocessing cut "
+    "before expensive graph algorithms. The FULL per-round trajectory "
+    "(node and edge counts after every round) is pinned, so an "
+    "off-by-one in the peel order or a round of drift hash-mismatches. "
+    "Spark runs the rounds as a driver loop over DataFrames "
+    "(degree agg + semi-joins per round, localCheckpoint between "
+    "rounds to cut lineage); the oracle unrolls the same rounds as "
+    "CTEs. Scale shape per round: one degree aggregation and two "
+    "semi-joins against a shrinking survivor set — frontier-sized "
+    "work, never |V|^2; fixed round count bounds the plan depth.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    e = edges.select("u", "v").localCheckpoint()
+    stats = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        nodes = e.select(F.col("u").alias("x")).unionAll(
+            e.select(F.col("v").alias("x"))
+        )
+        keep = (
+            nodes.groupBy("x")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("x")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nodes = keep.count()
+        n_edges = e.count()
+        stats.append((rnd, n_nodes, n_edges))
+    return spark.createDataFrame(
+        stats, "round int, n_nodes long, n_edges long"
+    )

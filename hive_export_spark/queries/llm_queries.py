@@ -2121,3 +2121,87 @@ def llm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").cast("int").alias("slot"),
         idx.cast("int").alias("frame_idx"),
     )
+
+
+@register(
+    "llm_source_overlap_matrix",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         array_to_string(toks[i+1 : i+5], ' ') AS g
+  FROM t, unnest(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)
+), sz AS (
+  SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(round(CAST(p.shared AS DOUBLE)
+                  / (za.n_sh + zb.n_sh - p.shared), 6) AS DOUBLE) AS jaccard_r
+FROM pairs p
+JOIN sz za ON p.src_a = za.source
+JOIN sz zb ON p.src_b = zb.source
+""",
+    doc="pairwise source-overlap matrix: distinct 5-gram shingle sets "
+    "per source, equi-joined on the shingle to count shared n-grams "
+    "per source pair, with set-Jaccard — the cross-dataset "
+    "contamination screen run before mixing corpora (is src7 a "
+    "re-crawl of src3?). Scale shape: the join is keyed on the SHINGLE "
+    "(an inverted-index equi-join — pairs only materialize where an "
+    "n-gram is actually shared), never a source×source cross join; "
+    "per-shingle fan-out is bounded by source count, and the "
+    "per-source size table is broadcast for the Jaccard denominator. "
+    "Only pairs with >= 1 shared shingle appear — delta-sized output.",
+)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    t = d.select("source", toks.alias("__toks"))
+    n_sh = F.greatest(F.size("__toks") - 4, F.lit(0))
+    sh = (
+        t.where(n_sh > 0)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), n_sh - 1)).alias("i"),
+            "__toks",
+        )
+        .select(
+            "source",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("i") + 1, 5), " "
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard_r"),
+        )
+    )

@@ -2044,3 +2044,84 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_fc GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), b AS (
+  -- snapshot B: drop keys %13==0, flip status of keys %7==0, add shifted keys %11==0
+  SELECT k, CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status, price
+  FROM a WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k + 1000000000, status, price FROM a WHERE k % 11 = 0
+)
+SELECT coalesce(a.k, b.k) AS k,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       a.status AS status_a, b.status AS status_b
+FROM a FULL OUTER JOIN b USING (k)
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.status <> b.status OR a.price <> b.price
+""",
+    doc="snapshot diff — the table-compare primitive behind data "
+    "reconciliation, backfill audits and CDC validation: two keyed "
+    "snapshots full-outer-joined on the key, classifying every key as "
+    "added / removed / changed (any non-key column differing); "
+    "unchanged keys are filtered out so the output is "
+    "delta-sized, not table-sized. Snapshot B is derived "
+    "deterministically from orders (deletes %13, status flips %7, "
+    "inserts as key+1e9 for %11) so both engines diff identical "
+    "inputs. Scale shape: ONE co-partitioned shuffle join on the key "
+    "(bucketed tables would make it shuffle-free); the change "
+    "predicate evaluates row-local, no window, no collect.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    b = a.where(F.col("k") % 13 != 0).select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.lit("X")).otherwise(F.col("status")).alias(
+            "status"
+        ),
+        "price",
+    ).unionByName(
+        a.where(F.col("k") % 11 == 0).select(
+            (F.col("k") + 1000000000).alias("k"), "status", "price"
+        )
+    )
+    aa = a.select(
+        F.col("k").alias("ak"), F.col("status").alias("status_a"),
+        F.col("price").alias("price_a"),
+    )
+    bb = b.select(
+        F.col("k").alias("bk"), F.col("status").alias("status_b"),
+        F.col("price").alias("price_b"),
+    )
+    j = aa.join(bb, aa.ak == bb.bk, "full_outer")
+    added = F.col("ak").isNull()
+    removed = F.col("bk").isNull()
+    changed = (~added & ~removed) & (
+        (F.col("status_a") != F.col("status_b"))
+        | (F.col("price_a") != F.col("price_b"))
+    )
+    return (
+        j.where(added | removed | changed)
+        .select(
+            F.coalesce(F.col("ak"), F.col("bk")).alias("k"),
+            F.when(added, "added")
+            .when(removed, "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "status_a",
+            "status_b",
+        )
+    )

@@ -148,7 +148,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # scale_shuffle_hash_hint, agg_skew_kurtosis,
     # stats_gini_concentration, fn_printf_family, ts_flatline_runs,
     # stream_union_sources, graph_bfs_hops, llm_dedup_incremental,
-    # udf_window_pandas, window_ratio_to_report — all green
+    # udf_window_pandas, window_ratio_to_report, and the session-7 wave
+    # (stats_welch_ttest, stats_mann_whitney_u, stats_benford_first_digit,
+    # ts_rolling_corr, graph_degree_assortativity,
+    # llm_boilerplate_chunk_dedup, llm_vocab_coverage, fn_interval_family,
+    # ts_markov_transitions, stats_winsorize, llm_frame_sample_plan,
+    # stream_cdc_apply, stats_bootstrap_ci) — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).

@@ -351,3 +351,86 @@ def test_bootstrap_lcg_is_engine_portable():
             assert x * 69069 + 12345 < 2**63
             x = (x * 69069 + 12345) % 4294967296
             assert x * 69069 + 12345 < 2**63
+
+
+def test_kcore_trajectory_and_invariant(spark, sf_dir):
+    from hive_export_spark.operators.graph import cooccurrence_edges
+    from hive_export_spark.queries.analytics_queries import (
+        _KCORE_K,
+        graph_kcore_peel,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = [
+        (r.u, r.v)
+        for r in cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_support=2
+        ).collect()
+    ]
+    # python reference peel
+    e = set(edges)
+    traj = []
+    for _ in range(4):
+        deg: dict[int, int] = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {x for x, d in deg.items() if d >= _KCORE_K}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+        traj.append((len(keep), len(e)))
+    rows = sorted(graph_kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [(r.n_nodes, r.n_edges) for r in rows] == traj
+    # counts never increase across rounds
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+
+
+def test_snapshot_diff_classification(spark, sf_dir):
+    from hive_export_spark.queries.relational_queries import cdc_snapshot_diff
+
+    orders = {
+        r.o_orderkey: r.o_orderstatus
+        for r in load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    }
+    rows = cdc_snapshot_diff(spark, sf_dir).collect()
+    got = {r.k: r.change_type for r in rows}
+    for k, status in orders.items():
+        if k % 13 == 0:
+            assert got.get(k) == "removed"
+        elif k % 7 == 0 and status != "X":
+            assert got.get(k) == "changed"
+        else:
+            assert k not in got  # unchanged keys are excluded
+        if k % 11 == 0:
+            assert got.get(k + 1000000000) == "added"
+
+
+def test_source_overlap_matrix_matches_python(spark, sf_dir):
+    import re
+
+    from hive_export_spark.queries.llm_queries import llm_source_overlap_matrix
+
+    shingles: dict[str, set] = {}
+    for r in load_table(spark, "documents", sf_dir).collect():
+        toks = re.sub(r"\s+", " ", r.text.strip().lower()).split(" ")
+        s = shingles.setdefault(r.source, set())
+        for i in range(max(len(toks) - 4, 0)):
+            s.add(" ".join(toks[i : i + 5]))
+    expected = {}
+    srcs = sorted(shingles)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(shingles[a] & shingles[b])
+            if shared:
+                expected[(a, b)] = (
+                    shared,
+                    shared / len(shingles[a] | shingles[b]),
+                )
+    rows = llm_source_overlap_matrix(spark, sf_dir).collect()
+    got = {(r.src_a, r.src_b): (r.shared, r.jaccard_r) for r in rows}
+    assert set(got) == set(expected)
+    for k, (shared, j) in expected.items():
+        assert got[k][0] == shared
+        assert abs(got[k][1] - j) < 1e-6
