@@ -60,6 +60,13 @@ HEADLINE = [
     "graph_pagerank",
     # the custom connector's Arrow batch decode path (round-4 verdict ask)
     "source_export_blocks",
+    # session-10 heavy operators: corpus-wide chunk-hash boilerplate
+    # removal (explode + agg + reassembly), B*n-row deterministic
+    # bootstrap (the widest generated join in the repo), and the
+    # inverted-index source overlap matrix
+    "llm_boilerplate_chunk_dedup",
+    "stats_bootstrap_ci",
+    "llm_source_overlap_matrix",
 ]
 
 

@@ -2205,3 +2205,68 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_r"),
         )
     )
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+), f AS (
+  SELECT doc_id,
+         length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
+         length(norm) AS n_chars,
+         len(string_split(norm, ' ')) AS n_words,
+         len(list_filter(string_split(norm, ' '),
+             x -> x IN ('the','a','and','of','to'))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(2 * (1000000 * n_alpha // n_chars)
+            - (1000000 * n_stop // n_words)
+            + 10000 * least(n_words, 100) AS BIGINT) AS score_micro,
+       CAST(2 * (1000000 * n_alpha // n_chars)
+            - (1000000 * n_stop // n_words)
+            + 10000 * least(n_words, 100) > 2100000 AS BOOLEAN) AS keep
+FROM f
+""",
+    doc="linear quality-classifier scoring — the fasttext-style "
+    "keep/drop gate every pretraining pipeline runs, expressed so the "
+    "decision boundary is EXACT: features (alphabetic ratio, stopword "
+    "ratio, capped length) are quantized to integer micro-units with "
+    "floor division, the linear model's integer weights combine them "
+    "in int64, and the threshold compares integers — no sigmoid, no "
+    "float accumulation, so the kept SET is bit-stable across engines "
+    "and partitionings (a float-scored gate flips borderline docs "
+    "between runs). Scale shape: pure map-side projection, one scan, "
+    "no shuffle; the model upgrade path is swapping weight literals "
+    "for a broadcast weights table.",
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    t = d.select("doc_id", norm.alias("norm"))
+    toks = F.split(F.col("norm"), " ")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "and", "of", "to"),
+        )
+    )
+    f = t.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("norm"), "[^a-z]", "")).alias("n_alpha"),
+        F.length("norm").alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        stop.alias("n_stop"),
+    )
+    score = (
+        2 * F.expr("1000000 * n_alpha div n_chars")
+        - F.expr("1000000 * n_stop div n_words")
+        + 10000 * F.least(F.col("n_words"), F.lit(100))
+    ).cast("bigint")
+    return f.select(
+        "doc_id",
+        score.alias("score_micro"),
+        (score > 2100000).alias("keep"),
+    )

@@ -1458,3 +1458,181 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p_r"),
     )
+
+
+@register(
+    "ts_rolling_median",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_BUCKET_S}) * {_BUCKET_S} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_epoch,
+         list(v) OVER win AS frame_vals
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_epoch
+                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_epoch,
+       CAST(len(frame_vals) AS INTEGER) AS n_window,
+       CAST(list_sort(frame_vals)[CAST(floor((len(frame_vals) - 1) / 2) AS BIGINT) + 1]
+            AS DOUBLE) AS median_r
+FROM w WHERE len(frame_vals) = 15
+""",
+    doc="rolling exact median (15-bucket frame) per series — the robust "
+    "denoiser a spiky operational series needs where a rolling mean "
+    "chases outliers. No engine median() is trusted: the frame is "
+    "collected, sorted, and indexed with the pinned lower-middle "
+    "convention floor((n-1)/2) on BOTH engines, over exact decimal "
+    "bucket sums, so tied and even-count frames are deterministic. "
+    "Scale shape: the frame collect runs over the per-series BUCKET "
+    "table (bucket-count-sized, never raw events) with a constant "
+    "15-element frame — O(w log w) per bucket, series-partitioned, no "
+    "global sort.",
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = F.floor(F.unix_timestamp("ts") / _BUCKET_S).cast("long") * _BUCKET_S
+    b = (
+        ev.select(
+            "event_type",
+            bucket.alias("bucket_epoch"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("bucket_epoch").rowsBetween(-14, 0)
+    )
+    w = b.select(
+        "event_type",
+        "bucket_epoch",
+        F.collect_list("v").over(win).alias("frame_vals"),
+    )
+    n = F.size("frame_vals")
+    med = F.element_at(
+        F.array_sort("frame_vals"),
+        (F.floor((n - 1) / 2) + 1).cast("int"),
+    )
+    return w.where(n == 15).select(
+        "event_type",
+        "bucket_epoch",
+        n.cast("int").alias("n_window"),
+        med.cast("double").alias("median_r"),
+    )
+
+
+_DECOMP_BUCKET = 3600
+
+
+@register(
+    "ts_decompose_additive",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {_DECOMP_BUCKET}) * {_DECOMP_BUCKET} AS BIGINT) AS bucket_epoch,
+         SUM(CAST(value AS DECIMAL(12,2))) AS v
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+  GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, bucket_epoch, v,
+         COUNT(*) OVER win AS n_tr,
+         SUM(v) OVER win AS s_tr
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_epoch
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), dt AS (
+  SELECT event_type, bucket_epoch,
+         CAST(round((CAST(v AS DOUBLE) - CAST(s_tr AS DOUBLE) / n_tr) * 1000000)
+              AS BIGINT) AS detr_micro,
+         CAST(s_tr AS DOUBLE) / n_tr AS trend,
+         CAST(floor((bucket_epoch % 86400) / 3600) AS BIGINT) AS hod
+  FROM tr WHERE n_tr = 25
+), se AS (
+  SELECT event_type, hod,
+         CAST(SUM(detr_micro) AS DOUBLE) / COUNT(*) / 1000000 AS seasonal
+  FROM dt GROUP BY event_type, hod
+)
+SELECT d.event_type, d.bucket_epoch,
+       CAST(round(d.trend, 6) AS DOUBLE) AS trend_r,
+       CAST(round(s.seasonal, 6) AS DOUBLE) AS seasonal_r,
+       CAST(round(d.detr_micro / 1000000.0 - s.seasonal, 6) AS DOUBLE) AS resid_r
+FROM dt d JOIN se s ON d.event_type = s.event_type AND d.hod = s.hod
+""",
+    doc="additive time-series decomposition (STL-lite): trend = centered "
+    "25-hour moving average from exact decimal frame sums; seasonal = "
+    "hour-of-day mean of the detrended series; residual = remainder. "
+    "The detrended values are QUANTIZED to integer micro-units before "
+    "the cross-row seasonal mean — summing raw doubles across rows is "
+    "reduction-order-dependent and engine-divergent, summing int64 "
+    "micro-units is exact — the same quantize-before-sum discipline "
+    "the chi-square and perplexity queries use. Scale shape: all "
+    "windows run over per-series bucket tables; the seasonal "
+    "aggregation is a 24-row-per-series fold; the final join "
+    "broadcasts the tiny seasonal profile.",
+)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+    )
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / _DECOMP_BUCKET).cast("long")
+        * _DECOMP_BUCKET
+    )
+    b = (
+        ev.select(
+            "event_type",
+            bucket.alias("bucket_epoch"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("__v").alias("v"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-12, 12)
+    )
+    tr = b.select(
+        "event_type",
+        "bucket_epoch",
+        "v",
+        F.count(F.lit(1)).over(win).alias("n_tr"),
+        F.sum("v").over(win).alias("s_tr"),
+    )
+    trend = F.col("s_tr").cast("double") / F.col("n_tr")
+    dt = tr.where(F.col("n_tr") == 25).select(
+        "event_type",
+        "bucket_epoch",
+        F.round((F.col("v").cast("double") - trend) * 1000000)
+        .cast("long")
+        .alias("detr_micro"),
+        trend.alias("trend"),
+        F.floor((F.col("bucket_epoch") % 86400) / 3600)
+        .cast("long")
+        .alias("hod"),
+    )
+    se = dt.groupBy("event_type", "hod").agg(
+        (F.sum("detr_micro").cast("double") / F.count("*") / 1000000).alias(
+            "seasonal"
+        )
+    )
+    return dt.join(F.broadcast(se), ["event_type", "hod"]).select(
+        "event_type",
+        "bucket_epoch",
+        F.round("trend", 6).cast("double").alias("trend_r"),
+        F.round("seasonal", 6).cast("double").alias("seasonal_r"),
+        F.round(F.col("detr_micro") / 1000000.0 - F.col("seasonal"), 6)
+        .cast("double")
+        .alias("resid_r"),
+    )

@@ -434,3 +434,78 @@ def test_source_overlap_matrix_matches_python(spark, sf_dir):
     for k, (shared, j) in expected.items():
         assert got[k][0] == shared
         assert abs(got[k][1] - j) < 1e-6
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_rolling_median
+
+    got = {
+        (r.event_type, r.bucket_epoch): r.median_r
+        for r in ts_rolling_median(spark, sf_dir).collect()
+    }
+    assert got
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .selectExpr(
+            "event_type",
+            "cast(floor(unix_timestamp(ts) / 900) * 900 as long) as b",
+            "cast(value as decimal(12,2)) as v",
+        )
+        .where("ts >= '2024-01-01' and ts < '2024-01-31'")
+        .toPandas()
+    )
+    g = (
+        ev.groupby(["event_type", "b"])["v"].sum().astype(float).reset_index()
+    )
+    for et, sub in g.groupby("event_type"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        vals = list(sub.v)
+        for i in range(14, len(vals)):
+            frame = sorted(vals[i - 14 : i + 1])
+            expect = frame[(15 - 1) // 2]  # lower middle of 15 = index 7
+            assert abs(got[(et, int(sub.b[i]))] - expect) < 1e-9
+
+
+def test_decompose_additive_reconstructs(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import (
+        ts_decompose_additive,
+    )
+
+    rows = ts_decompose_additive(spark, sf_dir).collect()
+    assert rows
+    # seasonal means of residuals vanish per (series, hour-of-day):
+    # resid = detrended - seasonal, and seasonal IS the hod mean
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for r in rows:
+        hod = (r.bucket_epoch % 86400) // 3600
+        acc[(r.event_type, hod)].append(r.resid_r)
+    for (et, hod), res in acc.items():
+        assert abs(sum(res) / len(res)) < 1e-4, (et, hod)
+
+
+def test_quality_classifier_exact_boundary(spark, sf_dir):
+    import re
+
+    from hive_export_spark.queries.llm_queries import llm_quality_classifier
+
+    rows = llm_quality_classifier(spark, sf_dir).collect()
+    stops = {"the", "a", "and", "of", "to"}
+    docs = {
+        r.doc_id: re.sub(r"\s+", " ", r.text.strip().lower())
+        for r in load_table(spark, "documents", sf_dir).collect()
+    }
+    for r in rows:
+        norm = docs[r.doc_id]
+        toks = norm.split(" ")
+        n_alpha = len(re.sub(r"[^a-z]", "", norm))
+        score = (
+            2 * (1000000 * n_alpha // len(norm))
+            - (1000000 * sum(1 for t in toks if t in stops) // len(toks))
+            + 10000 * min(len(toks), 100)
+        )
+        assert r.score_micro == score
+        assert r.keep == (score > 2100000)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)  # both classes present
