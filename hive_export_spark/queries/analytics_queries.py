@@ -555,10 +555,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
     sab = F.col("sab").cast("double")
     r = (m * sab - sa * sb) / F.sqrt((m * saa - sa * sa) * (m * sbb - sb * sb))
-    counts = deg.agg(F.count("*").alias("n_nodes")).crossJoin(
-        F.broadcast(edges.agg(F.count("*").alias("n_edges")))
-    )
-    return F.broadcast(counts).crossJoin(s).select(
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    counts = n_nodes.crossJoin(F.broadcast(n_edges))
+    return counts.crossJoin(F.broadcast(s)).select(
         "n_nodes",
         "n_edges",
         F.round(r, 6).cast("double").alias("assortativity_r"),

@@ -153,7 +153,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ts_rolling_corr, graph_degree_assortativity,
     # llm_boilerplate_chunk_dedup, llm_vocab_coverage, fn_interval_family,
     # ts_markov_transitions, stats_winsorize, llm_frame_sample_plan,
-    # stream_cdc_apply, stats_bootstrap_ci) — all green
+    # stream_cdc_apply, stats_bootstrap_ci, cdc_snapshot_diff,
+    # graph_kcore_peel, llm_source_overlap_matrix, ts_rolling_median,
+    # ts_decompose_additive, llm_quality_classifier) — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).
