@@ -1636,7 +1636,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     means = (
         draws.join(
-            lookup,
+            F.broadcast(lookup),
             (draws["event_type"] == lookup["lk_type"])
             & (draws["r"] == lookup["lk_i"]),
         )
