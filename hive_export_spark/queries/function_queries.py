@@ -695,3 +695,51 @@ def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weeks_since_92"),
     )
+
+
+@register(
+    "fn_struct_family",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+         struct_pack(status := o_orderstatus,
+                     price_cents := CAST(round(o_totalprice * 100) AS BIGINT)) AS st
+  FROM orders
+)
+SELECT o_orderkey,
+       st.price_cents AS price_from_struct,
+       struct_pack(k := o_orderkey, inner_s := st).inner_s.status AS status_nested,
+       to_json(st)::VARCHAR AS packed,
+       st = struct_pack(status := st.status, price_cents := st.price_cents) AS eq_ok
+FROM s
+""",
+    doc="struct/row-type function family: named-struct construction, "
+    "field access, nested struct traversal, struct-to-JSON "
+    "serialization (field order and number formatting agree across "
+    "engines for integer/string members — floats are kept OUT of the "
+    "JSON payload on purpose), and whole-struct equality. Money goes "
+    "through round(x*100) to integer cents BEFORE entering the "
+    "struct so every struct member is exactly representable. Pure "
+    "per-row projection, map-only at any scale.",
+)
+def fn_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    st = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    s = o.select("o_orderkey", st.alias("st"))
+    rebuilt = F.struct(
+        F.col("st.status").alias("status"),
+        F.col("st.price_cents").alias("price_cents"),
+    )
+    nested = F.struct(F.col("o_orderkey").alias("k"), F.col("st").alias("inner_s"))
+    return s.select(
+        "o_orderkey",
+        F.col("st.price_cents").alias("price_from_struct"),
+        nested.getField("inner_s").getField("status").alias("status_nested"),
+        F.to_json("st").alias("packed"),
+        (F.col("st") == rebuilt).alias("eq_ok"),
+    )

@@ -2270,3 +2270,79 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_micro"),
         (score > 2100000).alias("keep"),
     )
+
+
+@register(
+    "llm_embedding_label_drift",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), lab AS (
+  SELECT label, dim, SUM(q)::HUGEINT AS sa, COUNT(*) AS cnt
+  FROM e GROUP BY label, dim
+), gcent AS (
+  SELECT dim, SUM(sa)::HUGEINT AS sg FROM lab GROUP BY dim
+), dots AS (
+  SELECT l.label,
+         SUM(l.sa * g.sg) AS dot,
+         SUM(l.sa * l.sa) AS na2,
+         MAX(l.cnt) AS n_members
+  FROM lab l JOIN gcent g USING (dim)
+  GROUP BY l.label
+), gn AS (
+  SELECT SUM(sg * sg) AS ng2 FROM gcent
+)
+SELECT label, CAST(n_members AS BIGINT) AS n_members,
+       CAST(round(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na2 AS DOUBLE) * CAST(ng2 AS DOUBLE)), 6)
+            AS DOUBLE) AS cos_to_global_r
+FROM dots, gn
+""",
+    doc="embedding drift by label: cosine of each label's centroid "
+    "against the global corpus centroid — the cluster-coherence / "
+    "dataset-shift readout run after re-embedding a corpus. The whole "
+    "computation is EXACT until one final division: vector elements "
+    "quantize to integer micro-units, centroids stay as (sum, count) "
+    "rationals, and the counts CANCEL in cosine, so only the integer "
+    "sums enter the dot products — in 38-digit decimals (Spark) / "
+    "HUGEINT (DuckDB), both exact, avoiding the int64 overflow a "
+    "corpus-sized sum-of-products hits. No per-row float accumulation "
+    "anywhere, so the result is reduction-order-free. Scale shape: "
+    "explode is 64 rows per vector, two keyed aggregations (label x "
+    "dim, then label), the 64-row global centroid broadcast back.",
+)
+def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, "embeddings", sf_dir)
+    e = em.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    lab = e.groupBy("label", "dim").agg(
+        F.sum(F.col("q").cast("decimal(20,0)")).cast("decimal(38,0)").alias("sa"),
+        F.count("*").alias("cnt"),
+    )
+    glob = lab.groupBy("dim").agg(F.sum("sa").cast("decimal(38,0)").alias("sg"))
+    dots = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sg")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.max("cnt").alias("n_members"),
+        )
+    )
+    gn = glob.agg(F.sum(F.col("sg") * F.col("sg")).alias("ng2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na2").cast("double") * F.col("ng2").cast("double")
+    )
+    return dots.crossJoin(F.broadcast(gn)).select(
+        "label",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.round(cos, 6).cast("double").alias("cos_to_global_r"),
+    )

@@ -1667,3 +1667,89 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 6).cast("double").alias("ci_hi_r"),
         )
     )
+
+
+@register(
+    "stats_qq_deciles",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+), h AS (
+  SELECT event_type, v, COUNT(*) AS c FROM s GROUP BY event_type, v
+), w AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), q AS (
+  SELECT w.event_type, d.q,
+         MIN(CASE WHEN cum >= (q * (n - 1)) // 10 + 1 THEN v END) AS dv
+  FROM w, unnest(range(1, 10)) AS d(q)
+  GROUP BY w.event_type, d.q
+)
+SELECT CAST(q AS INTEGER) AS decile,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN dv END) AS DOUBLE) AS q_view,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN dv END) AS DOUBLE) AS q_purchase,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN dv END)
+            - MAX(CASE WHEN event_type = 'purchase' THEN dv END) AS DOUBLE) AS qq_gap
+FROM q GROUP BY q
+""",
+    doc="decile Q-Q comparison of two series — the distribution-shift "
+    "diagnostic that says WHERE two samples diverge, not just whether "
+    "(the KS statistic's complement). All nine deciles use the pinned "
+    "integer-exact convention (q*(n-1))//10 into the sorted multiset, "
+    "realized on the per-(series, value) histogram via the cumulative "
+    "count — no engine quantile, no raw-row global sort; the gap "
+    "column is a decimal difference cast to double at the end. Scale "
+    "shape: one histogram shuffle per series, windows over "
+    "distinct-values-sized tables, 18-row pivot to the final 9 rows.",
+)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select("event_type", F.col("value").cast(_DEC).alias("v"))
+    h = s.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    w = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    q = (
+        w.crossJoin(F.broadcast(
+            spark.range(1, 10).select(F.col("id").alias("q"))
+        ))
+        .groupBy("event_type", "q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("(q * (n - 1)) div 10") + 1,
+                    F.col("v"),
+                )
+            ).alias("dv")
+        )
+    )
+    is_a = F.col("event_type") == "view"
+    return q.groupBy("q").agg(
+        F.max(F.when(is_a, F.col("dv"))).cast("double").alias("q_view"),
+        F.max(F.when(~is_a, F.col("dv"))).cast("double").alias("q_purchase"),
+        (
+            F.max(F.when(is_a, F.col("dv")))
+            - F.max(F.when(~is_a, F.col("dv")))
+        )
+        .cast("double")
+        .alias("qq_gap"),
+    ).select(
+        F.col("q").cast("int").alias("decile"),
+        "q_view",
+        "q_purchase",
+        "qq_gap",
+    )

@@ -509,3 +509,59 @@ def test_quality_classifier_exact_boundary(spark, sf_dir):
         assert r.keep == (score > 2100000)
     kept = sum(1 for r in rows if r.keep)
     assert 0 < kept < len(rows)  # both classes present
+
+
+def test_struct_family_roundtrip(spark, sf_dir):
+    import json
+
+    from hive_export_spark.queries.function_queries import fn_struct_family
+
+    orders = {
+        r.o_orderkey: (r.o_orderstatus, round(r.o_totalprice * 100))
+        for r in load_table(spark, "orders", sf_dir).collect()
+    }
+    rows = fn_struct_family(spark, sf_dir).collect()
+    assert len(rows) == len(orders)
+    for r in rows:
+        status, cents = orders[r.o_orderkey]
+        assert r.price_from_struct == cents
+        assert r.status_nested == status
+        assert r.eq_ok is True
+        assert json.loads(r.packed) == {"status": status, "price_cents": cents}
+
+
+def test_qq_deciles_match_numpy(spark, sf_dir):
+    from hive_export_spark.queries.stats_queries import stats_qq_deciles
+
+    rows = {r.decile: r for r in stats_qq_deciles(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 10))
+    a = np.sort(_values(spark, sf_dir, "view"))
+    b = np.sort(_values(spark, sf_dir, "purchase"))
+    for q in range(1, 10):
+        qa = a[(q * (len(a) - 1)) // 10]
+        qb = b[(q * (len(b) - 1)) // 10]
+        assert abs(rows[q].q_view - qa) < 1e-9
+        assert abs(rows[q].q_purchase - qb) < 1e-9
+        assert abs(rows[q].qq_gap - (qa - qb)) < 1e-9
+    # deciles are monotone
+    for q in range(1, 9):
+        assert rows[q].q_view <= rows[q + 1].q_view
+
+
+def test_embedding_label_drift_matches_numpy(spark, sf_dir):
+    from hive_export_spark.queries.llm_queries import llm_embedding_label_drift
+
+    em = load_table(spark, "embeddings", sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in em:
+        by_label.setdefault(r.label, []).append(
+            np.floor(np.array(r.embedding, dtype=np.float64) * 1e6)
+        )
+    sums = {lb: np.sum(vs, axis=0) for lb, vs in by_label.items()}
+    g = np.sum(list(sums.values()), axis=0)
+    rows = {r.label: r for r in llm_embedding_label_drift(spark, sf_dir).collect()}
+    assert set(rows) == set(by_label)
+    for lb, sa in sums.items():
+        cos = float(sa @ g) / math.sqrt(float(sa @ sa) * float(g @ g))
+        assert rows[lb].n_members == len(by_label[lb])
+        assert abs(rows[lb].cos_to_global_r - cos) < 1e-5
