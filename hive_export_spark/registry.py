@@ -155,7 +155,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ts_markov_transitions, stats_winsorize, llm_frame_sample_plan,
     # stream_cdc_apply, stats_bootstrap_ci, cdc_snapshot_diff,
     # graph_kcore_peel, llm_source_overlap_matrix, ts_rolling_median,
-    # ts_decompose_additive, llm_quality_classifier) — all green
+    # ts_decompose_additive, llm_quality_classifier, fn_struct_family,
+    # stats_qq_deciles, llm_embedding_label_drift) — all green
     # in the committed all-query replica (ORACLE_r05.txt, hostile); they
     # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
     # the standing policy).
