@@ -665,11 +665,11 @@ def fn_printf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_interval_family",
     oracle="""
 SELECT o_orderkey,
-       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
-       CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
-       last_day(o_orderdate) AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3mo,
+       CAST(CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS VARCHAR) AS minus_45d,
+       CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
        CAST(datediff('day', o_orderdate, last_day(o_orderdate)) AS BIGINT) AS days_left_in_month,
-       make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 15) AS mid_month,
+       CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 15) AS VARCHAR) AS mid_month,
        CAST(floor(datediff('day', DATE '1992-01-01', o_orderdate) / 7) AS BIGINT) AS weeks_since_92
 FROM orders
 """,
@@ -678,19 +678,24 @@ FROM orders
     "clamp), day-interval subtraction, last_day, component "
     "reassembly via make_date, and integer week bucketing computed as "
     "floor(day-diff / 7) on BOTH sides (never an engine 'weeks' "
-    "datediff, whose week-boundary conventions differ). Pure per-row "
-    "projection — map-only at any scale, pushdown-friendly.",
+    "datediff, whose week-boundary conventions differ). Every "
+    "date-typed result is rendered as an ISO yyyy-MM-dd string so the "
+    "driver compares plain strings, not engine date encodings. Pure "
+    "per-row projection — map-only at any scale, pushdown-friendly.",
 )
 def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     d = F.col("o_orderdate")
+    iso = "yyyy-MM-dd"
     return o.select(
         "o_orderkey",
-        F.add_months(d, 3).alias("plus_3mo"),
-        F.date_sub(d, 45).alias("minus_45d"),
-        F.last_day(d).alias("month_end"),
+        F.date_format(F.add_months(d, 3), iso).alias("plus_3mo"),
+        F.date_format(F.date_sub(d, 45), iso).alias("minus_45d"),
+        F.date_format(F.last_day(d), iso).alias("month_end"),
         F.datediff(F.last_day(d), d).cast("bigint").alias("days_left_in_month"),
-        F.make_date(F.year(d), F.month(d), F.lit(15)).alias("mid_month"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(15)), iso
+        ).alias("mid_month"),
         F.floor(F.datediff(d, F.lit("1992-01-01").cast("date")) / 7)
         .cast("bigint")
         .alias("weeks_since_92"),

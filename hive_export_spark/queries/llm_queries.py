@@ -2214,19 +2214,19 @@ WITH t AS (
   SELECT doc_id, {_SQL_NORM} AS norm FROM documents
 ), f AS (
   SELECT doc_id,
-         length(regexp_replace(norm, '[^a-z]', '', 'g')) AS n_alpha,
-         length(norm) AS n_chars,
-         len(string_split(norm, ' ')) AS n_words,
-         len(list_filter(string_split(norm, ' '),
-             x -> x IN ('the','a','and','of','to'))) AS n_stop
+         CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(norm) AS BIGINT) AS n_chars,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(norm, ' '),
+             x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop
   FROM t
 )
 SELECT doc_id,
-       CAST(2 * (1000000 * n_alpha // n_chars)
-            - (1000000 * n_stop // n_words)
+       CAST(2 * (1000000 * n_alpha // nullif(n_chars, 0))
+            - (1000000 * n_stop // nullif(n_words, 0))
             + 10000 * least(n_words, 100) AS BIGINT) AS score_micro,
-       CAST(2 * (1000000 * n_alpha // n_chars)
-            - (1000000 * n_stop // n_words)
+       CAST(2 * (1000000 * n_alpha // nullif(n_chars, 0))
+            - (1000000 * n_stop // nullif(n_words, 0))
             + 10000 * least(n_words, 100) > 2100000 AS BOOLEAN) AS keep
 FROM f
 """,
@@ -2253,16 +2253,24 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.isin("the", "a", "and", "of", "to"),
         )
     )
+    # Features are cast to BIGINT before the micro-unit multiply:
+    # F.length returns INT and Spark 4 ANSI mode would raise
+    # ARITHMETIC_OVERFLOW at 1000000 * n_alpha for any document with
+    # >= ~2148 alphabetic chars. nullif guards the empty-document
+    # divide (DuckDB integer `// 0` yields NULL; ANSI Spark would
+    # raise DIVIDE_BY_ZERO without it).
     f = t.select(
         "doc_id",
-        F.length(F.regexp_replace(F.col("norm"), "[^a-z]", "")).alias("n_alpha"),
-        F.length("norm").alias("n_chars"),
-        F.size(toks).alias("n_words"),
-        stop.alias("n_stop"),
+        F.length(F.regexp_replace(F.col("norm"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.length("norm").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        stop.cast("bigint").alias("n_stop"),
     )
     score = (
-        2 * F.expr("1000000 * n_alpha div n_chars")
-        - F.expr("1000000 * n_stop div n_words")
+        2 * F.expr("1000000 * n_alpha div nullif(n_chars, 0)")
+        - F.expr("1000000 * n_stop div nullif(n_words, 0)")
         + 10000 * F.least(F.col("n_words"), F.lit(100))
     ).cast("bigint")
     return f.select(

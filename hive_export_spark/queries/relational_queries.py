@@ -2057,7 +2057,7 @@ WITH a AS (
   SELECT k, CASE WHEN k % 7 = 0 THEN 'X' ELSE status END AS status, price
   FROM a WHERE k % 13 <> 0
   UNION ALL
-  SELECT k + 1000000000, status, price FROM a WHERE k % 11 = 0
+  SELECT -(k + 1), status, price FROM a WHERE k % 11 = 0
 )
 SELECT coalesce(a.k, b.k) AS k,
        CASE WHEN a.k IS NULL THEN 'added'
@@ -2075,8 +2075,11 @@ WHERE a.k IS NULL OR b.k IS NULL
     "unchanged keys are filtered out so the output is "
     "delta-sized, not table-sized. Snapshot B is derived "
     "deterministically from orders (deletes %13, status flips %7, "
-    "inserts as key+1e9 for %11) so both engines diff identical "
-    "inputs. Scale shape: ONE co-partitioned shuffle join on the key "
+    "inserts as -(key+1) for %11 — orderkeys are non-negative at "
+    "every TPC-H scale factor, so synthetic keys are strictly negative "
+    "and can never collide with "
+    "real ones, unlike a fixed +1e9 offset) so both engines diff "
+    "identical inputs. Scale shape: ONE co-partitioned shuffle join on the key "
     "(bucketed tables would make it shuffle-free); the change "
     "predicate evaluates row-local, no window, no collect.",
 )
@@ -2095,7 +2098,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
     ).unionByName(
         a.where(F.col("k") % 11 == 0).select(
-            (F.col("k") + 1000000000).alias("k"), "status", "price"
+            (-(F.col("k") + 1)).alias("k"), "status", "price"
         )
     )
     aa = a.select(

@@ -1515,6 +1515,38 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOOT_B = 50  # bootstrap resamples
 
+# Bootstrap draws need a NON-LINEAR engine-portable hash, not a bare LCG:
+# two multiplicative LCG rounds compose to an AFFINE map mod 2^32, so
+# draws indexed by (b, j) form a lattice — each resample degenerates
+# toward a permutation of the data and the CI collapses ~4x too narrow
+# (measured: sd(mean_b) 0.76 vs the theoretical sigma/sqrt(n) of 3.0).
+# The xorshift-multiply finalizer below (Wang/lowbias-style 32-bit hash,
+# multiplier 0x45d9f3b) breaks the affinity while staying 64-bit-safe in
+# BOTH engines: every intermediate is < 2^32 * 0x45d9f3b ~ 3.1e17 << 2^63.
+# With it, both bootstrap variants empirically match sigma/sqrt(n).
+_MIX_C = 73244475  # 0x45d9f3b
+
+
+def _mix32_sql(col: str, out: str) -> str:
+    """DuckDB SQL fragment: nested selects computing out = mix32(col)."""
+    return f"""
+         (xor(h2 >> 16, h2)) AS {out}
+  FROM (
+    SELECT * EXCLUDE (h1), ((xor(h1 >> 16, h1) * {_MIX_C}) % 4294967296) AS h2
+    FROM (
+      SELECT *, ((xor({col} >> 16, {col}) * {_MIX_C}) % 4294967296) AS h1
+      FROM mix_in
+    )
+  )"""
+
+
+def _mix32_col(h):
+    """Spark Column: the same 32-bit xorshift-multiply finalizer."""
+    m32 = F.lit(4294967296).cast("long")
+    h = (F.shiftright(h, 16).bitwiseXOR(h) * _MIX_C) % m32
+    h = (F.shiftright(h, 16).bitwiseXOR(h) * _MIX_C) % m32
+    return F.shiftright(h, 16).bitwiseXOR(h)
+
 
 @register(
     "stats_bootstrap_ci",
@@ -1528,13 +1560,15 @@ WITH s AS (
   FROM s
 ), grp AS (
   SELECT event_type, CAST(MAX(n) AS BIGINT) AS n FROM idx GROUP BY event_type
-), draws AS (
-  SELECT g.event_type, g.n, b.b, j.j,
-         ((((g.n * 0 + b.b * 2654435761 + j.j * 40503 + 986419) % 4294967296)
-            * 69069 + 12345) % 4294967296 * 69069 + 12345) % 4294967296 % g.n AS r
+), mix_in AS (
+  SELECT g.event_type, g.n, b.b AS b, j.j AS j,
+         (b.b * 2654435761 + j.j * 40503 + 986419) % 4294967296 AS u0
   FROM grp g,
        unnest(range(1, {_BOOT_B} + 1)) AS b(b),
        LATERAL (SELECT unnest(range(0, g.n)) AS j) AS j
+), draws AS (
+  SELECT event_type, n, b, j, u % n AS r
+  FROM (SELECT * EXCLUDE (u0),{_mix32_sql("u0", "u")})
 ), means AS (
   SELECT d.event_type, d.b,
          CAST(SUM(i.v) AS DOUBLE) / MAX(d.n) AS mean_b
@@ -1563,17 +1597,29 @@ FROM pt p JOIN ci c USING (event_type) JOIN grp g USING (event_type)
 """,
     doc="distributed bootstrap 95% CI for the per-series mean with "
     "ENGINE-INDEPENDENT resampling: draw j of resample b picks sorted "
-    "index LCG(b, j) mod n, where the LCG is two rounds of the classic "
-    "69069 mod 2^32 generator seeded from (b, j) in pure 64-bit-safe "
-    "integer arithmetic — both engines draw bit-identical samples, so "
+    "index hash(b, j) mod n, where the hash is an affine seed mix fed "
+    "through a 32-bit xorshift-multiply finalizer (0x45d9f3b twice) in "
+    "pure 64-bit-safe integer arithmetic — NON-LINEAR on purpose: "
+    "chained LCG rounds compose to an affine map whose draws form a "
+    "lattice, degenerating each resample into a near-permutation and "
+    "collapsing the CI ~4x too narrow (caught by comparing sd(mean_b) "
+    "to sigma/sqrt(n)). Both engines draw bit-identical samples, so "
     "the whole Monte-Carlo procedure is hash-checkable (no RNG trust, "
     "no tolerance oracle). Resample means come from exact decimal "
     "sums; CI endpoints use the pinned floor(q*(B-1)) discrete "
-    "quantile over the B means. Scale shape: the B*n draw table is "
-    "generated, joined to the rank-indexed values on (series, index), "
-    "and folded per (series, resample) — embarrassingly parallel in "
-    "B; the only data-sized sort is the per-series rank assignment, a "
-    "range-partitioned sort at real scale.",
+    "quantile over the B means. Scale shape — SMALL-SCALE FAST PATH "
+    "ONLY: the B*n draw table joins the rank-indexed values via an "
+    "EXPLICIT O(n) BROADCAST of every (series, rank, value) row, "
+    "which bypasses autoBroadcastJoinThreshold and OOMs executors "
+    "once the series outgrow memory; it also needs a data-sized "
+    "per-series rank sort. Both are deliberate here (the B*n draw "
+    "side must never shuffle at fixture scale — measured >2x) but "
+    "NEITHER survives 100x data. The production formulation is "
+    "stats_bootstrap_poisson below: per-row Poisson resample weights "
+    "in one scan, no index join, no rank sort, no broadcast; this "
+    "exact-LCG variant is retained as its small-scale index-resample "
+    "oracle twin (same oracle-for-the-rewrite pattern as "
+    "equidepth_bucketize).",
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _BOOT_B
@@ -1609,22 +1655,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "b",
             (
-                (
+                _mix32_col(
                     (
-                        (
-                            F.col("b") * F.lit(2654435761).cast("long")
-                            + F.col("j") * 40503
-                            + 986419
-                        )
-                        % F.lit(4294967296).cast("long")
-                        * 69069
-                        + 12345
+                        F.col("b") * F.lit(2654435761).cast("long")
+                        + F.col("j") * 40503
+                        + 986419
                     )
                     % F.lit(4294967296).cast("long")
-                    * 69069
-                    + 12345
                 )
-                % F.lit(4294967296).cast("long")
                 % F.col("n")
             ).alias("r"),
         )
@@ -1666,6 +1704,141 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lo", 6).cast("double").alias("ci_lo_r"),
             F.round("hi", 6).cast("double").alias("ci_hi_r"),
         )
+    )
+
+
+# Poisson(1) CDF quantized to u32 thresholds: T_k = floor(CDF(k) * 2^32),
+# pinned as literals so both engines draw IDENTICAL integer weights.
+# w = first k with u < T_k (else 6; P(w>6) ~ 8e-5, the truncation is part
+# of the pinned convention on both sides).
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+_POIS_CASE_SQL = (
+    "CASE"
+    + "".join(f" WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 6 END"
+)
+
+
+@register(
+    "stats_bootstrap_poisson",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events
+), mix_in AS (
+  SELECT event_type, b.b AS b, v,
+         ((event_id % 4294967296) * 40503 + b.b * 2654435761 + 986419)
+           % 4294967296 AS u0
+  FROM s, unnest(range(1, {_BOOT_B} + 1)) AS b(b)
+), d AS (
+  SELECT event_type, b, v,{_mix32_sql("u0", "u")}
+), w AS (
+  SELECT event_type, b, v, {_POIS_CASE_SQL} AS wgt FROM d
+), means AS (
+  SELECT event_type, b,
+         CAST(SUM(wgt * v) AS DOUBLE) / nullif(SUM(wgt), 0) AS mean_b
+  FROM w GROUP BY event_type, b
+), ranked AS (
+  SELECT event_type, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn
+  FROM means
+), ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = 1 + CAST(floor(0.025 * ({_BOOT_B} - 1)) AS BIGINT)
+                  THEN mean_b END) AS lo,
+         MAX(CASE WHEN rn = 1 + CAST(floor(0.975 * ({_BOOT_B} - 1)) AS BIGINT)
+                  THEN mean_b END) AS hi
+  FROM ranked GROUP BY event_type
+), pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM s GROUP BY event_type
+)
+SELECT p.event_type, p.n,
+       CAST(round(p.mean_v, 6) AS DOUBLE) AS mean_r,
+       CAST(round(c.lo, 6) AS DOUBLE) AS ci_lo_r,
+       CAST(round(c.hi, 6) AS DOUBLE) AS ci_hi_r
+FROM pt p JOIN ci c USING (event_type)
+""",
+    doc="Poisson bootstrap 95% CI for the per-series mean — the "
+    "100 TB-safe formulation of stats_bootstrap_ci: instead of "
+    "materializing index draws and joining them back to a "
+    "rank-indexed value table (an O(n) broadcast or shuffle join plus "
+    "a data-sized sort), every row draws its OWN Poisson(1) resample "
+    "weight per replicate b in the same scan that reads it. The "
+    "weights are engine-independent: u = a 32-bit xorshift-multiply "
+    "hash (non-linear — see _MIX_C note) of a 64-bit-safe seed mix of "
+    "(event_id, b), inverted through the "
+    "quantized Poisson CDF thresholds (literal u32 cutpoints, "
+    "truncated at 6), so both engines draw bit-identical weights and "
+    "the whole Monte-Carlo procedure stays hash-checkable — same "
+    "no-RNG-trust property as the exact-LCG twin, which serves as "
+    "this query's small-scale statistical oracle (pytest pins the "
+    "two CIs against each other within resampling tolerance). "
+    "Resample means are exact decimal sums of wgt*v over sum(wgt) "
+    "(nullif-guarded); CI endpoints use the same pinned "
+    "floor(q*(B-1)) discrete quantile over the B means. Scale shape: "
+    "ONE pass — scan, map-side explode to B weighted copies folded "
+    "immediately by partial aggregation, one (series x B)-key "
+    "shuffle, a B-row-per-series window; no join, no broadcast of "
+    "data, no data-sized sort, skew-free (the explode key is "
+    "(series, b), never a hot single key).",
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _BOOT_B
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "event_type", "event_id", F.col("value").cast(_DEC).alias("v")
+    )
+    m32 = F.lit(4294967296).cast("long")
+    seed = (
+        (F.col("event_id") % m32) * 40503
+        + F.col("b") * F.lit(2654435761).cast("long")
+        + 986419
+    )
+    u = _mix32_col(seed % m32)
+    d = (
+        s.select(
+            "event_type",
+            "event_id",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
+        )
+        .select("event_type", "b", "v", u.alias("u"))
+    )
+    wgt = F.when(F.col("u") < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        wgt = wgt.when(F.col("u") < t, k)
+    wgt = wgt.otherwise(6)
+    means = (
+        d.select("event_type", "b", "v", wgt.alias("wgt"))
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("wgt") * F.col("v")).cast("double")
+                / F.nullif(F.sum("wgt"), F.lit(0).cast("long"))
+            ).alias("mean_b")
+        )
+    )
+    w_m = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = means.select(
+        "event_type", "mean_b", F.row_number().over(w_m).alias("rn")
+    )
+    lo_rn = 1 + int(math.floor(0.025 * (B - 1)))
+    hi_rn = 1 + int(math.floor(0.975 * (B - 1)))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("mean_b"))).alias("hi"),
+    )
+    pt = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("mean_v"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        "n",
+        F.round("mean_v", 6).cast("double").alias("mean_r"),
+        F.round("lo", 6).cast("double").alias("ci_lo_r"),
+        F.round("hi", 6).cast("double").alias("ci_hi_r"),
     )
 
 

@@ -829,6 +829,53 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_committed_snapshots(state: str, below: int | None = None) -> list[str]:
+    """Snapshot versions on DISK (newest last), optionally only those
+    written by batches before ``below``. Reading the pointer from storage
+    — not from driver memory — is what makes the CDC merge restart-safe:
+    after a crash the checkpoint skips committed batches, and the first
+    new batch must find the snapshot its predecessor wrote, which only
+    the filesystem remembers. Only versions with a _SUCCESS marker count
+    (a half-written snapshot from a crashed batch is invisible, and the
+    restarted batch overwrites it idempotently)."""
+    if not os.path.isdir(state):
+        return []
+    vs = sorted(
+        d for d in os.listdir(state)
+        if d.startswith("v")
+        and os.path.exists(os.path.join(state, d, "_SUCCESS"))
+        and (below is None or int(d[1:]) < below)
+    )
+    return [os.path.join(state, d) for d in vs]
+
+
+def cdc_merge_fn(state: str):
+    """foreachBatch MERGE for a versioned-snapshot CDC table: union the
+    batch with the newest committed snapshot BELOW this batch id (read
+    from disk, never from a driver-memory pointer), resolve per key with
+    max-seq-wins, write snapshot v{batch_id}. Restart-safe by
+    construction: a fresh process resumes from whatever the last
+    committed batch persisted."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        cur = batch_df.select("o_orderkey", "seq", "op", "status")
+        prev = cdc_committed_snapshots(state, below=int(batch_id))
+        if prev:
+            cur = s.read.parquet(prev[-1]).unionByName(cur)
+        merged = cur.groupBy("o_orderkey").agg(
+            F.max_by(F.struct("seq", "op", "status"), F.col("seq")).alias("r")
+        ).select(
+            "o_orderkey",
+            F.col("r.seq").alias("seq"),
+            F.col("r.op").alias("op"),
+            F.col("r.status").alias("status"),
+        )
+        merged.write.mode("overwrite").parquet(f"{state}/v{int(batch_id):05d}")
+
+    return merge
+
+
 @register(
     "stream_cdc_apply",
     oracle="""
@@ -844,7 +891,12 @@ FROM orders WHERE o_orderkey % 97 <> 0
     "merges batch rows into the previous snapshot with max-seq-wins "
     "per key, writing a NEW immutable snapshot version per batch "
     "(never read-and-overwrite in place — the transaction-log trick "
-    "that makes the merge restart-safe). Deletes persist as tombstones "
+    "that makes the merge restart-safe). The previous-snapshot pointer "
+    "is recovered from STORAGE inside every merge (newest "
+    "_SUCCESS-marked version below the current batch id), never from "
+    "driver memory, so a restarted query whose checkpoint skips "
+    "committed batches still resumes from the state those batches "
+    "wrote. Deletes persist as tombstones "
     "inside snapshots so late-arriving lower-seq rows can never "
     "resurrect a key across batch boundaries; they are filtered only "
     "at final read. The merge is batch-boundary-invariant, so the "
@@ -887,37 +939,19 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in waves:
         w.coalesce(1).write.mode("append").parquet(src)
 
-    versions: list[str] = []
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        cur = batch_df.select("o_orderkey", "seq", "op", "status")
-        if versions:
-            cur = s.read.parquet(versions[-1]).unionByName(cur)
-        merged = cur.groupBy("o_orderkey").agg(
-            F.max_by(F.struct("seq", "op", "status"), F.col("seq")).alias("r")
-        ).select(
-            "o_orderkey",
-            F.col("r.seq").alias("seq"),
-            F.col("r.op").alias("op"),
-            F.col("r.status").alias("status"),
-        )
-        v = f"{state}/v{batch_id:05d}"
-        merged.write.mode("overwrite").parquet(v)
-        versions.append(v)
-
     q = (
         spark.readStream.schema(
             "o_orderkey long, seq int, op string, status string"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .writeStream.foreachBatch(merge)
+        .writeStream.foreachBatch(cdc_merge_fn(state))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    assert len(versions) >= 2, "expected multiple micro-batches"
-    final = spark.read.parquet(versions[-1])
+    snaps = cdc_committed_snapshots(state)
+    assert len(snaps) >= 2, "expected multiple micro-batches"
+    final = spark.read.parquet(snaps[-1])
     return final.where(F.col("op") != "D").select("o_orderkey", "status")

@@ -229,12 +229,14 @@ def test_interval_family_calendar_semantics(spark, sf_dir):
         d = orders[r.o_orderkey]
         if hasattr(d, "date"):
             d = d.date()
-        assert r.plus_3mo == add_months(d, 3)
-        assert (d - r.minus_45d).days == 45
-        assert r.month_end.month == d.month and r.month_end >= d
-        assert add_months(r.month_end, 1).day >= 28
+        # outputs are ISO strings now (driver-safe: no date-typed columns)
+        assert r.plus_3mo == add_months(d, 3).isoformat()
+        assert (d - date.fromisoformat(r.minus_45d)).days == 45
+        month_end = date.fromisoformat(r.month_end)
+        assert month_end.month == d.month and month_end >= d
+        assert add_months(month_end, 1).day >= 28
         assert 0 <= r.days_left_in_month <= 30
-        assert r.mid_month == date(d.year, d.month, 15)
+        assert date.fromisoformat(r.mid_month) == date(d.year, d.month, 15)
         assert r.weeks_since_92 == (d - date(1992, 1, 1)).days // 7
 
 
@@ -341,16 +343,31 @@ def test_bootstrap_ci_statistical_sanity(spark, sf_dir):
         assert width < abs(r.mean_r) + 1.0
 
 
-def test_bootstrap_lcg_is_engine_portable():
-    # the two-round 69069 LCG stays inside int64 for every (b, j) the
-    # query can generate (B<=50, j<=10^7): no silent overflow divergence
+def test_bootstrap_hash_is_engine_portable_and_nonlinear():
+    # every intermediate of the xorshift-multiply finalizer stays inside
+    # int64 for ALL 32-bit inputs (no silent overflow divergence across
+    # engines), and the map is NOT affine mod 2^32 — the old two-round
+    # LCG was affine, which made the draw sequence a lattice and
+    # collapsed the bootstrap CI ~4x too narrow
+    from hive_export_spark.queries.stats_queries import _MIX_C
+
+    m32 = 4294967296
+    assert (m32 - 1) * _MIX_C < 2**63  # 64-bit safety of the multiply
+
+    def mix(h: int) -> int:
+        h = ((h >> 16) ^ h) * _MIX_C % m32
+        h = ((h >> 16) ^ h) * _MIX_C % m32
+        return (h >> 16) ^ h
+
+    # an affine map f satisfies f(a+b) = f(a) + f(b) - f(0) mod 2^32 for
+    # ALL a, b; the finalizer must violate it
+    assert any(
+        (mix((a + b) % m32) - mix(a) - mix(b) + mix(0)) % m32 != 0
+        for a, b in [(1, 2), (12345, 67890), (999983, 31337), (2**31, 5)]
+    )
+    # seed mix stays 64-bit-safe for every (b, j) the query can generate
     B, jmax = 50, 10**7
-    for b in (1, B):
-        for j in (0, jmax):
-            x = (b * 2654435761 + j * 40503 + 986419) % 4294967296
-            assert x * 69069 + 12345 < 2**63
-            x = (x * 69069 + 12345) % 4294967296
-            assert x * 69069 + 12345 < 2**63
+    assert B * 2654435761 + jmax * 40503 + 986419 < 2**63
 
 
 def test_kcore_trajectory_and_invariant(spark, sf_dir):
@@ -404,7 +421,7 @@ def test_snapshot_diff_classification(spark, sf_dir):
         else:
             assert k not in got  # unchanged keys are excluded
         if k % 11 == 0:
-            assert got.get(k + 1000000000) == "added"
+            assert got.get(-(k + 1)) == "added"
 
 
 def test_source_overlap_matrix_matches_python(spark, sf_dir):
