@@ -130,6 +130,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     counts = edges.agg(
         F.count(F.lit(1)).alias("n_edges")
     ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+    # bounded: tri is a global .agg() — exactly 1 row (triangle count)
     return counts.crossJoin(F.broadcast(tri)).select(
         "n_nodes", "n_edges", "n_triangles"
     )
@@ -167,6 +168,7 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         deg.withColumnRenamed("src", "node")
+        # bounded: n1 is a global .agg() — exactly 1 row (node count)
         .crossJoin(F.broadcast(n1))
         .select(
             "node",

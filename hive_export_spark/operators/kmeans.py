@@ -67,6 +67,7 @@ def assign_clusters(
     c = centroids.select(
         F.col(centroid_id_col), _as_double(F.col(centroid_vec_col)).alias("__c")
     )
+    # bounded: c is the k x dim centroid table (k clusters, not data-sized)
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col,
         centroid_id_col,

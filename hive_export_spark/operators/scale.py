@@ -329,6 +329,7 @@ def equidepth_bucketize(
     )
     cuts = cuts_row.select(F.explode("cuts").alias("c"))
     # broadcast the (n_bins - 1)-row cut table; bin = 1 + #cuts below value
+    # bounded: cuts_row is a 1-row agg holding the (n_bins-1) cut array
     joined = df.crossJoin(F.broadcast(cuts_row))
     bin_expr = (
         F.lit(1)

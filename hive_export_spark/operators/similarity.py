@@ -56,6 +56,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__vv"),
     )
+    # bounded: q is the query set — small by contract (broadcast queries x partitioned corpus)
     scored = v.crossJoin(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
@@ -209,6 +210,7 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__vv"),
     ).withColumn("__vsig", hyperplane_signature(F.col("__vv"), n_planes, dim))
+    # bounded: q is the query set — small by contract; corpus side stays partitioned
     candidates = v.crossJoin(F.broadcast(q)).filter(
         F.bit_count(F.col("__qsig").bitwiseXOR(F.col("__vsig"))) <= max_hamming
     )

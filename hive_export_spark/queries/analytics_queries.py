@@ -557,7 +557,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (m * sab - sa * sb) / F.sqrt((m * saa - sa * sa) * (m * sbb - sb * sb))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
+    # bounded: n_nodes / n_edges / s are all 1-row global aggregates
     counts = n_nodes.crossJoin(F.broadcast(n_edges))
+    # bounded: s is a 1-row global aggregate (sufficient statistics)
     return counts.crossJoin(F.broadcast(s)).select(
         "n_nodes",
         "n_edges",

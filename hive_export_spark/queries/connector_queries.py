@@ -53,14 +53,26 @@ def scratch_dir(name: str) -> str:
 def sf_scratch_dir(name: str, sf_dir: str) -> str:
     """Scratch path for _SUCCESS-cached data derived from ``sf_dir``.
 
-    Keyed on a hash of the FULL fixture path, not its basename: two
-    fixture roots with the same leaf name (``.../a/sf1`` and ``.../b/sf1``)
-    in one process must not silently reuse each other's cached data.
+    Keyed on a hash of the FULL fixture path PLUS a content fingerprint
+    (per-parquet size + mtime_ns): two fixture roots with the same leaf
+    name must not reuse each other's cache, and — the subtler hazard —
+    a fixture REGENERATED in place under an existing scratch tree must
+    invalidate every derived cache (a stale IVF index or MinHash
+    signature store against new fixtures would silently wrong-answer
+    the probe queries). Regeneration changes mtime, so the key moves
+    and the derived data rebuilds.
     """
     import hashlib
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return scratch_dir(f"{name}_{key}")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        pass
+    return scratch_dir(f"{name}_{h.hexdigest()[:12]}")
 
 
 _FMT_ORACLE = """

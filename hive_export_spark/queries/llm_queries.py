@@ -178,6 +178,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = v.select(F.col("vid").alias("va"), F.col("__v").alias("__xa"))
     vb = v.select(F.col("vid").alias("vb"), F.col("__v").alias("__xb"))
     exact = (
+        # oracle-twin: vb is the FULL embeddings table — deliberate fixture-scale exact all-pairs recall oracle; the production path is similarity.embedding_near_dup_pairs (banded LSH, sub-quadratic)
         va.crossJoin(F.broadcast(vb))
         .filter(F.col("va") < F.col("vb"))
         .filter(similarity.cosine(F.col("__xa"), F.col("__xb")) >= 0.45)
@@ -1070,6 +1071,7 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        # bounded: ndocs is a 1-row corpus-count aggregate
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
@@ -1457,6 +1459,7 @@ def llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
     vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    # bounded: total is a 1-row token-count aggregate
     surprisal = vocab.crossJoin(F.broadcast(total)).select(
         "term",
         F.round(
@@ -1596,6 +1599,7 @@ def llm_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", 1 + F.substring("source", 4, 10).cast("int") % 5
     )
     tot = src.agg(F.sum("w").alias("big_w"))
+    # bounded: tot is a 1-row weight-sum aggregate
     thresh = src.crossJoin(F.broadcast(tot)).select(
         "source",
         "w",
@@ -1884,6 +1888,7 @@ def llm_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = d.agg(F.count(F.lit(1)).alias("n_input"))
     return (
         kept.agg(F.count(F.lit(1)).alias("n_kept"))
+        # bounded: totals is a 1-row corpus-count aggregate
         .crossJoin(F.broadcast(totals))
         .select(
             F.col("n_input").cast("bigint").alias("n_input"),
@@ -2349,6 +2354,7 @@ def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("na2").cast("double") * F.col("ng2").cast("double")
     )
+    # bounded: gn is a 1-row aggregate (global centroid norm)
     return dots.crossJoin(F.broadcast(gn)).select(
         "label",
         F.col("n_members").cast("bigint").alias("n_members"),

@@ -972,6 +972,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("c_acctbal").alias("_avg_bal"))
     )
     rich = (
+        # bounded: avg_bal is a 1-row aggregate (lazy scalar subquery)
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .drop("_avg_bal")
@@ -1170,6 +1171,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = revenue.agg(F.max("__rev").alias("__max_rev"))
     return (
+        # bounded: top is a 1-row max-revenue aggregate
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("__rev") == F.col("__max_rev"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
@@ -1416,6 +1418,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # bounded: threshold is a 1-row aggregate (Q11 scalar subquery)
         partvalue.crossJoin(F.broadcast(threshold))
         .filter(F.col("__value").cast("double") > F.col("__threshold"))
         .select("ps_partkey", F.col("__value").cast("double").alias("part_value"))

@@ -906,6 +906,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2"),
             F.max("n").cast("bigint").alias("n"),
         )
+        # bounded: dims is a 1-row aggregate (contingency-table dimensions)
         .crossJoin(F.broadcast(dims))
         .select("chi2", "dof", "n")
     )
@@ -968,6 +969,7 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return (
+        # bounded: tot is a 1-row aggregate (per-sample totals na, nb)
         cdf.crossJoin(F.broadcast(tot))
         .groupBy("na", "nb")
         .agg(F.max(gap).cast("bigint").alias("d_scaled"))
@@ -1423,6 +1425,7 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = c.agg(F.sum("n_obs").alias("n_total"))
     return (
+        # bounded: t is a 1-row total-count aggregate
         c.crossJoin(F.broadcast(t))
         .select(
             "digit",
@@ -1896,6 +1899,7 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wall).alias("n"),
     )
     q = (
+        # bounded: broadcast side is spark.range(1, 10) — a literal 9-row decile table
         w.crossJoin(F.broadcast(
             spark.range(1, 10).select(F.col("id").alias("q"))
         ))

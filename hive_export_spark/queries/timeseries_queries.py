@@ -1141,6 +1141,7 @@ def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hs = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
     return (
+        # bounded: hs is spark.range(1, 4) — a literal 3-row horizon table
         coefs.crossJoin(F.broadcast(hs))
         .select(
             "event_type",

@@ -43,7 +43,83 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 5 rotation. Slot policy (unchanged): (1) queries with NO
+    # --- round 6 rotation: VERIFICATION ROUND (r5 verdict ask #1). The
+    # registry grew 260 -> 261 this round (stats_bootstrap_poisson, the
+    # scale-safe bootstrap rewrite the verdict itself requested); all 50
+    # slots go to never-driver-green queries. Candidates: the 53 queries
+    # with no green driver row in any round (the r5 session-4+ waves)
+    # plus the new poisson query = 54, minus 4 deferred to the ROUND-7
+    # ROTATION HEAD (each leaves an in-window family representative):
+    # ts_bollinger_bands (rolling-window ts family: ts_rolling_median,
+    # ts_rolling_corr in-window), fn_printf_family (scalar-fn families:
+    # fn_struct/fn_xpath/fn_csv in-window), window_ratio_to_report
+    # (ordered-window family: window_nth_value, udf_window_pandas
+    # in-window), stats_winsorize (per-series stats family: 8 stats_*
+    # entries in-window). Changed-this-round queries (quality classifier
+    # BIGINT fix, interval ISO strings, snapshot-diff key domain, CDC
+    # disk pointer, both bootstrap hash fixes) are ALL in-window.
+    # After r6: never-driver-green = the 4 deferred; the r1-stale tail
+    # (joins/rollup/setops/window basics/TPC-H tail, 30 queries) is the
+    # r7 body behind them.
+    #
+    # the five changed + one new (freshest code, strongest need):
+    "llm_quality_classifier",
+    "fn_interval_family",
+    "cdc_snapshot_diff",
+    "stream_cdc_apply",
+    "stats_bootstrap_ci",
+    "stats_bootstrap_poisson",
+    # the r5 session-4/5/6 waves (never driver-verified):
+    "ts_delta_rate",
+    "llm_span_corruption",
+    "graph_jaccard_linkpred",
+    "stats_chi2_independence",
+    "join_nearest_value",
+    "agg_argmax_family",
+    "window_nth_value",
+    "fn_xpath_family",
+    "fn_csv_serde_family",
+    "udf_scalar_iter_pandas",
+    "stream_session_window_native",
+    "source_partition_discovery",
+    "agg_filter_clause",
+    "fn_explode_outer",
+    "stats_ks_drift",
+    "ts_autocorrelation",
+    "fmt_compression_codecs",
+    "ts_linear_forecast",
+    "stats_ab_proportion_z",
+    "llm_dedup_keep_canonical",
+    "scale_shuffle_hash_hint",
+    "agg_skew_kurtosis",
+    "stats_gini_concentration",
+    "ts_flatline_runs",
+    "stream_union_sources",
+    "graph_bfs_hops",
+    "llm_dedup_incremental",
+    "udf_window_pandas",
+    # the r5 session-7+ wave (never driver-verified):
+    "stats_welch_ttest",
+    "stats_mann_whitney_u",
+    "stats_benford_first_digit",
+    "ts_rolling_corr",
+    "graph_degree_assortativity",
+    "llm_boilerplate_chunk_dedup",
+    "llm_vocab_coverage",
+    "ts_markov_transitions",
+    "llm_frame_sample_plan",
+    "graph_kcore_peel",
+    "llm_source_overlap_matrix",
+    "ts_rolling_median",
+    "ts_decompose_additive",
+    "fn_struct_family",
+    "stats_qq_deciles",
+    "llm_embedding_label_drift",
+)
+
+_ROUND5_WINDOW: tuple[str, ...] = (
+    # --- round 5 rotation (kept for the audit trail; superseded above).
+    # Slot policy (unchanged): (1) queries with NO
     # green driver row in any round — the 27 operators NEW this round —
     # and queries whose code or oracle changed this round (their old rows
     # are stale evidence); (2) the stale-evidence tail, oldest green

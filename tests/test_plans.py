@@ -94,6 +94,36 @@ def test_no_unguarded_scale_killers():
     assert violations == [], "\n".join(violations)
 
 
+def test_audit_rejects_data_sized_broadcast(tmp_path):
+    """Round-6 allowlist discipline: crossJoin(F.broadcast(X)) is no
+    longer self-sanctioning. An X that is not visibly bounded (no
+    .agg/.groupBy/.limit/.range on the line) and carries no
+    '# bounded:' / '# oracle-twin:' justification must fail the sweep;
+    a justified or visibly-bounded one must pass; a stale allowlist
+    entry must be reported."""
+    from hive_export_spark.plans.audit import scan_scale_killers
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "bad.py").write_text(
+        "out = facts.crossJoin(F.broadcast(all_events))\n"
+    )
+    (pkg / "good.py").write_text(
+        "tot = df.crossJoin(F.broadcast(df.agg(F.count('*').alias('n'))))\n"
+        "# bounded: k x dim centroid table\n"
+        "sc = v.crossJoin(F.broadcast(centroids))\n"
+        "# oracle-twin: fixture-scale exact all-pairs; prod path is lsh_pairs\n"
+        "ex = a.crossJoin(F.broadcast(b))\n"
+    )
+    vs = scan_scale_killers(str(pkg))
+    assert len(vs) >= 1
+    assert any("bad.py:1" in v and "broadcast" in v for v in vs)
+    assert not any("good.py" in v for v in vs)
+    # the repo allowlist is keyed to hive_export_spark paths, so every
+    # entry is stale relative to this temp package — reported, not silent
+    assert any("STALE allowlist entry" in v for v in vs)
+
+
 def test_runtime_bloom_filter_injected(spark, sf_dir):
     """scale_runtime_bloom_join's declared plan shape: with the size
     thresholds lowered to fixture scale, Spark injects a bloom filter

@@ -268,6 +268,28 @@ def test_cdc_merge_restart_recovers_from_disk(spark, tmp_path):
     assert rows[4] == ("I", "P")  # wave-3 insert applied
 
 
+def test_sf_scratch_key_tracks_fixture_fingerprint(tmp_path):
+    """Regenerating a fixture in place must move every derived-cache key
+    (IVF index, MinHash signature store, export blocks): a stale index
+    over new fixtures would silently wrong-answer the probe queries."""
+    import time
+
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+
+    fx = tmp_path / "sfX"
+    fx.mkdir()
+    p = fx / "embeddings.parquet"
+    p.write_bytes(b"v1-bytes")
+    k1 = sf_scratch_dir("ivf_index", str(fx))
+    assert k1 == sf_scratch_dir("ivf_index", str(fx))  # stable key
+    time.sleep(0.01)
+    p.write_bytes(b"v2-bytes!")  # regenerate: new mtime (and size)
+    k2 = sf_scratch_dir("ivf_index", str(fx))
+    assert k2 != k1
+    # different derived artifacts under the same fixture stay separate
+    assert sf_scratch_dir("minhash_store", str(fx)) != k2
+
+
 def test_cdc_half_written_snapshot_is_invisible(tmp_path):
     from hive_export_spark.queries.streaming_queries import (
         cdc_committed_snapshots,
