@@ -67,6 +67,9 @@ HEADLINE = [
     "llm_boilerplate_chunk_dedup",
     "stats_bootstrap_ci",
     "llm_source_overlap_matrix",
+    # round 6: the Poisson bootstrap scale path (one-scan resample
+    # weights — the production formulation of stats_bootstrap_ci)
+    "stats_bootstrap_poisson",
 ]
 
 

@@ -38,8 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hive_export_spark.operators.dedup import (  # noqa: E402
+    banded_buckets,
     connected_components,
+    incremental_minhash_pairs,
     minhash_lsh_pairs,
+    minhash_signatures,
 )
 from hive_export_spark.session import get_spark  # noqa: E402
 from hive_export_spark.sources import load_table  # noqa: E402
@@ -85,12 +88,108 @@ def replicated_corpus(spark, sf_dir: str, k: int, out_root: str) -> str:
     return path
 
 
+def incremental_probe(spark, sf_dir: str, ks: list[int], out_root: str) -> None:
+    """Measure the incremental-dedup cost claim (r5 verdict ask #7):
+    fixed increment (the 1x fixture corpus re-suffixed, ~5k docs) against
+    persisted stores of k x fixture size. If per-increment cost is
+    O(increment), wall stays ~flat as the store grows 1x -> 10x; if the
+    store term dominates, wall grows ~linearly and the claim is false.
+
+    Two store layouts per k:
+    - ``sig store``: persisted (id, signature) rows — each increment
+      re-bands the WHOLE store (the `incremental_minhash_pairs` default);
+      the O(store x bands) banding scan is the term to watch;
+    - ``banded store``: the (id, band, bucket) table persisted once at
+      ingest — increments band only the new docs and join the stored
+      buckets as-is (at real scale this table is additionally
+      bucket-partitioned so the probe join prunes storage; here it
+      measures removing the re-banding term).
+    """
+    inc_path = os.path.join(out_root, "inc_corpus")
+    if not os.path.exists(f"{inc_path}/_SUCCESS"):
+        shutil.rmtree(inc_path, ignore_errors=True)
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        docs.select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(w, F.lit("_inc"))
+                ),
+                " ",
+            ).alias("text"),
+        ).repartition(8).write.parquet(inc_path)
+    inc = spark.read.parquet(inc_path)
+    n_inc = inc.count()
+
+    for k in ks:
+        corpus_path = replicated_corpus(spark, sf_dir, k, out_root)
+        corpus = spark.read.parquet(corpus_path)
+        sig_path = corpus_path + "_sigs"
+        if not os.path.exists(f"{sig_path}/_SUCCESS"):
+            minhash_signatures(corpus).write.mode("overwrite").parquet(sig_path)
+        banded_path = corpus_path + "_banded"
+        if not os.path.exists(f"{banded_path}/_SUCCESS"):
+            banded_buckets(
+                spark.read.parquet(sig_path), "doc_id", 64, 16
+            ).write.mode("overwrite").parquet(banded_path)
+        stored_sigs = spark.read.parquet(sig_path)
+        n_store = stored_sigs.count()
+        all_docs = corpus.unionByName(inc)
+
+        t0 = time.perf_counter()
+        n_pairs = incremental_minhash_pairs(stored_sigs, inc, all_docs).count()
+        wall_sig = round(time.perf_counter() - t0, 2)
+
+        # banded-store variant: inline the incremental join against the
+        # persisted bucket table (no store re-banding)
+        new_sigs = minhash_signatures(inc)
+        new_banded = banded_buckets(new_sigs, "doc_id", 64, 16)
+        stored_banded = spark.read.parquet(banded_path)
+        t0 = time.perf_counter()
+        a = new_banded.alias("a")
+        b = stored_banded.unionByName(new_banded).alias("b")
+        n_cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+            .count()
+        )
+        wall_banded = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": "incremental",
+                    "store_docs": n_store,
+                    "inc_docs": n_inc,
+                    "wall_sig_store_sec": wall_sig,
+                    "wall_banded_store_sec": wall_banded,
+                    "verified_pairs": n_pairs,
+                    "candidate_pairs_banded": n_cand,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ks = [int(a) for a in sys.argv[2:]] or [1, 3, 10]
+    args = [a for a in sys.argv[1:] if a != "--incremental"]
+    run_incremental = "--incremental" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ks = [int(a) for a in args[1:]] or [1, 3, 10]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_root = os.path.join(tempfile.gettempdir(), "hive_export_scale_probe")
+    if run_incremental:
+        incremental_probe(spark, sf_dir, ks, out_root)
+        return
 
     results = []
     for k in ks:
