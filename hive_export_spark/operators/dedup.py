@@ -566,6 +566,23 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
+    return _verify_candidate_pairs(
+        candidates, all_docs, text_col, id_col, threshold
+    )
+
+
+def _verify_candidate_pairs(
+    candidates: DataFrame,
+    all_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs.
+
+    Shared by every LSH pair generator: the candidate id set broadcasts
+    as a semi-join filter so shingle arrays are built ONLY for docs that
+    appear in some candidate pair, never for the whole corpus."""
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
@@ -587,4 +604,93 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def persist_banded_store(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    bucket_parts: int = 64,
+) -> None:
+    """Write the LSH bucket table as a PARTITIONED store: (id, band,
+    bucket) rows laid out by ``bucket_part = pmod(bucket, bucket_parts)``.
+
+    This is the storage layout that makes daily incremental dedup
+    storage-pruned at corpus scale: an increment's buckets map to a
+    subset of partitions, so the probe join reads only those directories
+    instead of scanning the whole store (`tools/scale_probe.py
+    --incremental` measures the unpartitioned variants; the partitioned
+    store additionally prunes I/O). Written once at ingest; increments
+    append their own buckets to keep the store current
+    (``mode="append"`` with the same partitioning).
+    """
+    (
+        banded_buckets(sigs, id_col, num_hashes, bands)
+        .withColumn("bucket_part", F.pmod(F.col("bucket"), F.lit(bucket_parts)))
+        .write.mode("overwrite")
+        .partitionBy("bucket_part")
+        .parquet(path)
+    )
+
+
+def incremental_pairs_against_banded_store(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    bucket_parts: int = 64,
+) -> DataFrame:
+    """Near-dup pairs involving a new document, against a PERSISTED
+    bucket-partitioned banded store (see :func:`persist_banded_store`).
+
+    Differences from :func:`incremental_minhash_pairs` (signature store):
+    the store is never re-banded (its (id, band, bucket) rows are read
+    as-is — removes the O(store x bands) per-increment map work), and the
+    increment's bucket partitions are computed first so the store scan
+    carries a PARTITION filter — at 100 TB the probe reads only the
+    directories the increment can collide with. Candidate semantics and
+    exact verification are identical; equality with the batch-restricted
+    answer is pinned in tests.
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    new_banded = banded_buckets(new_sigs, id_col, num_hashes, bands).withColumn(
+        "bucket_part", F.pmod(F.col("bucket"), F.lit(bucket_parts))
+    )
+    # bounded collect: at most bucket_parts (<= O(100)) distinct values —
+    # turned into a LITERAL partition filter so the store scan prunes
+    # directories statically (no DPP reliance)
+    parts = [
+        r[0] for r in new_banded.select("bucket_part").distinct().collect()
+    ]
+    store = (
+        spark.read.parquet(store_path)
+        .where(F.col("bucket_part").isin(parts))
+        .select(id_col, "band", "bucket", "bucket_part")
+    )
+    a = new_banded.alias("a")
+    b = store.unionByName(new_banded).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.bucket_part") == F.col("b.bucket_part"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidate_pairs(
+        candidates, all_docs, text_col, id_col, threshold
     )

@@ -103,6 +103,8 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "k-means: k x dim updated centroids per iteration",
         ('operators/dedup.py', 'if df.rdd.getNumPartitions() < target:'):
             "partition-count metadata probe, not a data materialization",
+        ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
+            "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
         ('queries/llm_queries.py', 'tot.crossJoin(n_samp)'):
             "both sides are 1-row aggregates (corpus totals x sample size)",
         ('queries/llm_queries.py', '.crossJoin(n_diff)'):

@@ -415,3 +415,64 @@ def test_incremental_dedup_equals_batch_restricted(spark, sf_dir):
     )
     assert got == batch
     assert all(b >= split for _a, b in got)  # every pair involves a new doc
+
+
+def test_banded_store_incremental_equals_sig_store(spark, sf_dir, tmp_path):
+    """The bucket-partitioned banded store changes STORAGE layout and
+    pruning, never the answer: pairs must equal both the signature-store
+    incremental path and the batch answer restricted to new docs."""
+    from pyspark.sql import functions as F
+
+    from hive_export_spark.operators import dedup
+    from hive_export_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    split = 250
+    old = d.filter(F.col("doc_id") < split)
+    new = d.filter(F.col("doc_id") >= split)
+    stored = dedup.minhash_signatures(old, "text", "doc_id", 64)
+    store_path = str(tmp_path / "banded_store")
+    dedup.persist_banded_store(stored, store_path)
+
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_pairs_against_banded_store(
+            spark, store_path, new, d, threshold=0.8
+        ).collect()
+    )
+    sig_path = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_minhash_pairs(
+            stored, new, d, threshold=0.8
+        ).collect()
+    )
+    assert got == sig_path
+    assert got  # the fixture contains cross-split near-dups
+
+
+def test_banded_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The point of the layout: the store FileScan must carry a
+    PartitionFilters entry on bucket_part (directory pruning), not a row
+    filter over a full scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hive_export_spark.operators import dedup
+    from hive_export_spark.plans import audit
+    from hive_export_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    stored = dedup.minhash_signatures(
+        d.filter(F.col("doc_id") < 400), "text", "doc_id", 64
+    )
+    store_path = str(tmp_path / "banded_store")
+    dedup.persist_banded_store(stored, store_path)
+    # one-doc increment: 16 bands -> at most 16 of 64 partitions touched
+    one = d.filter(F.col("doc_id") == 450)
+    df = dedup.incremental_pairs_against_banded_store(
+        spark, store_path, one, d, threshold=0.0
+    )
+    plan = audit.executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket_part[^\]]*)\]", plan)
+    assert m, plan[:2000]
