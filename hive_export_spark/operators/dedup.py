@@ -661,8 +661,15 @@ def incremental_pairs_against_banded_store(
     answer is pinned in tests.
     """
     new_sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes)
-    new_banded = banded_buckets(new_sigs, id_col, num_hashes, bands).withColumn(
-        "bucket_part", F.pmod(F.col("bucket"), F.lit(bucket_parts))
+    # localCheckpoint: the increment-sized bucket frame ((new x bands)
+    # rows of three longs) is read twice — once to derive the partition
+    # filter, once as the probe side — and signature computation is the
+    # increment's dominant cost; materializing it once keeps the whole
+    # path O(increment), not O(2 x increment)
+    new_banded = (
+        banded_buckets(new_sigs, id_col, num_hashes, bands)
+        .withColumn("bucket_part", F.pmod(F.col("bucket"), F.lit(bucket_parts)))
+        .localCheckpoint()
     )
     # bounded collect: at most bucket_parts (<= O(100)) distinct values —
     # turned into a LITERAL partition filter so the store scan prunes

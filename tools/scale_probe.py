@@ -38,11 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hive_export_spark.operators.dedup import (  # noqa: E402
-    banded_buckets,
     connected_components,
     incremental_minhash_pairs,
+    incremental_pairs_against_banded_store,
     minhash_lsh_pairs,
     minhash_signatures,
+    persist_banded_store,
 )
 from hive_export_spark.session import get_spark  # noqa: E402
 from hive_export_spark.sources import load_table  # noqa: E402
@@ -127,11 +128,9 @@ def incremental_probe(spark, sf_dir: str, ks: list[int], out_root: str) -> None:
         sig_path = corpus_path + "_sigs"
         if not os.path.exists(f"{sig_path}/_SUCCESS"):
             minhash_signatures(corpus).write.mode("overwrite").parquet(sig_path)
-        banded_path = corpus_path + "_banded"
+        banded_path = corpus_path + "_banded_part"
         if not os.path.exists(f"{banded_path}/_SUCCESS"):
-            banded_buckets(
-                spark.read.parquet(sig_path), "doc_id", 64, 16
-            ).write.mode("overwrite").parquet(banded_path)
+            persist_banded_store(spark.read.parquet(sig_path), banded_path)
         stored_sigs = spark.read.parquet(sig_path)
         n_store = stored_sigs.count()
         all_docs = corpus.unionByName(inc)
@@ -140,28 +139,13 @@ def incremental_probe(spark, sf_dir: str, ks: list[int], out_root: str) -> None:
         n_pairs = incremental_minhash_pairs(stored_sigs, inc, all_docs).count()
         wall_sig = round(time.perf_counter() - t0, 2)
 
-        # banded-store variant: inline the incremental join against the
-        # persisted bucket table (no store re-banding)
-        new_sigs = minhash_signatures(inc)
-        new_banded = banded_buckets(new_sigs, "doc_id", 64, 16)
-        stored_banded = spark.read.parquet(banded_path)
+        # banded-store variant: the production bucket-partitioned store
+        # (persist_banded_store / incremental_pairs_against_banded_store —
+        # no store re-banding, partition-pruned probe scan)
         t0 = time.perf_counter()
-        a = new_banded.alias("a")
-        b = stored_banded.unionByName(new_banded).alias("b")
-        n_cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            )
-            .distinct()
-            .count()
-        )
+        n_cand = incremental_pairs_against_banded_store(
+            spark, banded_path, inc, all_docs, threshold=0.8
+        ).count()
         wall_banded = round(time.perf_counter() - t0, 2)
         print(
             json.dumps(
@@ -172,7 +156,7 @@ def incremental_probe(spark, sf_dir: str, ks: list[int], out_root: str) -> None:
                     "wall_sig_store_sec": wall_sig,
                     "wall_banded_store_sec": wall_banded,
                     "verified_pairs": n_pairs,
-                    "candidate_pairs_banded": n_cand,
+                    "verified_pairs_banded": n_cand,
                 }
             ),
             flush=True,
