@@ -29,7 +29,14 @@ def l2_norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    try_divide, not `/`: ANSI Spark raises DIVIDE_BY_ZERO even for
+    doubles, and real corpora contain zero vectors (padding rows, failed
+    embedding jobs). NULL matches DuckDB's x/0 semantics, and a NULL
+    cosine naturally drops out of >= / top-k comparisons on both
+    engines — the pinned convention (round-6 hostile-fixture sweep)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(

@@ -91,9 +91,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"]))
     )
+    # try_divide on the char-denominated ratios: an EMPTY document has
+    # n_chars = 0 and ANSI Spark raises where DuckDB yields NULL (a NULL
+    # ratio then scores 0 through the when/CASE on both engines —
+    # round-6 hostile sweep). n_words is never 0 (split('') is ['']).
     mean_word_len = (n_chars - (n_words - 1)) / n_words
-    alpha_ratio = alpha_chars / n_chars
-    punct_ratio = punct_chars / n_chars
+    alpha_ratio = F.try_divide(alpha_chars, n_chars)
+    punct_ratio = F.try_divide(punct_chars, n_chars)
     stop_ratio = stop_hits / n_words
     score = (
         F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.4).otherwise(0.0)

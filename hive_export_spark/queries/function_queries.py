@@ -294,7 +294,11 @@ FROM orders
 """,
     doc="ANSI-safe function family: try_divide/try_cast/try_element_at — "
     "null instead of runtime error (ANSI mode is ON by default in Spark 4; "
-    "DuckDB's /, casts and list indexing are natively null-on-error)",
+    "DuckDB's /, casts and list indexing are natively null-on-error). "
+    "Even the 'good' numeric-string cast goes through try_cast: a "
+    "custkey above 2^31 turns the plain INT cast into a runtime "
+    "CAST_INVALID_INPUT at realistic scale factors (round-6 hostile "
+    "sweep) — NULL-on-overflow is the pinned cross-engine behavior.",
 )
 def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
@@ -302,7 +306,7 @@ def fn_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("safe_div"),
         F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast"),
-        F.col("o_custkey").cast("string").cast("int").alias("good_cast"),
+        F.expr("try_cast(cast(o_custkey as string) as int)").alias("good_cast"),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("oob_element"),
     )
 

@@ -940,18 +940,20 @@ WITH laced AS (
   FROM documents
 )
 SELECT doc_id,
-       trim(regexp_replace(lower(strip_accents(t)), '\\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '\\s+', ' ', 'g')) AS norm_text,
        length(t) AS n_before,
-       length(trim(regexp_replace(lower(strip_accents(t)), '\\s+', ' ', 'g'))) AS n_after
+       length(trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '\\s+', ' ', 'g'))) AS n_after
 FROM laced
 """,
     doc="text normalization pass (accent folding + case folding + "
     "whitespace collapse + trim): the canonicalization every dedup/"
     "fingerprint pipeline runs first. The fixture corpus is pure ASCII, "
-    "so deterministic accented suffixes are laced in from doc_id; the "
-    "Spark side folds accents with an explicit translate() map (pure "
-    "JVM codegen), the oracle uses DuckDB's strip_accents — agreeing "
-    "outputs prove the map is faithful for the laced alphabet. Zero "
+    "so deterministic accented suffixes are laced in from doc_id; BOTH "
+    "engines fold accents with the SAME explicit translate() map (pure "
+    "JVM codegen on Spark). Pinning the map beats an engine "
+    "strip_accents: DuckDB's folds characters outside the pinned set "
+    "(u-umlaut, o-umlaut) that translate leaves alone, which silently "
+    "diverged on a non-ASCII corpus doc (round-6 hostile sweep). Zero "
     "shuffle, scan-fused.",
 )
 def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1561,7 +1563,8 @@ _U52 = 1 << 52
     oracle=f"""
 WITH src AS (
   SELECT source,
-         1 + (CAST(substr(source, 4) AS INTEGER) % 5) AS w,
+         1 + (coalesce(TRY_CAST(substr(source, 4) AS INTEGER),
+                       length(source)) % 5) AS w,
          COUNT(*) AS n_source
   FROM documents GROUP BY source
 ), tot AS (
@@ -1595,8 +1598,17 @@ GROUP BY t.source, t.w, t.n_source
 def llm_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    # try_cast + length fallback: source ids are 'src<N>' in the fixture,
+    # but an unparseable source name must weight deterministically, not
+    # crash the ANSI cast (round-6 hostile sweep)
     src = src.withColumn(
-        "w", 1 + F.substring("source", 4, 10).cast("int") % 5
+        "w",
+        1
+        + F.coalesce(
+            F.expr("try_cast(substr(source, 4) as int)"),
+            F.length("source"),
+        )
+        % 5,
     )
     tot = src.agg(F.sum("w").alias("big_w"))
     # bounded: tot is a 1-row weight-sum aggregate

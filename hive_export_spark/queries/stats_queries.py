@@ -52,7 +52,9 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
     n = F.col("n")
-    var = (sxx - sx * sx / n) / (n - 1)
+    # try_divide: a single-customer segment has n-1 = 0; ANSI Spark
+    # raises where DuckDB yields NULL (round-6 hostile sweep)
+    var = F.try_divide(sxx - sx * sx / n, (n - 1).cast("double"))
     return sums.select(
         "c_mktsegment",
         "n",
@@ -701,7 +703,9 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean_v"),
         F.sqrt((sxx - sx * sx / n) / n).alias("sd_v"),
     )
-    z = (v.cast("double") - F.col("mean_v")) / F.col("sd_v")
+    # try_divide: a singleton series has sd 0; DuckDB yields NULL and the
+    # |z| predicate drops the row — ANSI Spark must not crash instead
+    z = F.try_divide(v.cast("double") - F.col("mean_v"), F.col("sd_v"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 2.5)
@@ -1133,10 +1137,15 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3r = F.col("s3").cast("double") / n
     m4r = F.col("s4").cast("double") / n
     var = m2r - m1 * m1
-    skew = (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
-    kurt = (
-        m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
-    ) / (var * var) - 3
+    # try_divide: a singleton or constant series has zero variance; ANSI
+    # Spark raises where DuckDB yields NULL (round-6 hostile sweep)
+    skew = F.try_divide(
+        m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1, F.pow(var, 1.5)
+    )
+    kurt = F.try_divide(
+        m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1,
+        var * var,
+    ) - 3
     return sums.select(
         "event_type",
         n.cast("bigint").alias("n"),
@@ -1394,8 +1403,8 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_benford_first_digit",
     oracle="""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
-              AS BIGINT) AS digit
+  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+              '[1-9]', 0) AS BIGINT) AS digit
   FROM orders WHERE o_totalprice > 0
 ), c AS (
   SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
@@ -1407,18 +1416,19 @@ FROM c, t
 ORDER BY digit
 """,
     doc="Benford's-law first-digit profile of order totals — the "
-    "classic fraud/data-quality screen. The leading significant digit "
-    "is extracted from the DECIMAL's canonical string form (identical "
-    "text on both engines; no float log10 on data values, which would "
-    "be ULP-fragile at power-of-ten boundaries), then observed shares "
+    "classic fraud/data-quality screen. The leading SIGNIFICANT digit "
+    "is the first [1-9] char of the DECIMAL's canonical string form "
+    "(identical regex on both engines; a plain first-char substr "
+    "returns 0 for sub-unit values like 0.01 and then 1/digit "
+    "divides by zero — round-6 hostile sweep), then observed shares "
     "vs log10(1+1/d) expectations. Scale shape: map-side digit "
     "projection + a 9-group aggregate with the 1-row total broadcast "
     "back — a single-scan, constant-output profile at any corpus size.",
 )
 def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
-    digit = F.substring(
-        F.col("o_totalprice").cast(_DEC).cast("string"), 1, 1
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast(_DEC).cast("string"), "[1-9]", 0
     ).cast("bigint")
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n_obs")
@@ -1742,7 +1752,8 @@ WITH s AS (
   FROM w GROUP BY event_type, b
 ), ranked AS (
   SELECT event_type, mean_b,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_b NULLS LAST, b) AS rn
   FROM means
 ), ci AS (
   SELECT event_type,
@@ -1822,7 +1833,13 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_b")
         )
     )
-    w_m = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    # nulls LAST, pinned on both engines: a singleton series can draw
+    # all-zero weights for some resamples (mean_b NULL via nullif);
+    # Spark ascends nulls-first while DuckDB defaults nulls-last, which
+    # silently shifts every rank (round-6 hostile sweep)
+    w_m = Window.partitionBy("event_type").orderBy(
+        F.col("mean_b").asc_nulls_last(), "b"
+    )
     ranked = means.select(
         "event_type", "mean_b", F.row_number().over(w_m).alias("rn")
     )

@@ -493,13 +493,13 @@ WITH buckets AS (
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_type, bucket_epoch,
-       CAST(round(CASE
+       CAST(floor((CASE
          WHEN v IS NOT NULL THEN v
          WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
            pv + (nv - pv) * (bucket_epoch - pe) / (ne - pe)
          WHEN pv IS NOT NULL THEN pv
          WHEN nv IS NOT NULL THEN nv
-         ELSE 0.0 END, 6) AS DOUBLE) AS value_interp,
+         ELSE 0.0 END) * 1000000) / 1000000.0 AS DOUBLE) AS value_interp,
        was_gap
 FROM anchored
 """,
@@ -512,7 +512,9 @@ FROM anchored
     "partitioning (event_type), no self-join, no per-gap search. Bucket "
     "sums are exact decimals and the anchor epochs exact longs, so both "
     "engines feed bit-identical doubles into one identical interpolation "
-    "expression; round(6) guards the final float arithmetic.",
+    "expression; the result is floor-quantized to micro-units (round(6) "
+    "tie conventions differ across engines on exact halves; floor of "
+    "the same double cannot).",
 )
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).filter(
@@ -589,7 +591,16 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchored.select(
         "event_type",
         "bucket_epoch",
-        F.round(interp, 6).cast("double").alias("value_interp"),
+        # floor-quantize to micro-units instead of round(6): both engines
+        # compute a BIT-IDENTICAL interpolation double, but their round()
+        # tie conventions differ on exact .xxxxxx5 halves (Spark HALF_UP
+        # on the shortest decimal string vs DuckDB on the true binary
+        # value — observed 1-ULP flips in the round-6 hostile sweep);
+        # floor of the same double is convention-free. x*1e6 <= ~1e14
+        # stays exactly representable.
+        (F.floor(interp * 1000000) / F.lit(1000000.0))
+        .cast("double")
+        .alias("value_interp"),
         "was_gap",
     )
 

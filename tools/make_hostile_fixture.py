@@ -1,0 +1,143 @@
+"""Build an ADVERSARIAL copy of a fixture dir and (optionally) run the
+full oracle gate on it.
+
+Motivation: round-5 advice found a real crash (ANSI INT32 overflow in the
+quality classifier) that every fixture doc was too short to trigger. The
+driver regenerates fixtures between rounds; this tool front-runs that
+class of failure by appending edge-case rows the generator COULD
+plausibly produce — empty/huge/unicode documents, single-row series,
+zero vectors, >int32 keys, boundary prices/dates — while keeping every
+original row (so fixture-shape properties queries rely on keep holding)
+and preserving each file's exact parquet schema (pyarrow concat + cast;
+a DuckDB rewrite would silently retype timestamps).
+
+The oracle gate still applies unchanged on the hostile dir: both engines
+read the SAME parquet, so any FAIL is a real cross-engine divergence or
+crash — a latent bug, not fixture noise.
+
+Usage:
+    python tools/make_hostile_fixture.py [src_sf_dir] [out_dir]
+    python tools/check_oracle.py <out_dir> --hostile        # then sweep
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _append(src: str, out: str, table_name: str, rows: list[dict]) -> None:
+    t = pq.read_table(os.path.join(src, f"{table_name}.parquet"))
+    schema = t.schema.remove_metadata()
+    if rows:
+        cols = {}
+        for field in schema:
+            cols[field.name] = pa.array(
+                [r.get(field.name) for r in rows], type=field.type
+            )
+        extra = pa.table(cols, schema=schema)
+        t = pa.concat_tables([t.replace_schema_metadata(None), extra])
+    pq.write_table(t, os.path.join(out, f"{table_name}.parquet"))
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_fixture"
+    os.makedirs(out, exist_ok=True)
+
+    from datetime import datetime
+
+    BIG = 3_000_000_000  # > int32: every key path must be 64-bit clean
+
+    _append(src, out, "documents", [
+        # empty doc: every ratio/div feature must NULL, not crash
+        dict(doc_id=900001, text="", lang="en", source="web", n_chars=0),
+        # huge doc: >2148 alpha chars overflowed INT32 micro-units (r5 bug)
+        dict(doc_id=900002, text="the quick brown fox jumps over it " * 300,
+             lang="en", source="web", n_chars=10200),
+        # single token, unseen lang/source values
+        dict(doc_id=900003, text="word", lang="xx", source="srcnew", n_chars=4),
+        # whitespace-only and padded text: trim/split edge cases
+        dict(doc_id=900004, text="   \t\t  ", lang="en", source="web", n_chars=7),
+        dict(doc_id=900005, text="  padded   runs\tof\twhitespace  ",
+             lang="en", source="web", n_chars=31),
+        # non-ascii tokens: regex [a-z] classes, length vs bytes
+        dict(doc_id=900006, text="ünïcødé tökens repéat repéat",
+             lang="de", source="web", n_chars=28),
+    ])
+
+    mid = datetime(2024, 6, 15, 12, 0, 0)
+    _append(src, out, "events", [
+        # brand-new single-row series: every per-series stat must survive
+        # n=1 (variance, CI, deciles, windows)
+        dict(event_id=900001, ts=mid, user_id=0, event_type="rare",
+             value=50.0, props="{}"),
+        # extreme values on an existing series + exact duplicates (tie
+        # handling in rank/row_number conventions)
+        dict(event_id=900002, ts=mid, user_id=1, event_type="view",
+             value=0.0, props="{}"),
+        dict(event_id=900003, ts=mid, user_id=1, event_type="view",
+             value=99999.99, props="{}"),
+        dict(event_id=900004, ts=mid, user_id=2, event_type="view",
+             value=42.42, props="{}"),
+        dict(event_id=900005, ts=mid, user_id=2, event_type="view",
+             value=42.42, props="{}"),
+        # null props / empty props string
+        dict(event_id=900006, ts=mid, user_id=3, event_type="click",
+             value=1.0, props=None),
+    ])
+
+    dmin = datetime(1992, 1, 1)
+    dmax = datetime(1998, 12, 31)
+    _append(src, out, "orders", [
+        # >int32 orderkey with matching lineitem rows below
+        dict(o_orderkey=BIG, o_custkey=1, o_orderstatus="O",
+             o_totalprice=0.01, o_orderdate=dmin, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=BIG + 1, o_custkey=BIG, o_orderstatus="F",
+             o_totalprice=999999.99, o_orderdate=dmax,
+             o_orderpriority="5-LOW"),
+    ])
+
+    _append(src, out, "lineitem", [
+        dict(l_orderkey=BIG, l_partkey=1, l_suppkey=1, l_linenumber=1,
+             l_quantity=0.0, l_extendedprice=0.01, l_discount=0.0,
+             l_tax=0.0, l_returnflag="N", l_linestatus="O",
+             l_shipdate=dmin),
+        dict(l_orderkey=BIG, l_partkey=1, l_suppkey=1, l_linenumber=2,
+             l_quantity=50.0, l_extendedprice=99999.99, l_discount=0.1,
+             l_tax=0.08, l_returnflag="R", l_linestatus="F",
+             l_shipdate=dmax),
+    ])
+
+    _append(src, out, "customer", [
+        dict(c_custkey=BIG, c_name="Customer#hostile", c_nationkey=0,
+             c_acctbal=0.0, c_mktsegment="SEGNEW"),
+        dict(c_custkey=BIG + 1, c_name="Customer#negative", c_nationkey=0,
+             c_acctbal=-999.99, c_mktsegment="BUILDING"),
+    ])
+
+    _append(src, out, "part", [
+        dict(p_partkey=BIG, p_name="hostile zero part", p_brand="Brand#99",
+             p_type="TYPE NEW", p_size=0, p_retailprice=0.01),
+    ])
+
+    dim = 64
+    _append(src, out, "embeddings", [
+        # zero vector: norm 0 — every cosine must guard the division
+        dict(vec_id=900001, embedding=[0.0] * dim, label=99),
+        # constant vector and a large-magnitude vector
+        dict(vec_id=900002, embedding=[1.0] * dim, label=99),
+        dict(vec_id=900003, embedding=[1000.0] * 32 + [-1000.0] * 32, label=0),
+    ])
+
+    for t in ("region", "nation", "supplier"):
+        _append(src, out, t, [])
+
+    print(f"hostile fixture written to {out}")
+
+
+if __name__ == "__main__":
+    main()
