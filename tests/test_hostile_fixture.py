@@ -1,0 +1,86 @@
+"""Adversarial-fixture regression gate.
+
+Round-6 hostile sweep (tools/make_hostile_fixture.py) found 17 latent
+issues invisible on the clean fixture: ANSI crashes on degenerate input
+(zero-norm vectors, empty docs, n=1 series, >int31 keys), silent
+convention divergences (NULL sort order, round() tie-breaking, accent
+folding), and domain-edge wrong answers (Benford's first digit on
+sub-unit prices). This test rebuilds the hostile fixture from sf0.001
+into a tmp dir and re-runs the representative queries from each failure
+class through BOTH engines with the driver-shaped comparison, so the
+whole class stays pinned without the 10-minute full sweep.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from check_oracle import frame_fingerprint  # noqa: E402
+
+from hive_export_spark.registry import all_oracles, all_queries  # noqa: E402
+from hive_export_spark.sources import TABLE_NAMES  # noqa: E402
+
+# one representative per hostile-failure class (round-6 sweep):
+PINNED = [
+    # ANSI crash class: empty-doc ratios, n=1 variance, zero variance,
+    # singleton series sd, >int31 cast, zero-norm cosine
+    "llm_text_quality",
+    "agg_stats_moments",
+    "agg_skew_kurtosis",
+    "stats_zscore_outliers",
+    "fn_try_family",
+    "llm_sim_topk_bruteforce",
+    # convention-divergence class: NULL rank order, round() ties,
+    # accent-folding map
+    "stats_bootstrap_poisson",
+    "ts_interpolate_linear",
+    "llm_text_normalize",
+    # domain-edge class: sub-unit price first digit
+    "stats_benford_first_digit",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("hostile_fixture"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "make_hostile_fixture.py"),
+            "/root/testdata/sf0.001",
+            out,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck(hostile_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hostile_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_hostile_query_matches_oracle(spark, hostile_dir, duck, name):
+    sdf = all_queries()[name](spark, hostile_dir)
+    s_n, s_cols, s_hash = frame_fingerprint(
+        sdf.columns, [tuple(r) for r in sdf.collect()]
+    )
+    rel = duck.sql(all_oracles()[name])
+    d_n, d_cols, d_hash = frame_fingerprint(rel.columns, rel.fetchall())
+    assert (s_n, s_cols, s_hash) == (d_n, d_cols, d_hash)
