@@ -89,14 +89,46 @@ def ml_random_projection_topk(
 
     from hive_export_spark.operators.similarity import _as_double, cosine
 
+    # NULL/short embeddings (failed embed jobs) must never reach the
+    # spark.ml hash UDF: array_to_vector NPEs on a null array and the
+    # random-projection gemv raises on a dimension mismatch. Filtering
+    # alone CANNOT guarantee that — InferFiltersFromGenerate pushes
+    # isnotnull(hash(vec)) predicates into the scan filter and codegen
+    # subexpression elimination evaluates the hash UDF unconditionally
+    # ahead of any short-circuiting guard (proven in the NULL-wave
+    # hostile sweep). So the UDF is made TOTAL instead: invalid rows
+    # are padded to the corpus dimension (probed with one
+    # early-terminating limit-1 scan) and excluded from candidates by a
+    # plain boolean flag the optimizer may place anywhere. No-op on
+    # clean corpora.
+    # bounded: 1-row dimension probe via limit(1)
+    probe = (
+        vectors.select(_as_double(F.col(vec_col)).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .limit(1)
+        .collect()
+    )
+    dim = len(probe[0][0]) if probe else 0
+    zero = F.array_repeat(F.lit(0.0), dim)
+
+    def total_arr(c):
+        a = _as_double(c)
+        return F.when(a.isNotNull() & (F.size(a) == dim), a).otherwise(zero)
+
+    def valid(c):
+        a = _as_double(c)
+        return a.isNotNull() & (F.size(a) == dim)
+
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__arr"),
-    ).withColumn("__vec", array_to_vector("__arr"))
+        total_arr(F.col(vec_col)).alias("__arr"),
+        valid(F.col(vec_col)).alias("__valid"),
+    ).filter("__valid").withColumn("__vec", array_to_vector("__arr"))
     q = queries.select(
         F.col(query_id_col),
-        _as_double(F.col(vec_col)).alias("__qarr"),
-    ).withColumn("__qvec", array_to_vector("__qarr"))
+        total_arr(F.col(vec_col)).alias("__qarr"),
+        valid(F.col(vec_col)).alias("__qvalid"),
+    ).filter("__qvalid").withColumn("__qvec", array_to_vector("__qarr"))
 
     lsh = BucketedRandomProjectionLSH(
         inputCol="__vec", outputCol="__hashes",

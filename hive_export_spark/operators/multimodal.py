@@ -207,8 +207,12 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: text bytes become the
     opaque payload (UTF-8), metadata stays typed. Stand-in for real
-    image/audio ingestion, exercising the exact schema shape."""
-    return df.select(
+    image/audio ingestion, exercising the exact schema shape.
+
+    NULL-text rows (failed scrapes) are skipped at this boundary — no
+    payload, no media row (pinned by the NULL-wave hostile sweep; a
+    no-op on NULL-free fixtures)."""
+    return df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -227,7 +231,9 @@ def documents_as_real_media(df: DataFrame) -> DataFrame:
     text length n: image (64 + n%512) x (64 + 7n%512), audio n%1000
     samples, video greatest(n%100, 1) frames at 320x240. Runs as an
     Arrow-batched pandas UDF (container assembly is per-row Python by
-    nature; at scale this is the ingestion boundary, not a query path)."""
+    nature; at scale this is the ingestion boundary, not a query path).
+    NULL-text rows are skipped at the boundary, same as
+    :func:`documents_as_media`."""
 
     @F.pandas_udf(T.BinaryType())
     def build_payload(text: pd.Series, media_type: pd.Series) -> pd.Series:
@@ -243,7 +249,7 @@ def documents_as_real_media(df: DataFrame) -> DataFrame:
                 out.append(mjpeg_bytes(320, 240, max(n % 100, 1)))
         return pd.Series(out)
 
-    typed = df.select(
+    typed = df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -199,8 +199,13 @@ def repetition_stats(
         (top_count.cast("double") / n_words.cast("double")).alias(
             "top_word_ratio"
         ),
-        (
+        # NULL text must yield a NULL ratio, not an engine-improvised
+        # value: Spark's greatest(NULL-1, 1) = 1 builds a [NULL] bigram
+        # list (ratio 0.0) while DuckDB's range(1, NULL) builds []
+        # (ratio 1.0) — pinned NULL on both sides (NULL-wave sweep)
+        F.when(
+            F.col(text_col).isNotNull(),
             F.lit(1.0)
-            - n_distinct_bigrams.cast("double") / n_bigrams.cast("double")
+            - n_distinct_bigrams.cast("double") / n_bigrams.cast("double"),
         ).alias("dup_bigram_ratio"),
     )

@@ -125,6 +125,8 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "1-row sketch-estimate aggregate",
         ('queries/llm_queries.py', 'return exact.crossJoin(found).select('):
             "two 1-row aggregates (exact vs approximate count)",
+        ('operators/ml_lsh.py', '.collect()'):
+            "1-row embedding-dimension probe via limit(1), early-terminating scan",
     }
     for key, why in allowed.items():
         if not (isinstance(why, str) and why.strip()):

@@ -376,27 +376,35 @@ SELECT doc_id, lang, n_chars FROM documents
     "log-shipping format the reference's consumers commonly land "
     "(HivePartitionStream.java writes line-delimited records). Fields "
     "chosen are delimiter-free by schema (bigint, single-token lang "
-    "code, bigint), so the round trip is lossless by construction; "
-    "hash-compared against the parquet source. Text scans split by "
-    "line ranges, so the read parallelizes like any file source.",
+    "code, bigint); NULLs are encoded as the Hive text sentinel \\\\N "
+    "(concat_ws silently DROPS null args, which shifts every later "
+    "field over and broke the indexed re-parse on NULL-bearing rows — "
+    "NULL-wave hostile sweep), so the round trip is lossless including "
+    "NULLs; hash-compared against the parquet source. Text scans split "
+    "by line ranges, so the read parallelizes like any file source.",
 )
 def fmt_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sentinel = "\\N"
     src = load_table(spark, "documents", sf_dir).select(
         F.concat_ws(
             "\t",
-            F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.col("n_chars").cast("string"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit(sentinel)),
+            F.coalesce(F.col("lang"), F.lit(sentinel)),
+            F.coalesce(F.col("n_chars").cast("string"), F.lit(sentinel)),
         ).alias("value")
     )
     path = os.path.join(scratch_dir("fmt_roundtrip"), "text")
     src.write.mode("overwrite").format("text").save(path)
     lines = spark.read.format("text").load(path)
     parts = F.split(F.col("value"), "\t")
+
+    def field(i: int):
+        return F.nullif(parts.getItem(i), F.lit(sentinel))
+
     return lines.select(
-        parts.getItem(0).cast("bigint").alias("doc_id"),
-        parts.getItem(1).alias("lang"),
-        parts.getItem(2).cast("bigint").alias("n_chars"),
+        field(0).cast("bigint").alias("doc_id"),
+        field(1).alias("lang"),
+        field(2).cast("bigint").alias("n_chars"),
     )
 
 

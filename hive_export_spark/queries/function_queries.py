@@ -368,8 +368,9 @@ def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT)
          AS n_a_words,
-       COALESCE(array_to_string(regexp_extract_all(text, '\\b[a-z]{6,}\\b'), '|'), '')
-         AS long_words,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(regexp_extract_all(text, '\\b[a-z]{6,}\\b'), '|'), '')
+            END AS long_words,
        CASE WHEN regexp_matches(text, 'table.*table') THEN 1 ELSE 0 END
          AS has_double_table,
        regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
@@ -380,7 +381,10 @@ FROM documents
     "(arrays stay out of driver outputs), boolean rlike, global "
     "replace. Patterns restricted to the Java-regex/RE2 common subset "
     "(classes, quantifiers, word boundaries) — engine dialects diverge "
-    "beyond it.",
+    "beyond it. The joined-extract column pins BOTH edge conventions: "
+    "zero matches -> '' (DuckDB array_to_string([]) is NULL, Spark "
+    "array_join([]) is ''), NULL text -> NULL (NULL-wave hostile "
+    "sweep).",
 )
 def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
@@ -483,10 +487,13 @@ WITH base AS (
   FROM embeddings
 )
 SELECT vec_id,
-       CAST(round(list_reduce(e, (acc, x) -> acc + x), 6) AS DOUBLE) AS s,
-       CAST(round(sqrt(list_reduce(
+       CAST(round(CASE WHEN e IS NULL OR len(e) = 0 THEN NULL
+                       ELSE list_reduce(e, (acc, x) -> acc + x) END, 6)
+            AS DOUBLE) AS s,
+       CAST(round(CASE WHEN e IS NULL OR len(e) = 0 THEN NULL
+                       ELSE sqrt(list_reduce(
            list_transform(list_zip(e, e), p -> p[1] * p[2]),
-           (acc, x) -> acc + x)), 6) AS DOUBLE) AS l2,
+           (acc, x) -> acc + x)) END, 6) AS DOUBLE) AS l2,
        len(list_filter(e, x -> x < 0)) > 0 AS any_neg,
        len(list_filter(e, x -> NOT abs(x) < 1000000.0)) = 0 AS all_finite,
        CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos
@@ -500,27 +507,37 @@ FROM base
     "shuffle-free pass at any corpus size. Both engines fold "
     "left-to-right over the same element order, so the double sums are "
     "bit-identical before the guard round(6); boolean/int outputs are "
-    "exact. DuckDB mirrors with list_reduce / list_zip / list_filter.",
+    "exact. DuckDB mirrors with list_reduce / list_zip / list_filter. "
+    "NULL/empty vectors (failed embed jobs) yield NULL folds on BOTH "
+    "sides — pinned explicitly because the engines' natural behaviors "
+    "diverge three ways (Spark aggregate returns the seed on [], "
+    "DuckDB list_reduce raises on [] and on NULL input lists; "
+    "NULL-wave hostile sweep).",
 )
 def fn_higher_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
+    degenerate = F.col("e").isNull() | (F.size("e") == 0)
     return emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     ).select(
         "vec_id",
-        F.round(
-            F.expr("aggregate(e, 0D, (acc, x) -> acc + x)"), 6
-        ).cast("double").alias("s"),
-        F.round(
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(e, e, (x, y) -> x * y), 0D,"
-                    " (acc, x) -> acc + x)"
-                )
-            ),
-            6,
-        ).cast("double").alias("l2"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.expr("aggregate(e, 0D, (acc, x) -> acc + x)"), 6
+            ).cast("double")
+        ).alias("s"),
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "aggregate(zip_with(e, e, (x, y) -> x * y), 0D,"
+                        " (acc, x) -> acc + x)"
+                    )
+                ),
+                6,
+            ).cast("double")
+        ).alias("l2"),
         F.expr("exists(e, x -> x < 0)").alias("any_neg"),
         F.expr("forall(e, x -> abs(x) < 1000000.0D)").alias("all_finite"),
         F.expr("size(filter(e, x -> x > 0))").cast("int").alias("n_pos"),
@@ -530,8 +547,13 @@ def fn_higher_order_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_xpath_family",
     oracle="""
-SELECT doc_id, lang AS x_lang, n_chars AS x_chars,
-       CAST(doc_id AS VARCHAR) AS x_id_attr
+SELECT doc_id,
+       CASE WHEN lang IS NULL OR n_chars IS NULL THEN NULL
+            ELSE lang END AS x_lang,
+       CASE WHEN lang IS NULL OR n_chars IS NULL THEN NULL
+            ELSE n_chars END AS x_chars,
+       CASE WHEN lang IS NULL OR n_chars IS NULL THEN NULL
+            ELSE CAST(doc_id AS VARCHAR) END AS x_id_attr
 FROM documents
 """,
     doc="XPath function family (xpath_string / xpath_long over embedded "
@@ -541,7 +563,10 @@ FROM documents
     "(same as the serde round-trips), so the oracle is the plain "
     "source projection and any extraction bug breaks the hash. The "
     "XPath evaluation is JVM-side codegen (no UDF); inputs are "
-    "XML-safe by schema (ids and language codes).",
+    "XML-safe by schema (ids and language codes). A row with ANY "
+    "NULL field serializes to a NULL fragment (concat semantics) and "
+    "every extraction is NULL — mirrored in the oracle's CASE "
+    "(NULL-wave hostile sweep).",
 )
 def fn_xpath_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
@@ -609,7 +634,8 @@ WITH arr AS (
   FROM documents
 )
 SELECT doc_id,
-       unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+       unnest(CASE WHEN longs IS NULL OR len(longs) = 0
+                   THEN [NULL] ELSE longs END)
          AS long_term
 FROM arr
 """,
@@ -620,7 +646,9 @@ FROM arr
     "pipelines). Filtered to 7+-char tokens so a meaningful fraction "
     "of documents genuinely produce the empty case. DuckDB mirrors "
     "with a CASE-wrapped [NULL] sentinel since its unnest drops "
-    "empties like plain explode.",
+    "empties like plain explode; the sentinel also covers NULL-text "
+    "rows, whose NULL token array explode_outer keeps as a NULL row "
+    "just like the empty case (NULL-wave hostile sweep).",
 )
 def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
@@ -647,17 +675,27 @@ FROM documents
     "surface export pipelines use for fixed-width ids and log lines. "
     "The %08.2f float case renders a double both engines computed "
     "identically (exact integer / literal), so even float formatting "
-    "is hash-stable. Pure projection, zero shuffle.",
+    "is hash-stable. Pure projection, zero shuffle. NULL args are "
+    "pinned NULL-propagating: Java-style format_string renders the "
+    "text 'null' where DuckDB printf yields NULL (NULL-wave hostile "
+    "sweep), so each format is guarded on its inputs.",
 )
 def fn_printf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
+
+    def fmt_nn(fmt, *cols):
+        guard = F.lit(True)
+        for c in cols:
+            guard = guard & c.isNotNull()
+        return F.when(guard, F.format_string(fmt, *cols))
+
     return d.select(
         "doc_id",
-        F.format_string("doc-%05d", F.col("doc_id")).alias("padded_id"),
-        F.format_string("%s/%d chars", F.col("lang"), F.col("n_chars")).alias(
+        fmt_nn("doc-%05d", F.col("doc_id")).alias("padded_id"),
+        fmt_nn("%s/%d chars", F.col("lang"), F.col("n_chars")).alias(
             "summary"
         ),
-        F.format_string(
+        fmt_nn(
             "%08.2f", F.col("n_chars").cast("double") / 7
         ).alias("ratio_str"),
         F.lpad("lang", 6, ".").alias("lang_pad"),

@@ -378,8 +378,9 @@ SELECT doc_id,
        CAST(list_max([len(list_filter(words, x -> x = w))
                       for w in list_distinct(words)]) AS DOUBLE)
          / len(words) AS top_word_ratio,
-       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
-         AS dup_bigram_ratio
+       CASE WHEN words IS NULL THEN NULL
+            ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+            END AS dup_bigram_ratio
 FROM b
 """,
     doc="intra-document repetition gate (Gopher/RefinedWeb-style): "
@@ -513,7 +514,7 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
-       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+       CASE WHEN coalesce(greatest(hits_en, hits_de, hits_fr, hits_es), 0) = 0 THEN 'und'
             WHEN hits_es > hits_fr AND hits_es > hits_de AND hits_es > hits_en THEN 'es'
             WHEN hits_fr > hits_de AND hits_fr > hits_en THEN 'fr'
             WHEN hits_de > hits_en THEN 'de'
@@ -521,7 +522,10 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
 FROM h
 """,
     doc="marker-word language ID with deterministic priority tie-break "
-    "(operators.text.language_id)",
+    "(operators.text.language_id); NULL text classifies as 'und' on "
+    "both engines (coalesce in the oracle CASE — DuckDB's ELSE branch "
+    "would otherwise swallow the NULL comparisons and answer 'en'; "
+    "NULL-wave hostile sweep)",
 )
 def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -558,7 +562,7 @@ WITH media AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          octet_length(encode(text)) AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), v AS (
   SELECT *, GREATEST(n % 100, 1) AS vframes FROM media
 )
@@ -906,7 +910,7 @@ WITH t AS (
   FROM f GROUP BY doc_id
 )
 SELECT t.doc_id, len(t.toks) AS n_tokens, d.n_unique, d.dedup_text
-FROM t JOIN d USING (doc_id)
+FROM t LEFT JOIN d USING (doc_id)
 """,
     doc="intra-document dedup: remove repeated tokens within each "
     "document keeping first occurrence (array_distinct preserves "
@@ -914,7 +918,9 @@ FROM t JOIN d USING (doc_id)
     "dedup family, used to strip boilerplate/repetition before token "
     "counting. Pure per-row array ops: no shuffle, no Python, fully "
     "codegen'd; the oracle reconstructs first-occurrence order "
-    "relationally (min ordinal per token + ordered string_agg).",
+    "relationally (min ordinal per token + ordered string_agg), with a "
+    "LEFT join so NULL-text rows keep their all-NULL row exactly like "
+    "the Spark per-row projection does (NULL-wave hostile sweep).",
 )
 def llm_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
@@ -2095,7 +2101,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH media AS (
   SELECT doc_id AS media_id,
          GREATEST(octet_length(encode(text)) % 100, 1) AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
 )
 SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames,
        CAST(slot AS INTEGER) AS slot,
@@ -2304,6 +2310,7 @@ WITH e AS (
   SELECT vec_id, label, i - 1 AS dim,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM embeddings, unnest(range(1, 65)) AS u(i)
+  WHERE embedding IS NOT NULL
 ), lab AS (
   SELECT label, dim, SUM(q)::HUGEINT AS sa, COUNT(*) AS cnt
   FROM e GROUP BY label, dim
@@ -2336,10 +2343,15 @@ FROM dots, gn
     "corpus-sized sum-of-products hits. No per-row float accumulation "
     "anywhere, so the result is reduction-order-free. Scale shape: "
     "explode is 64 rows per vector, two keyed aggregations (label x "
-    "dim, then label), the 64-row global centroid broadcast back.",
+    "dim, then label), the 64-row global centroid broadcast back. "
+    "NULL embeddings (failed embed jobs) are excluded on BOTH sides: "
+    "Spark's posexplode silently drops them while DuckDB's lateral "
+    "cross keeps a NULL-sum group (NULL-wave hostile sweep).",
 )
 def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, "embeddings", sf_dir)
+    em = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull()
+    )
     e = em.select(
         "label",
         F.posexplode("embedding").alias("dim", "x"),

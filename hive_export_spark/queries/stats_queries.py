@@ -766,7 +766,7 @@ WITH v AS (
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), med AS (
   SELECT event_type, vd AS med FROM v WHERE rn = (n + 1) // 2
 ), dev AS (
@@ -791,13 +791,15 @@ WHERE d.ad > 3 * md.mad
     "agg_kll_quantile_merge: the ((n+1) div 2)-th element under a "
     "(value, event_id) total order, picked identically by both engines "
     "via ROW_NUMBER — engine quantile builtins disagree on even-count "
-    "rank conventions. All arithmetic is decimal-exact, so the outlier "
-    "SET is bit-deterministic. Shape: two (series)-keyed sort windows "
+    "rank conventions, and NULL measurements are dropped at the scan "
+    "on both sides (they would shift every rank: Spark sorts NULLs "
+    "first, DuckDB last; NULL-wave hostile sweep). All arithmetic is "
+    "decimal-exact, so the outlier SET is bit-deterministic. Shape: two (series)-keyed sort windows "
     "reusing one Exchange + two broadcast joins of series-cardinality "
     "tables; the fact stream shuffles once.",
 )
 def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     vd = F.col("value").cast(_DEC)
     w_n = Window.partitionBy("event_type")
     w_rn = Window.partitionBy("event_type").orderBy(vd, "event_id")
@@ -923,7 +925,7 @@ WITH vals AS (
   SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_b
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
 ), per_value AS (
   SELECT v, SUM(is_a) AS a_cnt, SUM(is_b) AS b_cnt
   FROM vals GROUP BY v
@@ -952,8 +954,12 @@ FROM cdf CROSS JOIN tot t GROUP BY t.na, t.nb
     "window over that grid, one scalar reduce.",
 )
 def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL measurements are dropped at the scan on both sides: a NULL
+    # value grid-cell would take the two engines' cumulative sums
+    # through different orders (NULL-wave hostile sweep)
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     vals = ev.select(
         (F.col("value").cast(_DEC) * 100).cast("bigint").alias("v"),
@@ -1311,6 +1317,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
   FROM events WHERE event_type IN ('view', 'purchase')
+    AND value IS NOT NULL
 ), r AS (
   SELECT event_type, v,
          RANK() OVER (ORDER BY v) AS rmin,
@@ -1351,8 +1358,11 @@ FROM agg, ties
     "disagreement would hash-mismatch.",
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL measurements dropped at the scan on both sides — a NULL
+    # would enter the rank at engine-dependent positions (NULL-wave)
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     s = ev.select("event_type", F.col("value").cast(_DEC).alias("v"))
     is_a = F.col("event_type") == "view"
@@ -1455,7 +1465,8 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_winsorize",
     oracle="""
 WITH s AS (
-  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
 ), h AS (
   SELECT event_type, v, COUNT(*) AS c FROM s GROUP BY event_type, v
 ), w AS (
@@ -1489,7 +1500,10 @@ FROM s JOIN q USING (event_type)
     "clip pass.",
 )
 def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # NULL measurements dropped at the scan on both sides (NULL-wave):
+    # a NULL histogram cell would sort engine-dependently and a NULL
+    # clip comparison yields NULL 'clipped' where DuckDB keeps rows
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     s = ev.select(
         "event_id", "event_type", F.col("value").cast(_DEC).alias("v")
     )
@@ -1565,7 +1579,8 @@ def _mix32_col(h):
     "stats_bootstrap_ci",
     oracle=f"""
 WITH s AS (
-  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events
+  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
 ), idx AS (
   SELECT event_type, v,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) - 1 AS i,
@@ -1636,7 +1651,9 @@ FROM pt p JOIN ci c USING (event_type) JOIN grp g USING (event_type)
 )
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _BOOT_B
-    ev = load_table(spark, "events", sf_dir)
+    # NULL measurements dropped at the scan on both sides: they would
+    # shift every rank index the draws join on (NULL-wave hostile sweep)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     s = ev.select(
         "event_type", "event_id", F.col("value").cast(_DEC).alias("v")
     )
@@ -1736,7 +1753,8 @@ _POIS_CASE_SQL = (
     "stats_bootstrap_poisson",
     oracle=f"""
 WITH s AS (
-  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events
+  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE value IS NOT NULL
 ), mix_in AS (
   SELECT event_type, b.b AS b, v,
          ((event_id % 4294967296) * 40503 + b.b * 2654435761 + 986419)
@@ -1799,7 +1817,9 @@ FROM pt p JOIN ci c USING (event_type)
 )
 def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _BOOT_B
-    ev = load_table(spark, "events", sf_dir)
+    # same NULL-measurement scan filter as stats_bootstrap_ci: a NULL
+    # value would contribute a NULL product to every resample sum
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
     s = ev.select(
         "event_type", "event_id", F.col("value").cast(_DEC).alias("v")
     )
@@ -1868,6 +1888,7 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
   FROM events WHERE event_type IN ('view', 'purchase')
+    AND value IS NOT NULL
 ), h AS (
   SELECT event_type, v, COUNT(*) AS c FROM s GROUP BY event_type, v
 ), w AS (
@@ -1900,8 +1921,11 @@ FROM q GROUP BY q
     "distinct-values-sized tables, 18-row pivot to the final 9 rows.",
 )
 def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL measurements dropped at the scan on both sides (NULL-wave):
+    # a NULL histogram cell would cumulate in engine-dependent order
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
     )
     s = ev.select("event_type", F.col("value").cast(_DEC).alias("v"))
     h = s.groupBy("event_type", "v").agg(F.count("*").alias("c"))

@@ -45,6 +45,17 @@ PINNED = [
     "llm_text_normalize",
     # domain-edge class: sub-unit price first digit
     "stats_benford_first_digit",
+    # NULL-wave class (round-6 second sweep: NULL text / value /
+    # embedding payload rows): serialization sentinel round-trip,
+    # outer-explode NULL-array row, rank-based stats with NULL
+    # measurements, per-row text transform NULL row retention, spark.ml
+    # LSH with a NULL vector reaching the hash UDF via pushed-down
+    # inferred filters
+    "fmt_roundtrip_text",
+    "fn_explode_outer",
+    "stats_mad_outliers",
+    "llm_intradoc_dedup",
+    "llm_sim_rp_lsh_topk",
 ]
 
 

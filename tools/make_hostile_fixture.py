@@ -67,6 +67,14 @@ def main() -> None:
         # non-ascii tokens: regex [a-z] classes, length vs bytes
         dict(doc_id=900006, text="ünïcødé tökens repéat repéat",
              lang="de", source="web", n_chars=28),
+        # NULL payload fields: a failed scrape yields NULL text, an
+        # unclassified doc NULL lang/source — at corpus scale these
+        # exist; every text/route expression must propagate NULL
+        # identically on both engines, never crash
+        dict(doc_id=900007, text=None, lang="en", source="web",
+             n_chars=None),
+        dict(doc_id=900008, text="orphan doc", lang=None, source=None,
+             n_chars=10),
     ])
 
     mid = datetime(2024, 6, 15, 12, 0, 0)
@@ -88,6 +96,11 @@ def main() -> None:
         # null props / empty props string
         dict(event_id=900006, ts=mid, user_id=3, event_type="click",
              value=1.0, props=None),
+        # NULL measurement: sensor dropout — aggregates/windows must
+        # skip it the same way on both engines (SQL NULL-ignoring
+        # aggs), never turn it into 0 or crash
+        dict(event_id=900007, ts=mid, user_id=1, event_type="view",
+             value=None, props="{}"),
     ])
 
     dmin = datetime(1992, 1, 1)
@@ -131,6 +144,9 @@ def main() -> None:
         # constant vector and a large-magnitude vector
         dict(vec_id=900002, embedding=[1.0] * dim, label=99),
         dict(vec_id=900003, embedding=[1000.0] * 32 + [-1000.0] * 32, label=0),
+        # NULL vector: a failed embedding job writes the row with no
+        # payload; distance/similarity paths must NULL-propagate
+        dict(vec_id=900004, embedding=None, label=None),
     ])
 
     for t in ("region", "nation", "supplier"):
