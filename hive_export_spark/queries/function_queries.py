@@ -161,14 +161,21 @@ def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json_family",
     oracle="""
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
-       json_extract_string(props, '$.k') AS k_string,
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k_value,
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END AS k_string,
        CAST(to_json(struct_pack(id := event_id, t := event_type)) AS VARCHAR) AS packed
 FROM events
 """,
     doc="JSON family: path extraction (typed + string) and struct->JSON "
     "(the reference's R5 encode generalized; from_json is exercised in "
-    "streaming queries)",
+    "streaming queries). Malformed/truncated props yield NULL "
+    "extractions on both engines (Spark's PERMISSIVE parse vs a "
+    "json_valid guard over DuckDB's raising json_extract — hostile "
+    "sweep). Known leniency gap kept out of the pinned domain: Spark's "
+    "Jackson accepts a valid root value with TRAILING GARBAGE "
+    "('{..}x'), DuckDB's json_valid rejects it.",
 )
 def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -443,7 +450,8 @@ SELECT event_id,
        event_type AS vtype,
        CAST(value AS DOUBLE) AS vvalue,
        event_id AS vid1,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
 FROM events
 """,
     doc="VARIANT type family (parse_json / variant_get, Spark 4): "
@@ -468,7 +476,10 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = ev.select(
         "event_id",
         F.parse_json(j).alias("__v"),
-        F.parse_json(F.col("props")).alias("__pv"),
+        # try_parse_json: ANSI parse_json raises MALFORMED_RECORD on a
+        # truncated props string from a broken upstream writer; NULL on
+        # malformed is the pinned cross-engine convention (hostile sweep)
+        F.expr("try_parse_json(props)").alias("__pv"),
     )
     return parsed.select(
         "event_id",

@@ -56,6 +56,9 @@ PINNED = [
     "stats_mad_outliers",
     "llm_intradoc_dedup",
     "llm_sim_rp_lsh_topk",
+    # malformed-JSON class (broken upstream writer in props): ANSI
+    # parse_json must try, DuckDB json_extract must be json_valid-guarded
+    "fn_variant_family",
 ]
 
 

@@ -101,6 +101,11 @@ def main() -> None:
         # aggs), never turn it into 0 or crash
         dict(event_id=900007, ts=mid, user_id=1, event_type="view",
              value=None, props="{}"),
+        # malformed JSON props: a broken upstream writer — JSON
+        # extraction must yield NULL on both engines (Spark ANSI
+        # parse_json raises, DuckDB json_extract raises), never crash
+        dict(event_id=900008, ts=mid, user_id=3, event_type="click",
+             value=2.0, props='{"k": 7'),
     ])
 
     dmin = datetime(1992, 1, 1)
