@@ -62,6 +62,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (joins/rollup/setops/window basics/TPC-H tail, 30 queries) is the
     # r7 body behind them.
     #
+    # ROUND-7 ROTATION HEAD (updated after the r6 adversarial waves):
+    # the hostile-fixture hardening changed code/oracles for some
+    # OUT-of-window queries, making their old driver rows stale
+    # evidence. All are green in ORACLE_r06.txt (current fixtures, both
+    # sf) and pinned in tests/test_hostile_fixture.py, but they belong
+    # at the FRONT of the r7 window alongside the 4 deferred:
+    #   fmt_roundtrip_text (NULL sentinel), fn_regexp_family,
+    #   fn_printf_family, fn_json_family, fn_variant_family,
+    #   llm_text_repetition, llm_text_langid, llm_intradoc_dedup,
+    #   llm_text_normalize, llm_text_quality (try_divide ratios),
+    #   llm_multimodal_features, llm_sim_rp_lsh_topk,
+    #   llm_dedup_minhash_ml, llm_sim_topk_bruteforce (try_divide
+    #   cosine), stats_mad_outliers, stats_winsorize, stats_zscore,
+    #   agg_stats_moments, agg_skew_kurtosis, ts_interpolate_linear,
+    #   fn_try_family, llm_sample_mixture.
+    # Then the r1-stale tail, oldest first.
+    #
     # the five changed + one new (freshest code, strongest need):
     "llm_quality_classifier",
     "fn_interval_family",
