@@ -15,6 +15,14 @@ The oracle gate still applies unchanged on the hostile dir: both engines
 read the SAME parquet, so any FAIL is a real cross-engine divergence or
 crash — a latent bug, not fixture noise.
 
+Deliberate boundary: values OUTSIDE the fixture domain contract (e.g.
+event values >= 1e10 that overflow the pinned DECIMAL(12,2) arithmetic)
+are NOT laced in. The production answer to out-of-domain corruption is
+quarantine-first data quality (the scale_dq_checks operator), not
+try_cast scattered through every statistic — a corrupted sensor value
+should be *rejected with provenance*, not silently dropped per-query.
+Edge rows here stay within the generator's plausible output domain.
+
 Usage:
     python tools/make_hostile_fixture.py [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir> --hostile        # then sweep
