@@ -108,9 +108,14 @@ def ngram_jaccard_pairs(
     sh = shingle_index(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        # anti-join against the HOT shingles, not semi-join against the
+        # cold ones: the stop-list (freq > cap) has at most
+        # total_occurrences/cap entries — genuinely broadcast-safe at any
+        # corpus size — while the cold set is vocabulary-sized
         sh = (
-            sh.join(F.broadcast(freq.filter(F.col("__f") <= max_shingle_freq)),
-                    "shingle", "left_semi")
+            # bounded: stop-shingle list, <= total shingle occurrences / cap rows
+            sh.join(F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
+                    "shingle", "left_anti")
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -328,6 +333,7 @@ def minhash_lsh_pairs(
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
+    # bounded: LSH-candidate doc ids, O(surviving near-dup pairs) — orders below corpus size by construction
     needed = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     shsets = needed.select(
         F.col(id_col), word_shingles(text_col).alias("__shs")
@@ -514,6 +520,7 @@ def ngram_overlap(
         F.explode(word_shingles(text_col, n)).alias("shingle")
     ).distinct()
     return (
+        # bounded: probe-set shingles — benchmark/eval corpora are thousands of docs, not data-scaled
         c_sh.join(F.broadcast(p_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
@@ -586,6 +593,7 @@ def _verify_candidate_pairs(
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
+    # bounded: LSH-candidate doc ids, O(surviving near-dup pairs) — orders below corpus size by construction
     needed = all_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
     shsets = needed.select(F.col(id_col), word_shingles(text_col).alias("__shs"))
     sa = shsets.select(F.col(id_col).alias("doc_a"), F.col("__shs").alias("__shs_a"))

@@ -128,7 +128,9 @@ def ivf_topk(
         [(qid, b) for qid, bs in per_query_buckets for b in bs],
         [query_id_col, "sig"],
     )
+    # bounded: bucket_map = collected query signatures x Hamming-ball buckets, capped by the max_query_rows guard
     candidates = index.join(F.broadcast(bucket_map), "sig").join(
+        # bounded: q capped by the max_query_rows guard above
         F.broadcast(q), query_id_col
     )
     scored = candidates.select(

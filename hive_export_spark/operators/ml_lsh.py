@@ -76,6 +76,7 @@ def ml_random_projection_topk(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     euclidean_threshold: float = 1.35,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH (euclidean) with
     exact cosine re-scoring of bucket-join candidates.
@@ -97,18 +98,29 @@ def ml_random_projection_topk(
     # subexpression elimination evaluates the hash UDF unconditionally
     # ahead of any short-circuiting guard (proven in the NULL-wave
     # hostile sweep). So the UDF is made TOTAL instead: invalid rows
-    # are padded to the corpus dimension (probed with one
-    # early-terminating limit-1 scan) and excluded from candidates by a
-    # plain boolean flag the optimizer may place anywhere. No-op on
+    # are padded to the corpus dimension and excluded from candidates by
+    # a plain boolean flag the optimizer may place anywhere. No-op on
     # clean corpora.
-    # bounded: 1-row dimension probe via limit(1)
-    probe = (
-        vectors.select(_as_double(F.col(vec_col)).alias("__p"))
-        .filter(F.col("__p").isNotNull())
-        .limit(1)
-        .collect()
-    )
-    dim = len(probe[0][0]) if probe else 0
+    #
+    # The corpus dimension is either caller-supplied (``dim``) or probed
+    # as the MODAL vector size: a limit(1) probe would let whichever
+    # non-null row the scan returns first — possibly a single corrupt
+    # wrong-length vector — define "valid" for the whole corpus and
+    # silently empty the result (and make survivorship scan-order
+    # dependent in mixed-dimension corpora). The modal size is scan-order
+    # deterministic (ties break to the larger size) and the agg reads one
+    # pruned column with map-side combine over O(#distinct sizes) groups.
+    if dim is None:
+        probe = (
+            vectors.select(F.size(_as_double(F.col(vec_col))).alias("__sz"))
+            .filter(F.col("__sz") > 0)
+            .groupBy("__sz")
+            .agg(F.count("*").alias("__n"))
+            .orderBy(F.desc("__n"), F.desc("__sz"))
+            .limit(1)
+            .collect()
+        )
+        dim = probe[0][0] if probe else 0
     zero = F.array_repeat(F.lit(0.0), dim)
 
     def total_arr(c):

@@ -96,6 +96,7 @@ def band_join(
     first (not needed for the fixture workloads).
     """
     cond = (F.col(value_col) >= F.col(low_col)) & (F.col(value_col) < F.col(high_col))
+    # bounded: band tables are small by construction (docstring); two large range sides need bucketing instead
     return df.join(F.broadcast(bands), cond, how)
 
 
@@ -230,6 +231,7 @@ def nearest_value_join(
         F.first("__lo_v", ignorenulls=True).over(w_next).alias("__above_v"),
         F.first("__lo_id", ignorenulls=True).over(w_next).alias("__above_id"),
     )
+    # bounded: per-bucket anchor aggregates — O(#range buckets), not data-sized
     pa = p.join(F.broadcast(anchors), "__b", "left")
     in_bucket = p.join(r, "__b").select(
         "__pid", "__pv", F.col("__rid").alias("__cid"), F.col("__rv").alias("__cv")

@@ -64,6 +64,7 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     )
     return (
         survivors.join(
+            # bounded: dominance frontier — one row per distinct min-col value surviving the strict-increase filter
             F.broadcast(frontier),
             (F.col(min_col) == F.col("__fmin"))
             & (F.col(max_col) == F.col("__fmax")),

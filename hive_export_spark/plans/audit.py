@@ -67,20 +67,31 @@ def scan_scale_killers(package_root: str) -> list[str]:
     automates the per-round manual sweep: a new unguarded scale-killer
     fails tests the day it lands, not at the next audit.
 
-    Allowlist discipline (round-6 hardening):
+    Allowlist discipline (round-6 hardening, extended round 7):
     - every entry carries a non-empty per-entry justification string —
       the scanner itself rejects an unjustified entry;
     - STALE entries (matching no current source line) are reported as
       violations, so the list cannot rot as code moves;
-    - ``crossJoin(F.broadcast(X))`` is sanctioned only when X is
-      visibly bounded on the line — an aggregate (``.agg(``/``groupBy``
-      result), a ``.limit(`` frame, or a literal ``spark.range`` — OR
-      the line above carries a ``# bounded:`` justification comment
-      (why X is O(small) at any data scale) or an ``# oracle-twin:``
-      comment (X is data-sized ON PURPOSE: a fixture-scale exact
-      verification twin whose production path is named in the comment).
-      A data-sized broadcast argument with neither fails the sweep
-      (tested).
+    - EVERY ``.crossJoin(X)`` — broadcast or not, single- or multi-line
+      (continuation lines are flattened before matching, closing the
+      round-6 gap where a multi-line chain left a bare ``.crossJoin(``
+      line a generic allowlist key could sanction) — must have X visibly
+      bounded in the flattened statement (an ``.agg(``/``.groupBy(``
+      aggregate, a ``.limit(`` frame, or a literal ``.range(``) OR carry
+      a ``# bounded:`` justification comment (why X is O(small) at any
+      data scale) or an ``# oracle-twin:`` comment (X is data-sized ON
+      PURPOSE: a fixture-scale exact verification twin whose production
+      path is named in the comment) on the line above. There are no
+      allowlist keys for crossJoin at all;
+    - EVERY explicit ``F.broadcast(X)`` hint gets the SAME rule
+      (round-6 verdict ask #4, generalized: join-arg position,
+      leading position ``F.broadcast(X).join(...)``, and crossJoin-arg
+      position are all one rule): an explicit hint overrides AQE's
+      size-based choice, so X must be visibly bounded in the flattened
+      statement or the line above must justify why X stays small at any
+      data scale (``# bounded:``) / why a data-sized broadcast is the
+      point (``# oracle-twin:``). A plain ``.join(X)`` is not policed —
+      AQE decides there.
     """
     import os
 
@@ -105,28 +116,9 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "partition-count metadata probe, not a data materialization",
         ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
             "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
-        ('queries/llm_queries.py', 'tot.crossJoin(n_samp)'):
-            "both sides are 1-row aggregates (corpus totals x sample size)",
-        ('queries/llm_queries.py', '.crossJoin(n_diff)'):
-            "1-row aggregate fan-out (distinct-count scalar)",
-        ('queries/timeseries_queries.py', '.crossJoin('):
-            "1-row aggregate scalar fan-out (series totals)",
-        ('queries/timeseries_queries.py', '.crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_click_after")))'):
-            "1-row count aggregate",
-        ('queries/timeseries_queries.py', '.crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchase_after")))'):
-            "1-row count aggregate",
-        ('queries/stats_queries.py', '.crossJoin('):
-            "1-row aggregate scalar fan-out (test statistics)",
-        ('queries/stats_queries.py', '.crossJoin(both)'):
-            "1-row aggregate (pooled test statistic)",
-        ('queries/stats_queries.py', 'exact.crossJoin(exact_both)'):
-            "two 1-row aggregates (exact vs sketch comparison)",
-        ('queries/stats_queries.py', '.crossJoin(est)'):
-            "1-row sketch-estimate aggregate",
-        ('queries/llm_queries.py', 'return exact.crossJoin(found).select('):
-            "two 1-row aggregates (exact vs approximate count)",
         ('operators/ml_lsh.py', '.collect()'):
-            "1-row embedding-dimension probe via limit(1), early-terminating scan",
+            "1-row modal embedding-dimension probe: groupBy(size).count "
+            "over one pruned column, orderBy+limit(1) — O(#distinct sizes)",
     }
     for key, why in allowed.items():
         if not (isinstance(why, str) and why.strip()):
@@ -134,15 +126,46 @@ def scan_scale_killers(package_root: str) -> list[str]:
     patterns = (
         re.compile(r"\.collect\(\)"),
         re.compile(r"\bF\.udf\(|functions\.udf\(|@udf\b"),
-        re.compile(r"\.crossJoin\("),
         re.compile(r"\.toPandas\(\)"),
         re.compile(r"\.rdd\b"),
     )
-    # the broadcast side of a sanctioned crossJoin must be VISIBLY
-    # bounded: an aggregate, a limit, or a literal small range
-    bounded_arg = re.compile(
-        r"crossJoin\(\s*F\.broadcast\([^)]*(\.agg\(|\.groupBy\(|\.limit\(|\.range\()"
-    )
+    # X is visibly bounded when the flattened statement shows it is an
+    # aggregate, a limited frame, or a literal small range
+    _BOUNDED_MARKS = (".agg(", ".groupBy(", ".limit(", ".range(")
+
+    def paren_arg(flat: str, open_idx: int) -> str:
+        """Argument text inside the paren opening at ``open_idx`` of the
+        flattened statement (balanced-paren scan; tolerant of an
+        unclosed tail when the lookahead window ran out)."""
+        depth = 0
+        for i in range(open_idx, len(flat)):
+            if flat[i] == "(":
+                depth += 1
+            elif flat[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return flat[open_idx + 1 : i]
+        return flat[open_idx + 1 :]
+
+    def flat_statement(lines: list[str], idx: int, lookahead: int = 40) -> str:
+        """The matched physical line plus its continuation lines, joined
+        with whitespace (and interior comment lines) removed — so a
+        chain split across lines is matched as one statement."""
+        out: list[str] = []
+        for ln in lines[idx : idx + lookahead]:
+            s = ln.strip()
+            if s.startswith("#"):
+                continue
+            out.append(s.replace(" ", ""))
+        return "".join(out)
+
+    def broadcast_bounded(arg: str) -> bool:
+        """True when ``arg`` (the text inside crossJoin(...)/join(...))
+        is visibly bounded — directly, or inside its F.broadcast(...)."""
+        if arg.startswith("F.broadcast("):
+            arg = paren_arg(arg, len("F.broadcast"))
+        return any(m in arg for m in _BOUNDED_MARKS)
+
     violations: list[str] = []
     used: set[tuple[str, str]] = set()
     for dirpath, _dirnames, filenames in os.walk(package_root):
@@ -154,38 +177,52 @@ def scan_scale_killers(package_root: str) -> list[str]:
             if rel == "plans/audit.py":  # the scanner's own allowlist
                 continue
             with open(path, encoding="utf-8") as fh:
-                prev = ""
-                for lineno, line in enumerate(fh, 1):
-                    stripped = line.strip()
-                    if stripped.startswith("#"):
-                        prev = stripped
-                        continue
-                    for pat in patterns:
-                        if not pat.search(stripped):
-                            continue
-                        if pat.pattern == r"\.crossJoin\(" and "crossJoin(F.broadcast(" in stripped.replace(" ", ""):
-                            # sanctioned only when the broadcast arg is
-                            # visibly bounded on the line, or the line
-                            # above justifies it with "# bounded:"
-                            flat = stripped.replace(" ", "")
-                            if (
-                                bounded_arg.search(flat)
-                                or prev.startswith("# bounded:")
-                                or prev.startswith("# oracle-twin:")
-                            ):
-                                continue
-                            violations.append(
-                                f"{rel}:{lineno}: crossJoin(F.broadcast(...)) "
-                                f"with no visibly-bounded argument and no "
-                                f"'# bounded:'/'# oracle-twin:' justification: "
-                                f"{stripped}"
-                            )
-                            continue
-                        if (rel, stripped) in allowed:
-                            used.add((rel, stripped))
-                            continue
-                        violations.append(f"{rel}:{lineno}: {stripped}")
+                lines = fh.readlines()
+            prev = ""
+            for lineno, line in enumerate(lines, 1):
+                stripped = line.strip()
+                if stripped.startswith("#"):
                     prev = stripped
+                    continue
+                justified = prev.startswith("# bounded:") or prev.startswith(
+                    "# oracle-twin:"
+                )
+                head = stripped.replace(" ", "")
+                flat = None
+                # rule 1: every crossJoin, matched on the flattened
+                # statement so multi-line chains can't dodge the sweep
+                for m in re.finditer(r"\.crossJoin\(", head):
+                    flat = flat or flat_statement(lines, lineno - 1)
+                    if broadcast_bounded(paren_arg(flat, m.end() - 1)) or justified:
+                        continue
+                    violations.append(
+                        f"{rel}:{lineno}: crossJoin with no visibly-bounded "
+                        f"argument and no '# bounded:'/'# oracle-twin:' "
+                        f"justification: {stripped}"
+                    )
+                # rule 2: every explicit broadcast hint gets the same
+                # discipline — the hint overrides AQE's size check —
+                # regardless of position (join arg, leading frame,
+                # crossJoin arg)
+                for m in re.finditer(r"\bF\.broadcast\(", head):
+                    flat = flat or flat_statement(lines, lineno - 1)
+                    arg = paren_arg(flat, m.end() - 1)
+                    if any(b in arg for b in _BOUNDED_MARKS) or justified:
+                        continue
+                    violations.append(
+                        f"{rel}:{lineno}: F.broadcast(...) hint with "
+                        f"no visibly-bounded argument and no "
+                        f"'# bounded:'/'# oracle-twin:' justification: "
+                        f"{stripped}"
+                    )
+                for pat in patterns:
+                    if not pat.search(stripped):
+                        continue
+                    if (rel, stripped) in allowed:
+                        used.add((rel, stripped))
+                        continue
+                    violations.append(f"{rel}:{lineno}: {stripped}")
+                prev = stripped
     stale = set(allowed) - used
     violations.extend(
         f"STALE allowlist entry (matches no source line, remove it): {k}"

@@ -54,25 +54,55 @@ def sf_scratch_dir(name: str, sf_dir: str) -> str:
     """Scratch path for _SUCCESS-cached data derived from ``sf_dir``.
 
     Keyed on a hash of the FULL fixture path PLUS a content fingerprint
-    (per-parquet size + mtime_ns): two fixture roots with the same leaf
-    name must not reuse each other's cache, and — the subtler hazard —
-    a fixture REGENERATED in place under an existing scratch tree must
-    invalidate every derived cache (a stale IVF index or MinHash
-    signature store against new fixtures would silently wrong-answer
-    the probe queries). Regeneration changes mtime, so the key moves
-    and the derived data rebuilds.
+    (per-parquet size + mtime_ns, recursing into parquet DIRECTORIES so
+    multi-file fixtures invalidate too): two fixture roots with the same
+    leaf name must not reuse each other's cache, and — the subtler
+    hazard — a fixture REGENERATED in place under an existing scratch
+    tree must invalidate every derived cache (a stale IVF index or
+    MinHash signature store against new fixtures would silently
+    wrong-answer the probe queries). Regeneration changes mtime, so the
+    key moves and the derived data rebuilds; sibling scratch trees for
+    the SAME name with a superseded hash are pruned so regenerations
+    don't accumulate stale cache trees unboundedly.
     """
     import hashlib
+    import shutil
 
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    # path-hash and content-hash are SEPARATE key segments: pruning
+    # matches on (name, path-hash) so caches for different fixture roots
+    # (sf0.001 vs sf0.01 in one session) never evict each other — only a
+    # superseded content generation of the SAME fixture root is removed.
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    h = hashlib.md5()
     try:
         for fn in sorted(os.listdir(sf_dir)):
-            if fn.endswith(".parquet"):
-                st = os.stat(os.path.join(sf_dir, fn))
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(sf_dir, fn)
+            if os.path.isdir(path):
+                for dirpath, dirnames, filenames in os.walk(path):
+                    dirnames.sort()
+                    for leaf in sorted(filenames):
+                        st = os.stat(os.path.join(dirpath, leaf))
+                        rel = os.path.relpath(
+                            os.path.join(dirpath, leaf), sf_dir
+                        ).replace(os.sep, "/")
+                        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+            else:
+                st = os.stat(path)
                 h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
     except FileNotFoundError:
         pass
-    return scratch_dir(f"{name}_{h.hexdigest()[:12]}")
+    key = f"{name}_{ph}_{h.hexdigest()[:12]}"
+    out = scratch_dir(key)
+    root = os.path.dirname(out)
+    try:
+        for sib in os.listdir(root):
+            if sib.startswith(f"{name}_{ph}_") and sib != key:
+                shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    return out
 
 
 _FMT_ORACLE = """

@@ -184,6 +184,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(similarity.cosine(F.col("__xa"), F.col("__xb")) >= 0.45)
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+    # bounded: two 1-row count aggregates (exact vs recovered pair counts)
     return exact.crossJoin(found).select(
         "n_pairs",
         (
@@ -743,7 +744,9 @@ def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n_diff"))
     )
     return (
+        # bounded: 1-row count aggregates (corpus total x sample size)
         tot.crossJoin(n_samp)
+        # bounded: 1-row aggregate (symmetric-difference count)
         .crossJoin(n_diff)
         .select(
             "n_total",
@@ -1078,7 +1081,9 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the same job instead of an eager driver-side d.count() scan
     ndocs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # term->df vocabulary is Heaps-sublinear but unbounded: no hint,
+        # AQE picks broadcast vs shuffle by measured size
+        tf.join(dfreq, "term")
         # bounded: ndocs is a 1-row corpus-count aggregate
         .crossJoin(F.broadcast(ndocs))
         .select(
@@ -1220,6 +1225,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("__bkt", "__offset")
     )
     s = (
+        # bounded: per-bucket prefix-sum totals — O(#buckets), fixed bucket count
         local.join(F.broadcast(totals), "__bkt")
         .withColumn("e", F.col("__local_e") + F.col("__offset"))
         .withColumn("st", F.col("e") - F.col("n"))
@@ -1315,6 +1321,7 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("__bkt", "__offset")
     )
     return (
+        # bounded: per-bucket prefix-sum offsets — O(#buckets), fixed bucket count
         local.join(F.broadcast(offsets), "__bkt")
         .select(
             "doc_id",
@@ -1477,7 +1484,8 @@ def llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("micro_nats"),
     )
     return (
-        words.join(F.broadcast(surprisal), "term")
+        # per-term surprisal is vocabulary-sized (unbounded): no hint
+        words.join(surprisal, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1636,6 +1644,7 @@ def llm_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     return (
+        # bounded: per-source sampling thresholds — one row per source label
         d.join(F.broadcast(thresh), "source")
         .groupBy("source", "w", "n_source")
         .agg(
@@ -2015,7 +2024,8 @@ def llm_boilerplate_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("ch", F.lit(True).alias("__bp"))
     )
-    marked = c.join(F.broadcast(bp), "ch", "left")
+    # the repeated-chunk set is data-sized: no hint, AQE decides
+    marked = c.join(bp, "ch", "left")
     kept = F.col("__bp").isNull()
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
@@ -2082,6 +2092,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("word", F.lit(True).alias("__v"))
     )
+    # bounded: top-10 vocabulary rows (row_number rank filter above)
     j = w.join(F.broadcast(vocab), "word", "left")
     hit = F.col("__v").isNotNull()
     return j.groupBy("doc_id").agg(
@@ -2213,7 +2224,9 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     za = sz.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))
     zb = sz.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))
     return (
+        # bounded: per-source shingle counts — one row per source label
         pairs.join(F.broadcast(za), "src_a")
+        # bounded: per-source shingle counts — one row per source label
         .join(F.broadcast(zb), "src_b")
         .select(
             "src_a",
@@ -2366,6 +2379,7 @@ def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = lab.groupBy("dim").agg(F.sum("sa").cast("decimal(38,0)").alias("sg"))
     dots = (
+        # bounded: per-dimension global sums — one row per embedding dimension
         lab.join(F.broadcast(glob), "dim")
         .groupBy("label")
         .agg(

@@ -141,10 +141,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, (o.o_custkey == c.c_custkey))
         .join(
-            F.broadcast(s),
+            # supplier scales with SF: no broadcast hint, AQE decides
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        # bounded: region dim — 5 rows at any TPC-H scale factor
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -262,7 +265,9 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
     return (
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # bounded: region dim — 5 rows at any TPC-H scale factor
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "c_name", "n_name", "r_name")
     )
@@ -844,6 +849,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -906,7 +912,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(17,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -932,7 +938,7 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -1039,7 +1045,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(li, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .filter(
@@ -1104,13 +1112,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(4,2)")
     )
     base = (
-        F.broadcast(p)
+        p
         .join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        # bounded: region dim — 5 rows at any TPC-H scale factor
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -1216,7 +1227,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -1288,11 +1299,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min(F.col("l_extendedprice").cast(_DEC)).alias("ps_supplycost"))
     euro = (
         supply.join(
-            F.broadcast(
-                s.join(n, s.s_nationkey == n.n_nationkey)
-                .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-                .select("s_suppkey", "s_acctbal", "s_name", "n_name")
-            ),
+            # supplier-sized side: no broadcast hint, AQE picks by size
+            s.join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_acctbal", "s_name", "n_name"),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
@@ -1301,7 +1311,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         euro.withColumn("min_supplycost", F.min("ps_supplycost").over(w_part))
         .filter(F.col("ps_supplycost") == F.col("min_supplycost"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1354,10 +1364,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast(_DEC_RATE)
     ) - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC)
     return (
-        F.broadcast(p)
+        p
         .join(li, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -1403,9 +1414,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partvalue = (
         li.join(
-            F.broadcast(
-                s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey")
-            ),
+            # one nation's suppliers still scale with SF: no broadcast
+            # hint, AQE picks by size
+            s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -1460,11 +1471,12 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     ).distinct()
     return (
         ps.join(
-            F.broadcast(bad_supp),
+            # negative-balance suppliers scale with SF: no hint
+            bad_supp,
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -1512,13 +1524,14 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty_1996).alias("qty_1996"),
     )
     promo_supp = (
-        shipped.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        shipped.join(p, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .filter(
             F.col("qty_1996").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double")
         )
         .select("l_suppkey")
     )
     return (
+        # bounded: nation dim — 25 rows at any TPC-H scale factor
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(promo_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
@@ -1595,9 +1608,8 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_late_supp") == 1)
         )
         .join(
-            F.broadcast(
-                s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
-            ),
+            # supplier-sized side: no broadcast hint, AQE picks by size
+            s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -1956,6 +1968,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         keyed.alias("k")
+        # bounded: distinct market segments + NULL sentinel — 6 rows
         .join(F.broadcast(dims.alias("d")), F.expr("k.seg <=> d.seg"))
         .groupBy(F.col("d.seg").alias("seg"))
         .agg(F.count("c_custkey").alias("n"))

@@ -507,6 +507,7 @@ def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = dim.filter(F.col("category") == "conversion")
     return (
         fact.join(
+            # bounded: 4-row literal dimension filtered to conversion types
             F.broadcast(conv), fact["event_type"] == conv["d_type"]
         )
         .groupBy("event_type")

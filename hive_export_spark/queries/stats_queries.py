@@ -393,16 +393,20 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         sk.filter(F.col("event_type") == "click")
         .select(F.expr("theta_sketch_estimate(__sk)").alias("__e_click"))
+        # bounded: 1-row theta-sketch estimate on each side
         .crossJoin(
             sk.filter(F.col("event_type") == "purchase").select(
                 F.expr("theta_sketch_estimate(__sk)").alias("__e_purchase")
             )
         )
+        # bounded: 1-row aggregate (pair count)
         .crossJoin(both)
     )
     rel = lambda e, x: F.abs(e - x) / F.greatest(x, F.lit(1))  # noqa: E731
     return (
+        # bounded: 1-row exact count aggregates
         exact.crossJoin(exact_both)
+        # bounded: 1-row sketch-estimate frame
         .crossJoin(est)
         .select(
             "n_click",
@@ -613,6 +617,7 @@ GROUP BY n_name
 def agg_listagg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
+    # bounded: nation dim — 25 rows at any TPC-H scale factor
     j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     j.createOrReplaceTempView("__la_sn")
     return spark.sql(
@@ -707,6 +712,7 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |z| predicate drops the row — ANSI Spark must not crash instead
     z = F.try_divide(v.cast("double") - F.col("mean_v"), F.col("sd_v"))
     return (
+        # bounded: per-event-type moment aggregates — one row per event type
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 2.5)
         .select(
@@ -811,6 +817,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = v.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
     ).select("event_type", F.col("vd").alias("med"))
+    # bounded: per-event-type medians — one row per event type
     dev = v.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("vd") - F.col("med"))
     )
@@ -822,6 +829,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn2") == F.expr("(n2 + 1) div 2")
     ).select("event_type", F.col("ad").alias("mad"))
     return (
+        # bounded: per-event-type MAD — one row per event type
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("ad") > F.lit(3) * F.col("mad"))
         .select(
@@ -1531,6 +1539,7 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95"),
     )
     clip = F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+    # bounded: per-event-type quantile rows — one row per event type
     return s.join(F.broadcast(q), "event_type").select(
         "event_id",
         "event_type",
@@ -1704,6 +1713,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     means = (
         draws.join(
+            # oracle-twin: data-sized index broadcast ON PURPOSE — fixture-scale exact-resampling twin; the registered 100 TB path is stats_bootstrap_poisson (one scan, per-row Poisson weights, no O(n) broadcast)
             F.broadcast(lookup),
             (draws["event_type"] == lookup["lk_type"])
             & (draws["r"] == lookup["lk_i"]),
@@ -1726,6 +1736,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pt.join(ci, "event_type")
+        # bounded: per-event-type group stats — one row per event type
         .join(F.broadcast(grp), "event_type")
         .select(
             "event_type",

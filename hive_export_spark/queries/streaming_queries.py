@@ -616,7 +616,8 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment")
     )
     enriched = ev.join(
-        F.broadcast(dim), ev.user_id == dim.c_custkey, "inner"
+        # customer dim scales with SF: no hint, planner picks by size
+        dim, ev.user_id == dim.c_custkey, "inner"
     ).select("event_id", "c_mktsegment", "value")
     name = f"gate_sse_{_uuid.uuid4().hex[:8]}"
     q = (

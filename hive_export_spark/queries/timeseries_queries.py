@@ -829,6 +829,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_v = F.col("sx").cast("double") / F.col("n")
     mean_all = F.col("sx_all").cast("double") / F.col("n_all")
     return (
+        # bounded: per-event-type overall aggregates — one row per event type
         hourly.join(F.broadcast(overall), "event_type")
         .select(
             "event_type",
@@ -1462,6 +1463,7 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    # bounded: per-event-type transition totals — one row per event type
     return pairs.join(F.broadcast(tot), "prev_type").select(
         "prev_type",
         "next_type",
@@ -1639,6 +1641,7 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal"
         )
     )
+    # bounded: per-(event_type, hour-of-day) profile — <= 24 x #event types rows
     return dt.join(F.broadcast(se), ["event_type", "hod"]).select(
         "event_type",
         "bucket_epoch",

@@ -41,6 +41,8 @@ def main() -> None:
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
         rnd = int(m.group(1))
         rounds.append(rnd)
         data = json.load(open(path))
