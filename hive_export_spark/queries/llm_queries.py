@@ -1968,6 +1968,45 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_incremental_banded",
+    oracle=f"""
+SELECT * FROM ({_JACCARD_ORACLE.strip()}
+) WHERE doc_b >= {_INCR_SPLIT}
+""",
+    doc="INCREMENTAL near-dedup against the BUCKET-PARTITIONED banded "
+    "LSH store — the strongest 100 TB shape in the repo (round-6 "
+    "verdict ask #3): the corpus's (id, band, bucket) rows are written "
+    "once, partitioned by pmod(bucket, 64), and the increment's bucket "
+    "set becomes a LITERAL partition filter on the store scan, so the "
+    "probe reads only the directories the increment can collide with "
+    "(PartitionFilters plan-asserted in tests). Versus "
+    "llm_dedup_incremental (signature store): no per-increment "
+    "re-banding of the store, and storage-level pruning instead of a "
+    "full store scan. Same candidate semantics, same exact-Jaccard "
+    "verification, same oracle: pairs whose higher id is in the "
+    "increment.",
+)
+def llm_dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+
+    d = load_table(spark, "documents", sf_dir)
+    old = d.filter(F.col("doc_id") < _INCR_SPLIT)
+    new = d.filter(F.col("doc_id") >= _INCR_SPLIT)
+    store = os.path.join(sf_scratch_dir("banded_store", sf_dir), "buckets")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        dedup.persist_banded_store(
+            dedup.minhash_signatures(old, "text", "doc_id", 64),
+            store, "doc_id", num_hashes=64, bands=16, bucket_parts=64,
+        )
+    return dedup.incremental_pairs_against_banded_store(
+        spark, store, new, d, "text", "doc_id", num_hashes=64, bands=16,
+        threshold=0.8, bucket_parts=64,
+    )
+
+
+@register(
     "llm_boilerplate_chunk_dedup",
     oracle=f"""
 WITH t AS (

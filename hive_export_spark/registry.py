@@ -43,50 +43,96 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 6 rotation: VERIFICATION ROUND (r5 verdict ask #1). The
-    # registry grew 260 -> 261 this round (stats_bootstrap_poisson, the
-    # scale-safe bootstrap rewrite the verdict itself requested); all 50
-    # slots go to never-driver-green queries. Candidates: the 53 queries
-    # with no green driver row in any round (the r5 session-4+ waves)
-    # plus the new poisson query = 54, minus 4 deferred to the ROUND-7
-    # ROTATION HEAD (each leaves an in-window family representative):
-    # ts_bollinger_bands (rolling-window ts family: ts_rolling_median,
-    # ts_rolling_corr in-window), fn_printf_family (scalar-fn families:
-    # fn_struct/fn_xpath/fn_csv in-window), window_ratio_to_report
-    # (ordered-window family: window_nth_value, udf_window_pandas
-    # in-window), stats_winsorize (per-series stats family: 8 stats_*
-    # entries in-window). Changed-this-round queries (quality classifier
-    # BIGINT fix, interval ISO strings, snapshot-diff key domain, CDC
-    # disk pointer, both bootstrap hash fixes) are ALL in-window.
-    # After r6: never-driver-green = the 4 deferred; the r1-stale tail
-    # (joins/rollup/setops/window basics/TPC-H tail, 30 queries) is the
-    # r7 body behind them.
+    # --- round 7 rotation: EVIDENCE CLOSURE (r6 verdict asks #1-#3).
+    # Registry grew 261 -> 262 this round: llm_dedup_incremental_banded,
+    # the bucket-partitioned banded LSH store registration the verdict
+    # itself asked for (ask #3) — in-window, freshest code first.
+    # Then the 4 never-driver-green deferrals from r6, then the 19
+    # adversarially-hardened out-of-window queries whose pre-hardening
+    # driver rows are stale evidence (the r6-pinned rotation head; the
+    # other 3 from that list are covered: fn_printf_family and
+    # stats_winsorize sit in the never-green four, agg_skew_kurtosis
+    # went driver-green IN r6 post-hardening). The remaining 26 slots
+    # drain the r1-stale tail oldest-first; 4 of its 30 defer to r8 with
+    # same-implementation in-window reps noted inline.
     #
-    # ROUND-7 ROTATION HEAD (updated after the r6 adversarial waves):
-    # the hostile-fixture hardening changed code/oracles for some
-    # OUT-of-window queries, making their old driver rows stale
-    # evidence. All are green in ORACLE_r06.txt (current fixtures, both
-    # sf) and pinned in tests/test_hostile_fixture.py, but they belong
-    # at the FRONT of the r7 window alongside the 4 deferred:
-    #   fmt_roundtrip_text (NULL sentinel), fn_regexp_family,
-    #   fn_printf_family, fn_json_family, fn_variant_family,
-    #   llm_text_repetition, llm_text_langid, llm_intradoc_dedup,
-    #   llm_text_normalize, llm_text_quality (try_divide ratios),
-    #   llm_multimodal_features, llm_sim_rp_lsh_topk,
-    #   llm_dedup_minhash_ml, llm_sim_topk_bruteforce (try_divide
-    #   cosine), stats_mad_outliers, stats_winsorize, stats_zscore,
-    #   agg_stats_moments, agg_skew_kurtosis, ts_interpolate_linear,
-    #   fn_try_family, llm_sample_mixture.
-    # Then the r1-stale tail, oldest first.
+    # ROUND-8 ROTATION HEAD (under the standing policy): the 4 deferred
+    # r1-tail queries (join_left, join_right — same _join_frames impl as
+    # in-window join_inner; setop_intersect_all — family rep
+    # setop_intersect in-window; agg_cube — same rollup/cube impl as
+    # in-window agg_rollup), then the r2-stale tail (45 queries), then
+    # the r3-green queries whose broadcast-hint cleanup this round makes
+    # their old rows plan-stale (results hash-verified unchanged in
+    # ORACLE_r07.txt): q2_min_cost_supplier, q8_market_share,
+    # q9_product_type_profit, q11_important_stock,
+    # q16_parts_supplier_relationship, q17_small_quantity_revenue,
+    # q20_potential_promotion, q21_suppliers_kept_waiting.
     #
-    # the five changed + one new (freshest code, strongest need):
+    # (ask #3) the banded-store registration, new this round:
+    "llm_dedup_incremental_banded",
+    # the 4 never-driver-green deferrals (evidence.py: never-green -> 0):
+    "window_ratio_to_report",
+    "fn_printf_family",
+    "stats_winsorize",
+    "ts_bollinger_bands",
+    # the 19 hardened-stale (r6 adversarial waves changed code/oracles
+    # after their newest driver rows):
+    "fmt_roundtrip_text",
+    "fn_regexp_family",
+    "fn_json_family",
+    "fn_variant_family",
+    "llm_text_repetition",
+    "llm_text_langid",
+    "llm_intradoc_dedup",
+    "llm_text_normalize",
+    "llm_text_quality",
+    "llm_multimodal_features",
+    "llm_sim_rp_lsh_topk",
+    "llm_dedup_minhash_ml",
+    "llm_sim_topk_bruteforce",
+    "stats_mad_outliers",
+    "stats_zscore_outliers",
+    "agg_stats_moments",
+    "ts_interpolate_linear",
+    "fn_try_family",
+    "llm_sample_mixture",
+    # the r1-stale tail, 26 of 30 (newest driver evidence five fixture
+    # generations old — the weakest rows in the ledger):
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_theta_inequality",
+    "agg_groupby",
+    "agg_rollup",
+    "sort_limit",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "subquery_scalar_avg",
+    "unpivot_stack",
+    "cdc_upsert",
+    "window_row_number",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_sliding_avg",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+)
+
+_ROUND6_WINDOW: tuple[str, ...] = (
     "llm_quality_classifier",
     "fn_interval_family",
     "cdc_snapshot_diff",
     "stream_cdc_apply",
     "stats_bootstrap_ci",
     "stats_bootstrap_poisson",
-    # the r5 session-4/5/6 waves (never driver-verified):
     "ts_delta_rate",
     "llm_span_corruption",
     "graph_jaccard_linkpred",
@@ -115,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_bfs_hops",
     "llm_dedup_incremental",
     "udf_window_pandas",
-    # the r5 session-7+ wave (never driver-verified):
     "stats_welch_ttest",
     "stats_mann_whitney_u",
     "stats_benford_first_digit",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -151,10 +152,29 @@ def _hostile_session():
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     hostile = "--hostile" in sys.argv[1:]
+    hostile_fixture = "--hostile-fixture" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+
+    if hostile_fixture:
+        # the standing adversarial gate (round-6 verdict ask #6): rebuild
+        # the edge-case fixture from sf_dir and sweep the registry on it
+        # in one command — a new query can't silently regress a class the
+        # round-6 hostile waves fixed. Implies the hostile session.
+        import tempfile
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_hostile_fixture import build
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"hostile_fixture_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        build(sf_dir, out)
+        sf_dir = out
+        hostile = True
 
     spark = _hostile_session() if hostile else get_spark("oracle-check")
     con = duckdb.connect()

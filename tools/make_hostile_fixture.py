@@ -51,9 +51,9 @@ def _append(src: str, out: str, table_name: str, rows: list[dict]) -> None:
     pq.write_table(t, os.path.join(out, f"{table_name}.parquet"))
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_fixture"
+def build(src: str, out: str) -> None:
+    """Write the adversarial copy of ``src`` into ``out`` (importable
+    entry point — ``check_oracle.py --hostile-fixture`` calls this)."""
     os.makedirs(out, exist_ok=True)
 
     from datetime import datetime
@@ -166,6 +166,12 @@ def main() -> None:
         _append(src, out, t, [])
 
     print(f"hostile fixture written to {out}")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hostile_fixture"
+    build(src, out)
 
 
 if __name__ == "__main__":
