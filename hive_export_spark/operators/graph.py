@@ -161,9 +161,18 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
     aggregation is a plain partial-mergeable sum. Returns
     (node, deg, rank_int).
     """
-    direc = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # localCheckpoint: the directed edge list feeds the degree table AND
+    # every iteration's contribution join — without truncation the
+    # (possibly expensive) upstream edge derivation replays once per use
+    # inside one growing DAG (profiled at sf0.1: edge derivation ~1.7 s
+    # recomputed inside the lineage vs ~1.0 s for all three iterations
+    # off a materialized edge list — BENCH_SCALING round-7 note). Same
+    # discipline as connected_components below.
+    direc = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
     deg = direc.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
