@@ -70,6 +70,9 @@ HEADLINE = [
     # round 6: the Poisson bootstrap scale path (one-scan resample
     # weights — the production formulation of stats_bootstrap_ci)
     "stats_bootstrap_poisson",
+    # round 7: incremental dedup against the bucket-partitioned banded
+    # store (partition-pruned probe — the production daily-dedup shape)
+    "llm_dedup_incremental_banded",
 ]
 
 
