@@ -640,7 +640,7 @@ def fn_csv_serde_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH arr AS (
   SELECT doc_id,
          list_filter(string_split(regexp_replace(trim(lower(text)),
-                                                 '\\s+', ' ', 'g'), ' '),
+                                                 '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '),
                      t -> length(t) >= 7) AS longs
   FROM documents
 )

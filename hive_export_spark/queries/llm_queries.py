@@ -21,7 +21,13 @@ from hive_export_spark.sources import load_table
 
 # DuckDB equivalent of the engine's normalization + shingling
 # (dedup.normalized_text / dedup.word_shingles)
-_SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# whitespace class pinned EXPLICITLY to Java's \s set [ \t\n\x0B\f\r]:
+# Spark regexes run Java (\s includes \x0B vertical tab), DuckDB runs
+# RE2 (\s excludes \x0B) — found by the round-7 control-char hostile
+# wave, which diverged 17 tokenization oracles on one \x0B document.
+# Oracles spell the class out; the Spark side's \s+ IS this class.
+_SQL_WS = r"[ \t\n\x0B\f\r]+"
+_SQL_NORM = f"regexp_replace(trim(lower(text)), '{_SQL_WS}', ' ', 'g')"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 # DuckDB range() is exclusive-stop while Spark sequence() is inclusive:
 # range(1, greatest(len-1, 2)) == sequence(1, greatest(len-2, 1))
@@ -305,7 +311,7 @@ def llm_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id,
        len({_SQL_TOKS}) AS n_words,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]', 0)) AS n_regex_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]', 0)) AS n_regex_tokens,
        length(text) AS n_chars,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
 FROM documents
@@ -401,7 +407,7 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+         string_split(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS t
   FROM documents
 ), csh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -949,9 +955,9 @@ WITH laced AS (
   FROM documents
 )
 SELECT doc_id,
-       trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '\\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
        length(t) AS n_before,
-       length(trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '\\s+', ' ', 'g'))) AS n_after
+       length(trim(regexp_replace(lower(translate(t, 'éÉïÇé', 'eEiCe')), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS n_after
 FROM laced
 """,
     doc="text normalization pass (accent folding + case folding + "

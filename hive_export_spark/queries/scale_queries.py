@@ -392,7 +392,7 @@ def scale_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_frequent_ngrams",
     oracle="""
 WITH toks AS (
-  SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  SELECT string_split(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS t
   FROM documents
 ), grams AS (
   SELECT unnest([array_to_string(t[i:i+1], ' ')

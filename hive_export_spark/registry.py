@@ -66,7 +66,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ORACLE_r07.txt): q2_min_cost_supplier, q8_market_share,
     # q9_product_type_profit, q11_important_stock,
     # q16_parts_supplier_relationship, q17_small_quantity_revenue,
-    # q20_potential_promotion, q21_suppliers_kept_waiting.
+    # q20_potential_promotion, q21_suppliers_kept_waiting. ALSO r8-head:
+    # the out-of-window queries whose ORACLES gained the explicit
+    # [ \t\n\x0B\f\r]+ whitespace class in the round-7 control-char wave
+    # (clean-fixture hashes verified unchanged — the class only differs
+    # on \x0B text): llm_corpus_curation, llm_text_fingerprint,
+    # llm_chunking, llm_pack_sequences, llm_text_tfidf,
+    # llm_text_perplexity, llm_span_corruption, llm_dedup_simhash,
+    # llm_boilerplate_chunk_dedup, llm_vocab_coverage,
+    # llm_quality_classifier, llm_text_token_stats, fn_explode_outer.
     #
     # (ask #3) the banded-store registration, new this round:
     "llm_dedup_incremental_banded",

@@ -59,6 +59,16 @@ PINNED = [
     # malformed-JSON class (broken upstream writer in props): ANSI
     # parse_json must try, DuckDB json_extract must be json_valid-guarded
     "fn_variant_family",
+    # round-7 control-char wave: Java \s includes \x0B, RE2 \s does not
+    # — every tokenization oracle pins the explicit class
+    # [ \t\n\x0B\f\r]+ (llm_queries._SQL_WS); token_stats' negated
+    # punct class additionally spells out \x0B\f
+    "llm_text_token_stats",
+    # round-7 zero-timespan series (4 rows, one timestamp) + negative
+    # values + degenerate JSON roots ("", "null", "[]"): classes held
+    # with no code change — pinned so they stay held
+    "ts_delta_rate",
+    "fn_json_family",
 ]
 
 

@@ -83,6 +83,21 @@ def build(src: str, out: str) -> None:
              n_chars=None),
         dict(doc_id=900008, text="orphan doc", lang=None, source=None,
              n_chars=10),
+        # --- round-7 wave 4: line terminators + control whitespace.
+        # Java regex '.' excludes \r and \n; RE2 '.' excludes only \n —
+        # any DOTALL-free regexp over text with a bare \r diverges.
+        # Java \s == [ \t\n\x0B\f\r]; the \x0B/\x0C rows probe every
+        # whitespace-collapse and trim convention.
+        dict(doc_id=900009,
+             text="line one\r\nline two\rline three\nline four",
+             lang="en", source="web", n_chars=38),
+        dict(doc_id=900010, text="cells\tand\x0bvertical\x0cfeeds",
+             lang="en", source="web", n_chars=25),
+        # NBSP and zero-width space: not \s in either engine — must ride
+        # through tokenization as ordinary characters identically
+        dict(doc_id=900011,
+             text="non\u00a0breaking\u200bspace words",
+             lang="en", source="web", n_chars=24),
     ])
 
     mid = datetime(2024, 6, 15, 12, 0, 0)
@@ -114,6 +129,32 @@ def build(src: str, out: str) -> None:
         # parse_json raises, DuckDB json_extract raises), never crash
         dict(event_id=900008, ts=mid, user_id=3, event_type="click",
              value=2.0, props='{"k": 7'),
+        # --- round-7 wave 4: zero-timespan series — a brand-new event
+        # type whose FOUR rows share one timestamp (a burst logged with
+        # second precision): every delta/rate/interpolation/window must
+        # survive dt == 0, and rank/lag orderings need non-ts
+        # tiebreakers to stay deterministic
+        dict(event_id=900011, ts=mid, user_id=7, event_type="burst",
+             value=1.0, props="{}"),
+        dict(event_id=900012, ts=mid, user_id=7, event_type="burst",
+             value=2.0, props="{}"),
+        dict(event_id=900013, ts=mid, user_id=7, event_type="burst",
+             value=3.0, props="{}"),
+        # negative value (a refund): sqrt/log-domain and sign-sensitive
+        # stats must agree on both engines
+        dict(event_id=900014, ts=mid, user_id=7, event_type="burst",
+             value=-5.0, props="{}"),
+        dict(event_id=900015, ts=mid, user_id=2, event_type="view",
+             value=-10.0, props="{}"),
+        # degenerate-but-parseable JSON roots: empty string, JSON null
+        # literal, empty array — extraction must NULL-propagate (not
+        # crash, not mis-type) identically
+        dict(event_id=900016, ts=mid, user_id=4, event_type="click",
+             value=1.0, props=""),
+        dict(event_id=900017, ts=mid, user_id=4, event_type="click",
+             value=1.0, props="null"),
+        dict(event_id=900018, ts=mid, user_id=4, event_type="click",
+             value=1.0, props="[]"),
     ])
 
     dmin = datetime(1992, 1, 1)
