@@ -98,6 +98,15 @@ def build(src: str, out: str) -> None:
         dict(doc_id=900011,
              text="non\u00a0breaking\u200bspace words",
              lang="en", source="web", n_chars=24),
+        # trailing line terminators: Java '$' matches BEFORE a final \n
+        # by default, RE2 '$' only at absolute end \u2014 no registry regex
+        # is anchored over text today (anchors only run on synthetic
+        # URLs), but these rows make the standing gate catch the first
+        # future one; they also stress trailing-token trim/split
+        dict(doc_id=900012, text="ends with newline\n",
+             lang="en", source="web", n_chars=18),
+        dict(doc_id=900013, text="ends with crlf\r\n",
+             lang="en", source="web", n_chars=16),
     ])
 
     mid = datetime(2024, 6, 15, 12, 0, 0)
