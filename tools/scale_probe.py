@@ -163,14 +163,69 @@ def incremental_probe(spark, sf_dir: str, ks: list[int], out_root: str) -> None:
         )
 
 
+def pruning_probe(spark, sf_dir: str, out_root: str) -> None:
+    """Measure the banded store's STORAGE pruning as a function of
+    increment size and bucket_parts (the round-7 follow-up to the
+    wall-time incremental probe): how many of the store's bucket_part
+    directories does a daily increment actually read?
+
+    The increment touches <= increment_docs x bands distinct buckets,
+    so the partition filter covers <= min(that, bucket_parts)
+    partitions. With the default bucket_parts=64, any increment past a
+    few docs collides with every partition — pruning is a SMALL-
+    increment (or large-bucket_parts) win, which is exactly the 100 TB
+    deployment shape: thousands of partitions, daily increments whose
+    bucket set is sparse in them. This probe prints the measured
+    partitions-read fraction so that claim is a number, not an argument.
+    """
+    from hive_export_spark.operators.dedup import banded_buckets
+
+    corpus_path = replicated_corpus(spark, sf_dir, 1, out_root)
+    corpus = spark.read.parquet(corpus_path)
+    sigs = minhash_signatures(corpus)
+    for bucket_parts in (64, 1024, 8192):
+        store_path = f"{corpus_path}_banded_p{bucket_parts}"
+        if not os.path.exists(f"{store_path}/_SUCCESS"):
+            persist_banded_store(sigs, store_path, bucket_parts=bucket_parts)
+        for inc_docs in (1, 10, 100, 1000):
+            inc = corpus.orderBy("doc_id").limit(inc_docs)
+            buckets = (
+                banded_buckets(minhash_signatures(inc), "doc_id", 64, 16)
+                .withColumn(
+                    "bucket_part",
+                    F.pmod(F.col("bucket"), F.lit(bucket_parts)),
+                )
+                .select("bucket_part")
+                .distinct()
+                .count()
+            )
+            print(
+                json.dumps(
+                    {
+                        "probe": "banded_pruning",
+                        "bucket_parts": bucket_parts,
+                        "inc_docs": inc_docs,
+                        "partitions_read": buckets,
+                        "read_fraction": round(buckets / bucket_parts, 4),
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--incremental"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--incremental", "--pruning")]
     run_incremental = "--incremental" in sys.argv[1:]
+    run_pruning = "--pruning" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     ks = [int(a) for a in args[1:]] or [1, 3, 10]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out_root = os.path.join(tempfile.gettempdir(), "hive_export_scale_probe")
+    if run_pruning:
+        pruning_probe(spark, sf_dir, out_root)
+        return
     if run_incremental:
         incremental_probe(spark, sf_dir, ks, out_root)
         return
