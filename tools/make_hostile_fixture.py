@@ -187,6 +187,12 @@ def build(src: str, out: str) -> None:
         dict(o_orderkey=BIG + 1, o_custkey=BIG, o_orderstatus="F",
              o_totalprice=999999.99, o_orderdate=dmax,
              o_orderpriority="5-LOW"),
+        # month-end date: add_months/INTERVAL clamping (Jan 31 + 1 month
+        # = Feb 29 on a leap year, + 3 months = Apr 30) — probed equal
+        # on both engines; this row keeps the clamping convention gated
+        dict(o_orderkey=BIG + 2, o_custkey=1, o_orderstatus="O",
+             o_totalprice=100.0, o_orderdate=datetime(1996, 1, 31),
+             o_orderpriority="3-MEDIUM"),
     ])
 
     _append(src, out, "lineitem", [
