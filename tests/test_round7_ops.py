@@ -148,3 +148,30 @@ def test_evidence_tool_skips_unparseable_basenames(tmp_path):
         cwd=repo,
     )
     assert out.returncode == 0, out.stderr
+
+
+def test_determinism_mode_smoke():
+    # the --determinism gate (spark-vs-spark at shuffle.partitions 7 vs
+    # 32) must run and pass for a representative pair: one decimal-agg
+    # query and one window/rank query — the two shapes where partition
+    # order could leak into results if conventions slipped
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "check_oracle.py"),
+            "/root/testdata/sf0.001",
+            "--determinism",
+            "q1_pricing_summary",
+            "topk_per_group",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "all green" in out.stdout

@@ -151,10 +151,49 @@ def _hostile_session():
     )
 
 
+def _determinism_sweep(spark, sf_dir: str, only: set[str]) -> int:
+    """Partition-count determinism gate: run every query's SPARK side at
+    two different ``spark.sql.shuffle.partitions`` settings and compare
+    the order-insensitive fingerprints. An order-dependent result (float
+    accumulation order, under-specified window ordering, first/any_value
+    without a deterministic frame) can accidentally hash-match DuckDB at
+    one partitioning and silently break at another — on a 1000-executor
+    cluster the partitioning WILL differ from the test box, so this is
+    the cheap local stand-in for "does the answer survive re-planning".
+    """
+    from hive_export_spark.registry import all_queries as _qs
+
+    failures = []
+    for name, fn in _qs().items():
+        if only and name not in only:
+            continue
+        hashes = []
+        try:
+            for parts in ("7", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                sdf = fn(spark, sf_dir)
+                rows = [tuple(r) for r in sdf.collect()]
+                hashes.append(frame_fingerprint(sdf.columns, rows))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: error: {e}")
+            failures.append(name)
+            continue
+        finally:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        (n1, c1, h1), (n2, c2, h2) = hashes
+        ok = (n1, c1, h1) == (n2, c2, h2)
+        print(f"{'OK  ' if ok else 'FAIL'}  {name}: p7={n1} rows {h1} | p32={n2} rows {h2}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     hostile = "--hostile" in sys.argv[1:]
     hostile_fixture = "--hostile-fixture" in sys.argv[1:]
+    determinism = "--determinism" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -177,6 +216,8 @@ def main() -> int:
         hostile = True
 
     spark = _hostile_session() if hostile else get_spark("oracle-check")
+    if determinism:
+        return _determinism_sweep(spark, sf_dir, only)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
