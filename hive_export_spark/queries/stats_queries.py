@@ -509,9 +509,9 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_regression",
     oracle="""
 SELECT l_returnflag,
-       CAST(round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS DOUBLE) AS corr_qty_price,
-       CAST(round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) AS DOUBLE) AS slope_price_on_qty,
-       CAST(round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) AS DOUBLE) AS intercept_price_on_qty,
+       CAST(round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) + 0 AS DOUBLE) AS corr_qty_price,
+       CAST(round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) + 0 AS DOUBLE) AS slope_price_on_qty,
+       CAST(round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0 AS DOUBLE) AS intercept_price_on_qty,
        CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n_pairs
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -1023,7 +1023,7 @@ WITH users AS (
 )
 SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
        CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
-       CAST(round(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1, 6)
+       CAST(round(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1, 6) + 0
             AS DOUBLE) AS rate_diff,
        CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
             ELSE CAST(round(
@@ -1031,7 +1031,7 @@ SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                      * (1.0 / n0 + 1.0 / n1)),
-              6) AS DOUBLE) END AS z_stat
+              6) + 0 AS DOUBLE) END AS z_stat
 FROM wide
 """,
     doc="two-proportion z-test (A/B experiment readout): users split "
@@ -1117,9 +1117,9 @@ WITH typed AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
-                  / pow(m2r - m1 * m1, 1.5), 6) AS DOUBLE) AS skewness,
+                  / pow(m2r - m1 * m1, 1.5), 6) + 0 AS DOUBLE) AS skewness,
        CAST(round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
-                  / ((m2r - m1 * m1) * (m2r - m1 * m1)) - 3, 6) AS DOUBLE)
+                  / ((m2r - m1 * m1) * (m2r - m1 * m1)) - 3, 6) + 0 AS DOUBLE)
          AS excess_kurtosis
 FROM mom
 """,
@@ -1258,7 +1258,7 @@ WITH g AS (
     (SELECT var_v FROM m WHERE event_type = 'error') AS vb
 )
 SELECT n_a, n_b,
-       CAST(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS DOUBLE) AS t_r,
+       CAST(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) + 0 AS DOUBLE) AS t_r,
        CAST(round(
          (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
            / ((va / n_a) * (va / n_a) / (n_a - 1)
@@ -1349,7 +1349,7 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
                   * ((n_a + n_b + 1)
                      - CAST(tie_term AS DOUBLE)
-                       / ((n_a + n_b) * (n_a + n_b - 1)))), 6)
+                       / ((n_a + n_b) * (n_a + n_b - 1)))), 6) + 0
          AS DOUBLE) AS z_r
 FROM agg, ties
 """,

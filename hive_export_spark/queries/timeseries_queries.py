@@ -633,7 +633,7 @@ WITH buckets AS (
   GROUP BY 1, 2
 )
 SELECT event_type, CAST(target_epoch AS BIGINT) AS bucket_epoch,
-       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE)
+       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 AS DOUBLE)
          AS ewma
 FROM sums
 """,
@@ -792,9 +792,10 @@ WITH hourly AS (
   FROM hourly GROUP BY event_type
 )
 SELECT h.event_type, h.hod, CAST(h.n AS BIGINT) AS n,
-       CAST(round(CAST(h.sx AS DOUBLE) / h.n, 6) AS DOUBLE) AS mean_v,
+       CAST(round(CAST(h.sx AS DOUBLE) / h.n, 6) + 0 AS DOUBLE) AS mean_v,
        CAST(round((CAST(h.sx AS DOUBLE) / h.n) /
-                  (CAST(o.sx_all AS DOUBLE) / o.n_all), 6) AS DOUBLE)
+                  nullif(CAST(o.sx_all AS DOUBLE) / o.n_all, 0), 6) + 0
+            AS DOUBLE)
          AS seasonal_idx
 FROM hourly h JOIN overall o USING (event_type)
 """,
@@ -804,7 +805,13 @@ FROM hourly h JOIN overall o USING (event_type)
     "and forecasters subtract out before trend analysis. Sums are "
     "exact decimals (order-insensitive partials), so the two divisions "
     "and round(6) are the only float ops and run on bit-identical "
-    "inputs in both engines. Shape: one (series, hod) partial "
+    "inputs in both engines. A series whose values sum to EXACTLY zero "
+    "(offsetting charge/refund pairs — wave-5 hostile row) zeroes the "
+    "series mean: try_divide/nullif pins seasonal_idx NULL on both "
+    "engines instead of an ANSI crash (Spark) vs inf (DuckDB); the "
+    "oracle's `+ 0` after round() pins +0.0 where DuckDB's round "
+    "preserves IEEE -0.0 but Spark's BigDecimal round cannot. Shape: "
+    "one (series, hod) partial "
     "aggregation — 24 x series rows — then the series totals derive "
     "from THOSE partials (no second scan); everything after the one "
     "shuffle is series-cardinality-sized.",
@@ -836,7 +843,9 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             F.col("n").cast("bigint").alias("n"),
             F.round(mean_v, 6).cast("double").alias("mean_v"),
-            F.round(mean_v / mean_all, 6).cast("double").alias("seasonal_idx"),
+            F.round(F.try_divide(mean_v, mean_all), 6)
+            .cast("double")
+            .alias("seasonal_idx"),
         )
     )
 
@@ -924,7 +933,7 @@ SELECT event_type, bucket_epoch,
        CAST(v - lag(v) OVER w AS DOUBLE) AS delta,
        CAST(bucket_epoch - lag(bucket_epoch) OVER w AS BIGINT) AS dt_s,
        CAST(round(CAST(v - lag(v) OVER w AS DOUBLE)
-                  / (bucket_epoch - lag(bucket_epoch) OVER w), 6) AS DOUBLE)
+                  / (bucket_epoch - lag(bucket_epoch) OVER w), 6) + 0 AS DOUBLE)
          AS rate_per_s
 FROM buckets
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch)
@@ -999,7 +1008,7 @@ SELECT event_type, CAST(k AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n,
          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-         6) AS DOUBLE) AS acf
+         6) + 0 AS DOUBLE) AS acf
 FROM sums
 """,
     doc="autocorrelation function (lags 1-3) per series over 15-minute "
@@ -1097,7 +1106,7 @@ WITH buckets AS (
 SELECT c.event_type,
        CAST(c.last_epoch + h.h * {_BUCKET_S} AS BIGINT) AS forecast_epoch,
        CAST(h.h AS INTEGER) AS horizon,
-       CAST(round(c.intercept + c.slope * (c.n + h.h), 6) AS DOUBLE)
+       CAST(round(c.intercept + c.slope * (c.n + h.h), 6) + 0 AS DOUBLE)
          AS forecast
 FROM coefs c CROSS JOIN (VALUES (1), (2), (3)) h(h)
 """,
@@ -1196,7 +1205,7 @@ SELECT event_type, bucket_epoch, CAST(n AS BIGINT) AS n_window,
        CAST(round(CAST(sx AS DOUBLE) / n
                   - 2 * sqrt(greatest(CAST(sxx AS DOUBLE) / n
                              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0)),
-                  6) AS DOUBLE) AS lower_band
+                  6) + 0 AS DOUBLE) AS lower_band
 FROM framed
 """,
     doc="Bollinger bands (20-bucket trailing mean +/- 2 population sigma) "
@@ -1357,7 +1366,7 @@ SELECT bucket_epoch,
        CAST(round(
          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
          AS DOUBLE) AS corr_r
 FROM w WHERE n = 24
 """,
@@ -1578,8 +1587,8 @@ WITH b AS (
 )
 SELECT d.event_type, d.bucket_epoch,
        CAST(round(d.trend, 6) AS DOUBLE) AS trend_r,
-       CAST(round(s.seasonal, 6) AS DOUBLE) AS seasonal_r,
-       CAST(round(d.detr_micro / 1000000.0 - s.seasonal, 6) AS DOUBLE) AS resid_r
+       CAST(round(s.seasonal, 6) + 0 AS DOUBLE) AS seasonal_r,
+       CAST(round(d.detr_micro / 1000000.0 - s.seasonal, 6) + 0 AS DOUBLE) AS resid_r
 FROM dt d JOIN se s ON d.event_type = s.event_type AND d.hod = s.hod
 """,
     doc="additive time-series decomposition (STL-lite): trend = centered "

@@ -69,6 +69,19 @@ PINNED = [
     # with no code change — pinned so they stay held
     "ts_delta_rate",
     "fn_json_family",
+    # round-7 wave 5: zero-sum series (offsetting charge/refund pairs)
+    # zeroes a series mean — seasonal-index division pins NULL via
+    # try_divide/nullif instead of ANSI crash (Spark) vs inf (DuckDB)
+    "ts_seasonal_profile",
+    # round-7 wave 5: exact-duplicate document row (at-least-once
+    # upstream writer) — dedup/count/canonical paths must treat the
+    # pair identically on both engines
+    "llm_dedup_exact",
+    "llm_dedup_keep_canonical",
+    # round-7 wave 5: astral-plane emoji + NFD combining marks held
+    # with zero changes (both engines codepoint-based) — pinned via the
+    # tokenization/normalize reps above, which now read the emoji/NFD
+    # rows from the same rebuilt fixture
 ]
 
 
@@ -97,6 +110,29 @@ def duck(hostile_dir):
         )
     yield con
     con.close()
+
+
+def test_signed_zero_round_pin(spark):
+    """Round-7 wave 5 mechanism pin: DuckDB's round() preserves IEEE
+    -0.0 (repr '-0.0' under the driver-shaped hash) where Spark's
+    BigDecimal-backed round() cannot represent it (+0.0, repr '0.0') —
+    so any sign-crossing statistic that rounds to zero from below
+    hash-diverges unless the oracle appends `+ 0` (IEEE: -0.0 + 0 =
+    +0.0, exact no-op on every other value, NULL-transparent)."""
+    con = duckdb.connect()
+    raw = con.sql("SELECT round(-0.0000001::DOUBLE, 6)").fetchone()[0]
+    pinned = con.sql("SELECT round(-0.0000001::DOUBLE, 6) + 0").fetchone()[0]
+    nul = con.sql("SELECT round(NULL::DOUBLE, 6) + 0").fetchone()[0]
+    exact = con.sql("SELECT round(-42.4242::DOUBLE, 2) + 0").fetchone()[0]
+    con.close()
+    assert repr(raw) == "-0.0"          # the divergence exists
+    assert repr(pinned) == "0.0"        # ...and + 0 removes it
+    assert nul is None                  # NULL rides through
+    assert exact == -42.42              # nonzero values untouched
+    s = spark.sql(
+        "SELECT round(CAST(-0.0000001 AS DOUBLE), 6) AS r"
+    ).collect()[0].r
+    assert repr(s) == "0.0"             # Spark's side is already +0.0
 
 
 @pytest.mark.parametrize("name", PINNED)
