@@ -162,7 +162,9 @@ def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN json_valid(props)
-            THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k_value,
+             AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+            END AS k_value,
        CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k') END AS k_string,
        CAST(to_json(struct_pack(id := event_id, t := event_type)) AS VARCHAR) AS packed
@@ -173,9 +175,14 @@ FROM events
     "streaming queries). Malformed/truncated props yield NULL "
     "extractions on both engines (Spark's PERMISSIVE parse vs a "
     "json_valid guard over DuckDB's raising json_extract — hostile "
-    "sweep). Known leniency gap kept out of the pinned domain: Spark's "
-    "Jackson accepts a valid root value with TRAILING GARBAGE "
-    "('{..}x'), DuckDB's json_valid rejects it.",
+    "sweep). Mistyped k (string/float/bool/array — wave-6 rows) pins "
+    "NULL for the typed extraction: from_json IntegerType accepts only "
+    "JSON integer tokens in range, mirrored by the json_type "
+    "BIGINT/UBIGINT guard + TRY_CAST. Known leniency gaps kept out of "
+    "the pinned domain: Spark's Jackson accepts a valid root value "
+    "with TRAILING GARBAGE ('{..}x') and DUPLICATE KEYS (first wins) "
+    "where DuckDB's json_valid rejects the former and dedupes the "
+    "latter silently.",
 )
 def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -450,8 +457,11 @@ SELECT event_id,
        event_type AS vtype,
        CAST(value AS DOUBLE) AS vvalue,
        event_id AS vid1,
-       CASE WHEN json_valid(props)
-            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+       CASE WHEN json_valid(props) THEN COALESCE(
+         CASE json_extract_string(props, '$.k')
+              WHEN 'true' THEN 1 WHEN 'false' THEN 0 END,
+         TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS DOUBLE)) AS BIGINT)) END AS k
 FROM events
 """,
     doc="VARIANT type family (parse_json / variant_get, Spark 4): "
@@ -486,7 +496,12 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(__v, '$.meta.event_type', 'string')").alias("vtype"),
         F.expr("variant_get(__v, '$.meta.value', 'double')").alias("vvalue"),
         F.expr("variant_get(__v, '$.ids[1]', 'bigint')").alias("vid1"),
-        F.expr("CAST(variant_get(__pv, '$.k', 'int') AS BIGINT)").alias("k"),
+        # try_variant_get, not variant_get: a props.k the writer mistyped
+        # (string 'café', array) raises INVALID_VARIANT_CAST under ANSI —
+        # NULL-on-degenerate is the pinned convention. The oracle mirrors
+        # the variant INT cast: booleans -> 1/0, numerics truncated
+        # toward zero (trunc), non-numerics NULL.
+        F.expr("CAST(try_variant_get(__pv, '$.k', 'int') AS BIGINT)").alias("k"),
     )
 
 

@@ -234,6 +234,31 @@ def build(src: str, out: str) -> None:
              user_id=9, event_type="settle", value=0.01, props="{}"),
         dict(event_id=900024, ts=datetime(2024, 6, 15, 16, 0, 0),
              user_id=9, event_type="settle", value=-0.01, props="{}"),
+        # --- round-7 wave 6: MISTYPED-but-valid props.k (a writer that
+        # flips the field's type: numeric string, float, exp-notation,
+        # boolean, non-numeric string, array). Found a real crash: BOTH
+        # engines' typed extraction raised (Spark INVALID_VARIANT_CAST,
+        # DuckDB VARCHAR->INT64 conversion error) on a string k. Pinned
+        # conventions: variant INT cast = booleans 1/0, numerics
+        # truncated toward zero, non-numerics NULL (try_variant_get /
+        # bool-CASE + trunc + TRY_CAST); from_json IntegerType = JSON
+        # integer tokens in int32 range only (json_type BIGINT/UBIGINT
+        # guard). NOT laced (documented oracle boundaries, probed with
+        # receipts): duplicate keys (variant rejects -> NULL, DuckDB
+        # keeps first), integers beyond 2^53 (variant exact, DuckDB
+        # double path rounds), sub-1e-3 doubles (JSON notation).
+        dict(event_id=900025, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "12"}'),
+        dict(event_id=900026, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": 2.7}'),
+        dict(event_id=900027, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": 1e3}'),
+        dict(event_id=900028, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": true}'),
+        dict(event_id=900029, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k":"café"}'),
+        dict(event_id=900030, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": [1]}'),
     ])
 
     dmin = datetime(1992, 1, 1)
