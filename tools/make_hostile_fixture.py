@@ -16,12 +16,17 @@ read the SAME parquet, so any FAIL is a real cross-engine divergence or
 crash — a latent bug, not fixture noise.
 
 Deliberate boundary: values OUTSIDE the fixture domain contract (e.g.
-event values >= 1e10 that overflow the pinned DECIMAL(12,2) arithmetic)
-are NOT laced in. The production answer to out-of-domain corruption is
-quarantine-first data quality (the scale_dq_checks operator), not
-try_cast scattered through every statistic — a corrupted sensor value
-should be *rejected with provenance*, not silently dropped per-query.
-Edge rows here stay within the generator's plausible output domain.
+event values >= 1e10 that overflow the pinned DECIMAL(12,2) arithmetic,
+or NaN/Inf elements inside embedding vectors — probed round 7: DuckDB's
+list_cosine_similarity CLAMPS a NaN input to -1.0 where Spark's
+aggregate-expression dot product propagates NaN, so a NaN vector
+diverges in any top-k ordering) are NOT laced in. The production
+answer to out-of-domain corruption is quarantine-first data quality
+(the scale_dq_checks operator), not try_cast scattered through every
+statistic — a corrupted sensor value or non-finite embedding should be
+*rejected with provenance*, not silently dropped per-query. Edge rows
+here stay within the generator's plausible output domain (NULL
+payloads are in-domain and laced; non-finite floats are not).
 
 Second documented boundary (probed round 7, deliberately NOT laced):
 locale-sensitive Unicode case mapping. Java/Spark lower('İ') is the
