@@ -175,3 +175,33 @@ def test_determinism_mode_smoke():
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "all green" in out.stdout
+
+
+def test_shuffle_probe_smoke():
+    # the shuffle-linearity probe (UI REST stage metrics) must run end to
+    # end, emit one JSON object per query with the metric fields, and
+    # report zero spill for a dimension-bounded query at fixture scale
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "shuffle_probe.py"),
+            "/root/testdata/sf0.001",
+            "q5_local_supplier_volume",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
+    q = next(d for d in lines if d.get("query") == "q5_local_supplier_volume")
+    assert q["stages"] > 0 and q["shuffleWriteBytes"] >= 0
+    assert q["memoryBytesSpilled"] == 0 and q["diskBytesSpilled"] == 0
+    summary = next(d for d in lines if d.get("summary") == "shuffle_probe")
+    assert summary["total_spill_bytes"] == 0
