@@ -205,3 +205,57 @@ def test_shuffle_probe_smoke():
     assert q["memoryBytesSpilled"] == 0 and q["diskBytesSpilled"] == 0
     summary = next(d for d in lines if d.get("summary") == "shuffle_probe")
     assert summary["total_spill_bytes"] == 0
+
+
+def test_scaled_fixture_preserves_shape(tmp_path):
+    # the FACTOR-x scaling tool must preserve key uniqueness, FK
+    # integrity, per-replica document similarity structure, and the
+    # exact parquet schemas (a retyped column would silently change the
+    # probed plans)
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "scaled")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "make_scaled_fixture.py"),
+            src,
+            out,
+            "3",
+        ],
+        check=True,
+        capture_output=True,
+        timeout=300,
+    )
+    con = duckdb.connect()
+    for t, key in [("orders", "o_orderkey"), ("events", "event_id"),
+                   ("documents", "doc_id"), ("embeddings", "vec_id")]:
+        n_src = con.sql(f"SELECT count(*) FROM '{src}/{t}.parquet'").fetchone()[0]
+        n_out, n_keys = con.sql(
+            f"SELECT count(*), count(DISTINCT {key}) FROM '{out}/{t}.parquet'"
+        ).fetchone()
+        assert n_out == 3 * n_src, t
+        assert n_keys == n_out, f"{t}: duplicate {key}"
+        assert (
+            pq.read_schema(f"{src}/{t}.parquet").remove_metadata()
+            == pq.read_schema(f"{out}/{t}.parquet").remove_metadata()
+        ), f"{t}: schema drift"
+    orphans = con.sql(
+        f"SELECT count(*) FROM '{out}/lineitem.parquet' l "
+        f"LEFT JOIN '{out}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0
+    # replica-2 docs are token-suffixed and n_chars matches the new text
+    bad = con.sql(
+        f"SELECT count(*) FROM '{out}/documents.parquet' "
+        f"WHERE text IS NOT NULL AND n_chars <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0
+    con.close()

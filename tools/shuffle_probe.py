@@ -62,6 +62,7 @@ DEFAULT_SET = [
 
 _FIELDS = (
     "shuffleWriteBytes",
+    "shuffleWriteRecords",
     "shuffleReadBytes",
     "memoryBytesSpilled",
     "diskBytesSpilled",
