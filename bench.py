@@ -78,7 +78,13 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_tag)
+    except ValueError:
+        # non-driver dir names (e.g. /tmp/sf1_scaled): keep the tag as a
+        # string rather than crash AFTER the whole suite has run
+        sf = sf_tag
     spark = get_spark("hive_export_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -114,7 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )
