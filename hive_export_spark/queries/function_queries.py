@@ -182,7 +182,11 @@ FROM events
     "the pinned domain: Spark's Jackson accepts a valid root value "
     "with TRAILING GARBAGE ('{..}x') and DUPLICATE KEYS (first wins) "
     "where DuckDB's json_valid rejects the former and dedupes the "
-    "latter silently.",
+    "latter silently. NULL struct fields are EMITTED as JSON null "
+    "(ignoreNullFields=false) — Spark's default silently omits the "
+    "key where DuckDB's struct to_json keeps it (round-7 NULL-key "
+    "wave), and the reference's R5 row encoder emits nulls "
+    "(HiveExportClient.java field loop writes every schema column).",
 )
 def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -194,7 +198,8 @@ def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(
                 F.col("event_id").alias("id"), F.col("event_type").alias("t")
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("packed"),
     )
 

@@ -785,7 +785,11 @@ GROUP BY event_type
     "shape), unioned INSIDE one streaming query, aggregated per type, "
     "and reconciled against the unsharded batch total. Each source "
     "keeps its own file tracking; union of streams is append-safe with "
-    "no state of its own. Scratch shards are _SUCCESS-cached per sf.",
+    "no state of its own. Scratch shards are _SUCCESS-cached per sf. "
+    "The shard split is TOTAL: coalesce(pmod(user_id,2),0) routes "
+    "anonymous (NULL user_id) and negative-id traffic deterministically "
+    "— a bare `user_id % 2 == k` pair silently drops NULL rows from "
+    "BOTH shards (NULL % 2 is NULL; round-7 NULL-key wave).",
 )
 def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
@@ -793,10 +797,15 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
 
     ev = load_table(spark, "events", sf_dir)
-    base = sf_scratch_dir("stream_union", sf_dir)
+    # v2: the scratch key is content-fingerprinted but NOT code-versioned,
+    # so the split-logic change (total NULL-safe routing) needs a new name
+    # or a pre-fix cache written for the same fixture content would be
+    # reused with the NULL rows already missing
+    base = sf_scratch_dir("stream_union_v2", sf_dir)
+    shard_key = F.coalesce(F.pmod(F.col("user_id"), F.lit(2)), F.lit(0))
     shards = []
-    for name, cond in (("odd", F.col("user_id") % 2 == 1),
-                       ("even", F.col("user_id") % 2 == 0)):
+    for name, cond in (("odd", shard_key == 1),
+                       ("even", shard_key == 0)):
         path = os.path.join(base, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             ev.filter(cond).select(

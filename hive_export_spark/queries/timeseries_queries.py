@@ -288,7 +288,7 @@ def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH firsts AS (
   SELECT user_id,
          CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), activity AS (
   SELECT DISTINCT e.user_id, f.cohort_week,
          CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
@@ -305,10 +305,16 @@ GROUP BY cohort_week, weeks_since
     "standard growth-analytics triangle. The firsts aggregate is "
     "user-dim-sized and re-joins the fact on user_id; DISTINCT "
     "deduplicates within cells before the final count, two shuffles "
-    "total (user_id, then the cell key).",
+    "total (user_id, then the cell key). Retention requires identity: "
+    "anonymous (NULL user_id) events are excluded by an EXPLICIT "
+    "filter on both engines — without it Spark's window partitionBy "
+    "keeps a NULL pseudo-cohort while the oracle's equi-join drops it "
+    "(NULL never equals NULL; round-7 NULL-key wave).",
 )
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
     week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint")
     # first-seen week via a user-partitioned window MIN: one fact scan
     # and one user_id shuffle (an aggregate-and-rejoin would scan the

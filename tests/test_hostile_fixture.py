@@ -82,6 +82,23 @@ PINNED = [
     # with zero changes (both engines codepoint-based) — pinned via the
     # tokenization/normalize reps above, which now read the emoji/NFD
     # rows from the same rebuilt fixture
+    # round-7 wave 7: NULL foreign/grouping keys (anonymous events,
+    # guest-checkout order, orphan lineitem, NULL-nation customer).
+    # Three finds, each its own convention pin:
+    # to_json emits NULL struct fields (ignoreNullFields=false, matches
+    # DuckDB + reference R5 encoder):
+    # -> fn_json_family, already pinned above
+    # shard splits must be TOTAL (bare `key % 2 == k` drops NULL keys
+    # from every shard):
+    "stream_union_sources",
+    # identity-required analytics filter anonymous rows EXPLICITLY on
+    # both engines (window partitionBy keeps a NULL pseudo-group where
+    # an oracle equi-join silently drops it):
+    "ts_retention_cohorts",
+    # held with no change: NULL-key outer-join row preservation
+    # (NULL o_custkey survives FULL with NULL customer columns, matches
+    # nothing in inner/semi; orphan lineitem surfaces in anti)
+    "join_full",
 ]
 
 

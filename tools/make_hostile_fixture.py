@@ -264,6 +264,30 @@ def build(src: str, out: str) -> None:
              value=1.0, props='{"k":"café"}'),
         dict(event_id=900030, ts=mid, user_id=4, event_type="click",
              value=1.0, props='{"k": [1]}'),
+        # --- round-7 wave 7: NULL grouping/partition keys — anonymous
+        # events (a logged-out session has no user_id; at corpus scale
+        # these are a large, real traffic class). SQL conventions under
+        # test: GROUP BY places all-NULL keys in ONE group (both
+        # engines); window PARTITION BY does the same; joins on the key
+        # DROP the rows (NULL never equals NULL); and — the latent
+        # class this wave exists to catch — any ORDER BY over a
+        # now-nullable key diverges unless NULLS LAST is pinned on both
+        # sides (Spark ASC default is NULLS FIRST, DuckDB's NULLS
+        # LAST). Distinct ts/values keep every tie-sensitive ordering
+        # deterministic.
+        dict(event_id=900031, ts=datetime(2024, 6, 15, 17, 0, 0),
+             user_id=None, event_type="view", value=7.25, props="{}"),
+        dict(event_id=900032, ts=datetime(2024, 6, 15, 18, 0, 0),
+             user_id=None, event_type="view", value=9.75, props="{}"),
+        dict(event_id=900033, ts=datetime(2024, 6, 15, 19, 0, 0),
+             user_id=None, event_type="click", value=3.5,
+             props='{"k": 4}'),
+        # fully-anonymous row: BOTH dimension keys NULL — the grouping
+        # lattice (rollup/cube/grouping sets) must keep data-NULL
+        # distinguishable from subtotal-NULL via grouping_id on both
+        # engines
+        dict(event_id=900034, ts=datetime(2024, 6, 15, 20, 0, 0),
+             user_id=None, event_type=None, value=1.25, props="{}"),
     ])
 
     dmin = datetime(1992, 1, 1)
@@ -281,6 +305,12 @@ def build(src: str, out: str) -> None:
         dict(o_orderkey=BIG + 2, o_custkey=1, o_orderstatus="O",
              o_totalprice=100.0, o_orderdate=datetime(1996, 1, 31),
              o_orderpriority="3-MEDIUM"),
+        # --- round-7 wave 7: guest checkout — an order with NO customer
+        # key. Joins to customer must drop it on both engines; any
+        # customer-grain aggregation over orders gains a NULL group.
+        dict(o_orderkey=BIG + 3, o_custkey=None, o_orderstatus="O",
+             o_totalprice=55.5, o_orderdate=datetime(1995, 7, 4),
+             o_orderpriority="2-HIGH"),
     ])
 
     _append(src, out, "lineitem", [
@@ -292,6 +322,16 @@ def build(src: str, out: str) -> None:
              l_quantity=50.0, l_extendedprice=99999.99, l_discount=0.1,
              l_tax=0.08, l_returnflag="R", l_linestatus="F",
              l_shipdate=dmax),
+        # --- round-7 wave 7: ORPHAN lineitem — a child row whose parent
+        # order never landed (failed backfill / partial load). Inner
+        # joins to orders must drop it identically; lineitem-grain
+        # scans/aggregates must still count it; anti-joins must surface
+        # it on both engines. 100% discount makes its revenue
+        # contribution exactly zero where it does survive a scan.
+        dict(l_orderkey=BIG + 50, l_partkey=1, l_suppkey=1,
+             l_linenumber=1, l_quantity=5.0, l_extendedprice=500.0,
+             l_discount=1.0, l_tax=0.0, l_returnflag="N",
+             l_linestatus="O", l_shipdate=datetime(1995, 7, 5)),
     ])
 
     _append(src, out, "customer", [
@@ -299,6 +339,11 @@ def build(src: str, out: str) -> None:
              c_acctbal=0.0, c_mktsegment="SEGNEW"),
         dict(c_custkey=BIG + 1, c_name="Customer#negative", c_nationkey=0,
              c_acctbal=-999.99, c_mktsegment="BUILDING"),
+        # --- round-7 wave 7: customer whose nation enrichment failed —
+        # NULL foreign key. Joins to nation drop the row; direct
+        # customer-grain groupings gain a NULL nation group.
+        dict(c_custkey=BIG + 2, c_name="Customer#nonation",
+             c_nationkey=None, c_acctbal=123.45, c_mktsegment="BUILDING"),
     ])
 
     _append(src, out, "part", [
