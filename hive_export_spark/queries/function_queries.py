@@ -66,15 +66,23 @@ SELECT o_orderkey,
        dayofweek(o_orderdate) + 1 AS dow,
        strftime(o_orderdate, '%Y-%m-%d') AS date_str,
        datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
-       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CASE WHEN o_orderdate + INTERVAL 30 DAY > TIMESTAMP '9999-12-31 23:59:59'
+            THEN NULL ELSE o_orderdate + INTERVAL 30 DAY END AS due_date,
        CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
 FROM orders
 """,
     doc="date family: trunc, extract, format, diff, interval arithmetic "
-    "(dayofweek numbering reconciled: DuckDB 0-based, Spark 1-based)",
+    "(dayofweek numbering reconciled: DuckDB 0-based, Spark 1-based). "
+    "Calendar arithmetic that exits the 4-digit-year domain pins NULL "
+    "on both engines: a sentinel 'never' date (9999-12-31) + 30 days "
+    "is computable in BOTH engines' internals but unrepresentable in "
+    "Python datetime, so it dies at the driver's collect — the domain "
+    "guard is explicit, not an engine accident (round-7 wave 8).",
 )
 def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
+    due = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ts_max = F.lit("9999-12-31 23:59:59").cast("timestamp")
     return o.select(
         "o_orderkey",
         F.date_trunc("month", "o_orderdate").alias("month_start"),
@@ -85,7 +93,7 @@ def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
         ).alias("days_to_y2k"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.when(due <= ts_max, due).alias("due_date"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
 
@@ -738,7 +746,10 @@ def fn_printf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_interval_family",
     oracle="""
 SELECT o_orderkey,
-       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3mo,
+       CASE WHEN CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) > DATE '9999-12-31'
+            THEN NULL
+            ELSE CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+            END AS plus_3mo,
        CAST(CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS VARCHAR) AS minus_45d,
        CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
        CAST(datediff('day', o_orderdate, last_day(o_orderdate)) AS BIGINT) AS days_left_in_month,
@@ -754,15 +765,24 @@ FROM orders
     "datediff, whose week-boundary conventions differ). Every "
     "date-typed result is rendered as an ISO yyyy-MM-dd string so the "
     "driver compares plain strings, not engine date encodings. Pure "
-    "per-row projection — map-only at any scale, pushdown-friendly.",
+    "per-row projection — map-only at any scale, pushdown-friendly. "
+    "Month addition that exits the 4-digit-year domain (sentinel "
+    "9999-12-31 'never' date + 3 months) pins NULL on both engines: "
+    "both compute year 10000 internally but render it differently "
+    "('+10000-...' via the JVM formatter vs '10000-...'), and the "
+    "value is outside Python datetime anyway (round-7 wave 8).",
 )
 def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     d = F.col("o_orderdate")
     iso = "yyyy-MM-dd"
+    plus_3mo = F.add_months(d, 3)
     return o.select(
         "o_orderkey",
-        F.date_format(F.add_months(d, 3), iso).alias("plus_3mo"),
+        F.when(
+            plus_3mo <= F.lit("9999-12-31").cast("date"),
+            F.date_format(plus_3mo, iso),
+        ).alias("plus_3mo"),
         F.date_format(F.date_sub(d, 45), iso).alias("minus_45d"),
         F.date_format(F.last_day(d), iso).alias("month_end"),
         F.datediff(F.last_day(d), d).cast("bigint").alias("days_left_in_month"),

@@ -298,20 +298,29 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
 SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts, p.value AS last_purchase_value
-FROM (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT DISTINCT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """,
     doc="as-of join (most recent purchase at or before each click) — "
     "equi-join + time predicate + greatest-per-group "
-    "(operators.relational.asof_join); DuckDB oracle uses native ASOF",
+    "(operators.relational.asof_join); DuckDB oracle uses native ASOF. "
+    "The left side is consumed EXACTLY-ONCE: at-least-once redelivery "
+    "duplicates (same event_id, byte-identical payload — round-7 wave "
+    "8) are collapsed by an explicit DISTINCT on both engines; the "
+    "operator keys per-left-row output on event_id, so physical "
+    "duplicate rows would otherwise survive in DuckDB's row-oriented "
+    "ASOF but not the key-oriented greatest-per-group.",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.operators.relational import asof_join
 
     ev = load_table(spark, "events", sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .distinct()
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("pts"), "value"

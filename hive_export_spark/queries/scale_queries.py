@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_export_spark.config import UNSPECIFIED_TOKEN
 from hive_export_spark.registry import register
 from hive_export_spark.sources import load_table, read_stream_from_table
 
@@ -419,11 +420,13 @@ def llm_text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scale_compaction",
-    oracle="""
-SELECT event_type, COUNT(*) AS n_rows,
+    oracle=f"""
+SELECT CASE WHEN event_type IS NULL OR trim(event_type, '\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x20') = ''
+            THEN '{UNSPECIFIED_TOKEN}' ELSE event_type END AS event_type,
+       COUNT(*) AS n_rows,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
        TRUE AS files_reduced
-FROM events GROUP BY event_type
+FROM events GROUP BY 1
 """,
     doc="small-file compaction through the gate "
     "(operators.maintenance.compact_partitioned_table): a partitioned "
@@ -434,18 +437,29 @@ FROM events GROUP BY event_type
     "row counts + decimal sums plus a files_reduced boolean the oracle "
     "pins to TRUE. Verifies the rewrite is lossless AND actually "
     "shrinks the file count — the lakehouse maintenance op a 100 TB "
-    "streaming sink cannot live without.",
+    "streaming sink cannot live without. Partition values go through "
+    "the R4 substitution token first (like every partitioned write in "
+    "the repo): Spark writes an EMPTY-STRING partition value as "
+    "__HIVE_DEFAULT_PARTITION__, which reads back as NULL — '' and "
+    "NULL silently merge after one write/read round trip unless blank "
+    "keys are sentinel-encoded up front (round-7 wave 8).",
 )
 def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from hive_export_spark.operators.maintenance import compact_partitioned_table
+    from hive_export_spark.operators.parity import partition_token_substitute
     from hive_export_spark.queries.connector_queries import scratch_dir
     from hive_export_spark.sources import load_table
 
     base = scratch_dir("compaction")
     shutil.rmtree(base, ignore_errors=True)
-    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    ev = partition_token_substitute(
+        load_table(spark, "events", sf_dir).select(
+            "event_id", "event_type", "value"
+        ),
+        ["event_type"],
+    )
     # simulate micro-batch fragmentation: many small files per partition
     ev.repartition(24).write.partitionBy("event_type").parquet(base)
     stats = compact_partitioned_table(spark, base, ["event_type"])

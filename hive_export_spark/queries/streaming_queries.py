@@ -80,7 +80,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -98,7 +98,10 @@ FROM sess GROUP BY user_id, sid
 """,
     doc="session windows (30min inactivity gap) per user; oracle is the "
     "batch gaps-and-islands equivalent — Spark session end = last event + "
-    "gap, new session at gap >= duration",
+    "gap, new session at gap STRICTLY > duration (the merge boundary is "
+    "INCLUSIVE: an event exactly gap after the previous one joins the "
+    "session — probed round-7 wave 8 with an exact-30min pair spanning "
+    "epoch zero; Spark merges when next start <= previous end)",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -209,6 +212,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'
 GROUP BY 1, 2, 3
 """,
     doc="watermark semantics through the driver gate, in three checkpointed "
@@ -221,7 +225,14 @@ GROUP BY 1, 2, 3
     "remaining finalized windows. The result (sentinel windows filtered) "
     "equals the batch tumbling aggregation over the REAL events only — if "
     "the late row were not dropped, its window's count would be +1 and "
-    "the hash would mismatch.",
+    "the hash would mismatch. PRE-EPOCH rows are quarantined up front "
+    "on both engines: Structured Streaming's INITIAL watermark is "
+    "epoch 0, so a corrupt-clock event before 1970 is late-by-"
+    "construction and silently invisible to EVERY watermarked stateful "
+    "aggregation, even in the first micro-batch (probed round-7 wave "
+    "8 with a receipt) — the production answer is an explicit "
+    "quarantine filter with provenance, mirrored in the oracle, not "
+    "an engine accident.",
 )
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.queries.connector_queries import scratch_dir
@@ -231,7 +242,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (src, out, ckpt):
         shutil.rmtree(p, ignore_errors=True)
 
-    ev = load_table(spark, "events", sf_dir)
+    # quarantine corrupt-clock (pre-epoch) rows: below Spark's initial
+    # watermark, they can never enter a watermarked aggregation
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
 
     def run_phase(df: DataFrame) -> None:
         df.coalesce(1).write.mode("append").parquet(src)
@@ -720,7 +735,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -744,8 +759,11 @@ FROM sess GROUP BY user_id, sess_no
     "the aggregation operator itself — the same code path Structured "
     "Streaming uses for stateful session windows — while the oracle "
     "independently derives identical sessions via lag/running-sum "
-    "islands (break iff gap >= 30 min on both sides: session_window "
-    "extends to ts+gap exclusive). Decimal sums; session identity "
+    "islands (break iff gap STRICTLY > 30 min on both sides: the merge "
+    "boundary is INCLUSIVE — Spark merges windows when the next start "
+    "<= the previous end, so an event exactly gap after the previous "
+    "one joins the session; probed round-7 wave 8 with an exact-30min "
+    "pair spanning epoch zero). Decimal sums; session identity "
     "pinned by its exact start timestamp.",
 )
 def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,7 +123,7 @@ WITH minute_rollup AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type,
-       CAST(minute_epoch // 3600 * 3600 AS BIGINT) AS hour_epoch,
+       CAST(floor(minute_epoch / 3600) * 3600 AS BIGINT) AS hour_epoch,
        CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(SUM(sum_v) AS DOUBLE) AS sum_value,
        CAST(MIN(min_v) AS DOUBLE) AS min_value,
@@ -136,7 +136,10 @@ GROUP BY 1, 2
     "min-of-mins) — the continuous-aggregate pattern where coarse rollups "
     "derive from fine ones without touching raw data again; only "
     "decomposable aggregates, so level 2 reads rollup-sized input "
-    "(1/60th) instead of the fact table",
+    "(1/60th) instead of the fact table. Both levels bucket with "
+    "floor() on BOTH engines — a DuckDB `//` truncates toward zero "
+    "and lands a pre-epoch (negative-epoch, corrupt-clock) minute in "
+    "the wrong hour (round-7 wave 8)",
 )
 def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)

@@ -94,6 +94,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # shared-shingle join at 28x shuffle growth on 10x input
     # (SCALING.md); verified pair graphs and clean-fixture driver
     # hashes are unchanged, but the implementation is new.
+    # ALSO r8-head: stream_union_sources (r6 row stale — wave-7 made
+    # the shard split NULL-total, coalesce(pmod(user_id,2),0)) and
+    # ts_retention_cohorts (r4 row stale — wave-7 added the explicit
+    # identity filter on both engines); clean-fixture hashes verified
+    # unchanged for both, but code and oracle are new.
+    # ALSO r8-head: the 8 queries the round-7 wave-8 fixture (clock
+    # corruption / sentinel dates / at-least-once duplicates / blank
+    # partition keys) changed — join_asof (exactly-once DISTINCT),
+    # fn_date_family + fn_interval_family (NULL beyond year 9999),
+    # stream_session_window + stream_session_window_native (strict->
+    # inclusive gap boundary in the oracle), stream_watermark_late_drop
+    # (pre-epoch quarantine: initial watermark is epoch 0),
+    # scale_compaction (R4 token substitution before partitionBy),
+    # ts_rollup_two_level (oracle // -> floor). Clean-fixture hashes
+    # verified byte-identical for ALL 8 (the conventions only differ
+    # on adversarial rows), but code/oracle are new.
     #
     # (ask #3) the banded-store registration, new this round:
     "llm_dedup_incremental_banded",

@@ -99,6 +99,29 @@ PINNED = [
     # (NULL o_custkey survives FULL with NULL customer columns, matches
     # nothing in inner/semi; orphan lineitem surfaces in anti)
     "join_full",
+    # round-7 wave 8: clock corruption (epoch-zero / pre-epoch / 2038
+    # rollover), sentinel 9999-12-31 dates, at-least-once duplicate
+    # delivery, empty-string keys, duplicate-key dimension rows.
+    # Six pins, one per find:
+    # calendar arithmetic beyond year 9999 -> NULL on both engines
+    # (JVM computes year 10000 fine; Python datetime cannot collect it):
+    "fn_date_family",
+    # session merge boundary is INCLUSIVE (an event exactly gap after
+    # the previous one JOINS the session; oracle islands break on
+    # strictly-greater gaps):
+    "stream_session_window_native",
+    # pre-epoch rows are late-by-construction under watermarks (the
+    # initial watermark is epoch 0) -> explicit quarantine filter:
+    "stream_watermark_late_drop",
+    # as-of join consumes the left side exactly-once (DISTINCT
+    # collapses at-least-once redelivery duplicates on both engines):
+    "join_asof",
+    # blank partition values sentinel-encode before partitionBy ('' ->
+    # __HIVE_DEFAULT_PARTITION__ -> NULL round-trip merges ''/NULL):
+    "scale_compaction",
+    # time buckets floor on BOTH sides (DuckDB // truncates toward
+    # zero, off-by-one-bucket for negative epochs):
+    "ts_rollup_two_level",
 ]
 
 

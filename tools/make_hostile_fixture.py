@@ -288,6 +288,38 @@ def build(src: str, out: str) -> None:
         # engines
         dict(event_id=900034, ts=datetime(2024, 6, 15, 20, 0, 0),
              user_id=None, event_type=None, value=1.25, props="{}"),
+        # --- round-7 wave 8: clock corruption + key-domain edges.
+        # epoch-zero ts: a device with an UNSET clock reports exactly
+        # 1970-01-01T00:00:00 — the classic null-clock default. Every
+        # epoch bucketing (floor(epoch/N)) must agree at 0; any
+        # div-vs-floor or CAST-rounding slip shows here first.
+        dict(event_id=900035, ts=datetime(1970, 1, 1, 0, 0, 0),
+             user_id=12, event_type="view", value=2.0, props="{}"),
+        # pre-epoch ts (negative epoch): corrupt parse/underflow. floor
+        # on a negative epoch differs from toward-zero truncation by a
+        # whole bucket — both engines must floor.
+        dict(event_id=900036, ts=datetime(1969, 12, 31, 23, 30, 0),
+             user_id=12, event_type="view", value=2.5, props="{}"),
+        # int32-epoch rollover boundary (2038-01-19T03:14:08 = 2^31):
+        # any 32-bit seconds handling wraps negative here.
+        dict(event_id=900037, ts=datetime(2038, 1, 19, 3, 14, 8),
+             user_id=12, event_type="view", value=3.0, props="{}"),
+        # empty-string event_type: DISTINCT from the NULL group — "" is
+        # a real value (broken enum serialization), groups/sorts as its
+        # own key on both engines, and survives joins where NULL drops.
+        dict(event_id=900038, ts=datetime(2024, 6, 15, 21, 0, 0),
+             user_id=12, event_type="", value=4.0, props="{}"),
+        # at-least-once delivery: the SAME event delivered twice —
+        # byte-identical payload, duplicated event_id. Exactly-once
+        # consumers (streaming dedup by event_id) must collapse it;
+        # plain scans/aggregates must count both; any per-key arbitrary
+        # pick stays content-invariant because the payloads are equal.
+        dict(event_id=900039, ts=datetime(2024, 6, 15, 22, 0, 0),
+             user_id=13, event_type="click", value=5.0,
+             props='{"k": 7}'),
+        dict(event_id=900039, ts=datetime(2024, 6, 15, 22, 0, 0),
+             user_id=13, event_type="click", value=5.0,
+             props='{"k": 7}'),
     ])
 
     dmin = datetime(1992, 1, 1)
@@ -311,6 +343,14 @@ def build(src: str, out: str) -> None:
         dict(o_orderkey=BIG + 3, o_custkey=None, o_orderstatus="O",
              o_totalprice=55.5, o_orderdate=datetime(1995, 7, 4),
              o_orderpriority="2-HIGH"),
+        # --- round-7 wave 8: sentinel "never" date — warehouses use
+        # 9999-12-31 as the open-ended/unknown date. Every date
+        # function (trunc/quarter/make_date/add_months/datediff) and
+        # range filter must handle year 9999 identically; proleptic
+        # Gregorian on both engines.
+        dict(o_orderkey=BIG + 4, o_custkey=1, o_orderstatus="O",
+             o_totalprice=77.0, o_orderdate=datetime(9999, 12, 31),
+             o_orderpriority="5-LOW"),
     ])
 
     _append(src, out, "lineitem", [
@@ -344,6 +384,16 @@ def build(src: str, out: str) -> None:
         # customer-grain groupings gain a NULL nation group.
         dict(c_custkey=BIG + 2, c_name="Customer#nonation",
              c_nationkey=None, c_acctbal=123.45, c_mktsegment="BUILDING"),
+        # --- round-7 wave 8: botched SCD merge — the SAME business key
+        # twice with DIFFERENT attributes (both versions kept). Joins
+        # fan out x2 identically on both engines; per-customer
+        # aggregates absorb both rows; and any query that silently
+        # assumes PK uniqueness via an arbitrary per-key pick diverges
+        # here unless the pick is explicitly ordered.
+        dict(c_custkey=BIG + 10, c_name="Customer#scd-v1",
+             c_nationkey=1, c_acctbal=10.0, c_mktsegment="BUILDING"),
+        dict(c_custkey=BIG + 10, c_name="Customer#scd-v2",
+             c_nationkey=1, c_acctbal=20.0, c_mktsegment="MACHINERY"),
     ])
 
     _append(src, out, "part", [
