@@ -320,6 +320,27 @@ def build(src: str, out: str) -> None:
         dict(event_id=900039, ts=datetime(2024, 6, 15, 22, 0, 0),
              user_id=13, event_type="click", value=5.0,
              props='{"k": 7}'),
+        # --- round-7 wave 9: sub-cent values (an upstream that emits
+        # fractional aggregates) exercise the double->DECIMAL(12,2)
+        # rounding mode every decimal-sum oracle depends on. Probed
+        # EQUAL first (receipts): both engines round the shortest
+        # decimal representation HALF-UP — 0.125 (exact binary tie)
+        # -> 0.13, 1.005 (binary 1.00499..) -> 1.01, -0.125 -> -0.13.
+        # Laced so all ~50 decimal-cast queries re-verify the mode on
+        # every sweep instead of trusting the probe.
+        dict(event_id=900040, ts=datetime(2024, 6, 16, 9, 0, 0),
+             user_id=14, event_type="settle", value=0.125, props="{}"),
+        dict(event_id=900041, ts=datetime(2024, 6, 16, 10, 0, 0),
+             user_id=14, event_type="settle", value=1.005, props="{}"),
+        dict(event_id=900042, ts=datetime(2024, 6, 16, 11, 0, 0),
+             user_id=14, event_type="settle", value=-0.125, props="{}"),
+        # nested-object props.k (one more mistyped-k shape): typed
+        # extraction NULLs on both engines (non-integer token / OBJECT
+        # json_type guard); string extraction returns the serialized
+        # object identically. Probed equal, laced to stay held.
+        dict(event_id=900043, ts=datetime(2024, 6, 16, 12, 0, 0),
+             user_id=14, event_type="click", value=1.0,
+             props='{"k":{"a":1}}'),
     ])
 
     dmin = datetime(1992, 1, 1)
