@@ -735,21 +735,53 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM (
          CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
   FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
         GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+  UNION ALL
+  SELECT 'customer_duplicate_pk',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT c_custkey, COUNT(*) AS n FROM customer
+        GROUP BY c_custkey HAVING COUNT(*) > 1) cd
+  UNION ALL
+  SELECT 'embeddings_null_vector', COUNT(*)
+  FROM embeddings WHERE embedding IS NULL
+  UNION ALL
+  SELECT 'embeddings_dim_mismatch', COUNT(*)
+  FROM embeddings,
+       (SELECT len(embedding) AS s FROM embeddings
+        WHERE embedding IS NOT NULL
+        GROUP BY 1 ORDER BY COUNT(*) DESC, s DESC LIMIT 1) modal
+  WHERE embedding IS NOT NULL AND len(embedding) <> modal.s
+  UNION ALL
+  SELECT 'embeddings_nonfinite', COUNT(*)
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
 ) t
 """,
     doc="declarative data-quality rule evaluation (the expectation-suite / "
     "constraint-validation shape): range, null, sign, FK-orphan "
-    "(anti-join) and PK-uniqueness rules over lineitem/orders, one "
+    "(anti-join) and PK-uniqueness rules over lineitem/orders, PLUS the "
+    "embedding-payload rules the quarantine-first doctrine routes here "
+    "(make_hostile_fixture.py boundary notes): NULL vectors, "
+    "modal-dimension mismatches (truncated/partial embedding writes — "
+    "the modal size is the same scan-order-deterministic probe "
+    "operators/ml_lsh.py uses), and non-finite elements (NaN/Inf, the "
+    "class that flips DuckDB cosine to -1 vs Spark NaN-propagation and "
+    "is therefore rejected with provenance, never computed over). One "
     "(rule, violation count, passed) row each. Filter-count rules fuse "
     "into pushed-down scans; the FK rule is the only join (shuffled on "
     "the key, broadcast when the parent side is dim-sized); PK "
-    "uniqueness is one keyed aggregation. The rule results union to a "
-    "handful of rows however large the audited table is — this runs as "
-    "a gate before every training-data release.",
+    "uniqueness is one keyed aggregation; the modal-dim rule adds one "
+    "O(#distinct sizes) aggregate broadcast back over the scan. The "
+    "rule results union to a handful of rows however large the audited "
+    "table is — this runs as a gate before every training-data "
+    "release. The laced NULL vector makes embeddings_null_vector FIRE "
+    "(passed=false) on the hostile fixture: the gate is verified to "
+    "actually catch what the per-query conventions quarantine.",
 )
 def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
 
     def rule(name: str, df) -> DataFrame:
         return df.select(
@@ -775,6 +807,41 @@ def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") > 1)
         .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
         .select(F.lit("orders_duplicate_pk").alias("rule"), F.col("n")),
+        load_table(spark, "customer", sf_dir)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
+        .select(F.lit("customer_duplicate_pk").alias("rule"), F.col("n")),
+        emb.filter(F.col("embedding").isNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("embeddings_null_vector").alias("rule"), F.col("n")),
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("__s"))
+        .join(
+            # bounded: 1-row modal-size aggregate (count-desc, size-desc
+            # tie-break — the ml_lsh dimension-probe convention)
+            F.broadcast(
+                emb.filter(F.col("embedding").isNotNull())
+                .groupBy(F.size("embedding").alias("__modal"))
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .orderBy(F.desc("__cnt"), F.desc("__modal"))
+                .limit(1)
+                .select("__modal")
+            )
+        )
+        .filter(F.col("__s") != F.col("__modal"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("embeddings_dim_mismatch").alias("rule"), F.col("n")),
+        emb.filter(
+            F.col("embedding").isNotNull()
+            & F.exists(
+                "embedding",
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("embeddings_nonfinite").alias("rule"), F.col("n")),
     ]
     out = checks[0]
     for c in checks[1:]:

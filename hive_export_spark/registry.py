@@ -110,6 +110,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ts_rollup_two_level (oracle // -> floor). Clean-fixture hashes
     # verified byte-identical for ALL 8 (the conventions only differ
     # on adversarial rows), but code/oracle are new.
+    # ALSO r8-head: scale_dq_checks — extended with the four rules the
+    # quarantine-first doctrine routes to it (customer PK uniqueness,
+    # NULL embeddings, modal-dimension mismatch, non-finite elements);
+    # verified green on clean sf0.01 and FIRING correctly (passed=false
+    # rows with matching counts) on the hostile fixture.
     #
     # (ask #3) the banded-store registration, new this round:
     "llm_dedup_incremental_banded",

@@ -122,6 +122,12 @@ PINNED = [
     # time buckets floor on BOTH sides (DuckDB // truncates toward
     # zero, off-by-one-bucket for negative epochs):
     "ts_rollup_two_level",
+    # the quarantine-first DQ gate, POSITIVE-fire test: the laced
+    # corruption (NULL embedding, orphan lineitem, duplicate-custkey
+    # SCD pair) must be CAUGHT (passed=false with matching violation
+    # counts on both engines), proving the gate actually catches what
+    # the per-query conventions quarantine:
+    "scale_dq_checks",
 ]
 
 
