@@ -181,6 +181,30 @@ def test_signed_zero_round_pin(spark):
     assert repr(s) == "0.0"             # Spark's side is already +0.0
 
 
+def test_session_gap_inclusive_pin(spark):
+    """Round-7 wave 8 mechanism pin: Spark session_window merges an
+    event arriving EXACTLY gap after the previous one (windows touch:
+    next start <= previous end), so gaps-and-islands oracles must break
+    on STRICTLY-greater gaps. An event 1s past the gap starts a new
+    session."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00"),
+         (2, "2024-01-01 10:00:00"), (2, "2024-01-01 10:30:01")],
+        "user_id int, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.n_sessions) for r in out] == [(1, 1), (2, 2)]
+
+
 @pytest.mark.parametrize("name", PINNED)
 def test_hostile_query_matches_oracle(spark, hostile_dir, duck, name):
     sdf = all_queries()[name](spark, hostile_dir)
