@@ -285,7 +285,10 @@ def build(src: str, out: str) -> None:
         # fully-anonymous row: BOTH dimension keys NULL — the grouping
         # lattice (rollup/cube/grouping sets) must keep data-NULL
         # distinguishable from subtotal-NULL via grouping_id on both
-        # engines
+        # engines (probed with receipts since no registered lattice
+        # query reads events: ROLLUP over ('a','a',NULL) yields the
+        # identical (NULL, g=0, n=1) data row vs (NULL, g=1, n=3)
+        # subtotal on BOTH engines)
         dict(event_id=900034, ts=datetime(2024, 6, 15, 20, 0, 0),
              user_id=None, event_type=None, value=1.25, props="{}"),
         # --- round-7 wave 8: clock corruption + key-domain edges.
