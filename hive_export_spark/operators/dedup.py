@@ -109,13 +109,15 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
         # anti-join against the HOT shingles, not semi-join against the
-        # cold ones: the stop-list (freq > cap) has at most
-        # total_occurrences/cap entries — genuinely broadcast-safe at any
-        # corpus size — while the cold set is vocabulary-sized
-        sh = (
-            # bounded: stop-shingle list, <= total shingle occurrences / cap rows
-            sh.join(F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
-                    "shingle", "left_anti")
+        # cold ones: the stop-list (freq > cap) is far smaller — at most
+        # total_shingle_occurrences/cap entries — than the
+        # vocabulary-sized cold set. That bound still grows linearly
+        # with corpus size for a fixed cap, so no broadcast hint: AQE
+        # picks broadcast vs shuffle from the measured size at runtime
+        # (r7 driver advisory #4 — the hint would override the size
+        # check exactly when the corpus outgrows it).
+        sh = sh.join(
+            freq.filter(F.col("__f") > max_shingle_freq), "shingle", "left_anti"
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")

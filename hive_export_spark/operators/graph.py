@@ -129,6 +129,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     counts = edges.agg(
         F.count(F.lit(1)).alias("n_edges")
+        # bounded: global no-key .agg() — exactly 1 row (node count)
     ).crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
     # bounded: tri is a global .agg() — exactly 1 row (triangle count)
     return counts.crossJoin(F.broadcast(tri)).select(

@@ -129,9 +129,15 @@ def scan_scale_killers(package_root: str) -> list[str]:
         re.compile(r"\.toPandas\(\)"),
         re.compile(r"\.rdd\b"),
     )
-    # X is visibly bounded when the flattened statement shows it is an
-    # aggregate, a limited frame, or a literal small range
-    _BOUNDED_MARKS = (".agg(", ".groupBy(", ".limit(", ".range(")
+    # X is visibly bounded ONLY when the flattened statement shows a
+    # limited frame or a literal small range. Aggregates are NOT
+    # self-evidently bounded (r7 driver advisory #3): a groupBy over a
+    # high-cardinality key (per-shingle frequencies, per-doc stats) is
+    # data-sized even though it ends in .agg(...) — exactly the class
+    # the r7 broadcast-police sweep removed — so aggregate-valued
+    # broadcast/crossJoin args need a reviewed '# bounded:' comment
+    # stating WHY the group count is small.
+    _BOUNDED_MARKS = (".limit(", ".range(")
 
     def paren_arg(flat: str, open_idx: int) -> str:
         """Argument text inside the paren opening at ``open_idx`` of the
@@ -147,16 +153,48 @@ def scan_scale_killers(package_root: str) -> list[str]:
                     return flat[open_idx + 1 : i]
         return flat[open_idx + 1 :]
 
+    def _strip_strings_and_comment(s: str) -> str:
+        """Blank out string-literal contents and drop any trailing
+        comment — a ')' or bounded-mark inside a literal, or a '#'
+        inside a string, must not confuse the balanced-paren scan
+        (r7 driver advisory #3). Quote state is per-line, which is
+        exact for the audited sources (no multi-line strings inside
+        broadcast/crossJoin statements)."""
+        out: list[str] = []
+        quote: str | None = None
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if quote is not None:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+                    out.append(ch)
+                i += 1
+                continue
+            if ch in "'\"":
+                quote = ch
+                out.append(ch)
+            elif ch == "#":
+                break
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
     def flat_statement(lines: list[str], idx: int, lookahead: int = 40) -> str:
         """The matched physical line plus its continuation lines, joined
-        with whitespace (and interior comment lines) removed — so a
-        chain split across lines is matched as one statement."""
+        with whitespace, trailing comments, and string-literal contents
+        removed — so a chain split across lines is matched as one
+        statement and literals can't spoof or hide a mark."""
         out: list[str] = []
         for ln in lines[idx : idx + lookahead]:
             s = ln.strip()
             if s.startswith("#"):
                 continue
-            out.append(s.replace(" ", ""))
+            out.append(_strip_strings_and_comment(s).replace(" ", ""))
         return "".join(out)
 
     def broadcast_bounded(arg: str) -> bool:

@@ -470,11 +470,29 @@ SELECT event_id,
        event_type AS vtype,
        CAST(value AS DOUBLE) AS vvalue,
        event_id AS vid1,
-       CASE WHEN json_valid(props) THEN COALESCE(
-         CASE json_extract_string(props, '$.k')
-              WHEN 'true' THEN 1 WHEN 'false' THEN 0 END,
-         TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
-                                 AS DOUBLE)) AS BIGINT)) END AS k
+       CASE WHEN json_valid(props) THEN
+         CASE
+           WHEN json_type(props, '$.k') = 'BOOLEAN'
+             THEN CASE json_extract_string(props, '$.k')
+                       WHEN 'true' THEN 1 WHEN 'false' THEN 0 END
+           WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+             THEN CASE WHEN trunc(TRY_CAST(json_extract_string(props, '$.k')
+                                           AS DOUBLE))
+                            BETWEEN -2147483648 AND 2147483647
+                       THEN CAST(trunc(TRY_CAST(
+                              json_extract_string(props, '$.k') AS DOUBLE))
+                            AS BIGINT) END
+           WHEN json_type(props, '$.k') = 'VARCHAR'
+             THEN CASE WHEN regexp_matches(
+                              trim(json_extract_string(props, '$.k')),
+                              '^[+-]?[0-9]+$')
+                        AND TRY_CAST(trim(json_extract_string(props, '$.k'))
+                                     AS BIGINT)
+                            BETWEEN -2147483648 AND 2147483647
+                       THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                                     AS BIGINT) END
+         END
+       END AS k
 FROM events
 """,
     doc="VARIANT type family (parse_json / variant_get, Spark 4): "
@@ -512,8 +530,13 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_variant_get, not variant_get: a props.k the writer mistyped
         # (string 'café', array) raises INVALID_VARIANT_CAST under ANSI —
         # NULL-on-degenerate is the pinned convention. The oracle mirrors
-        # the variant INT cast: booleans -> 1/0, numerics truncated
-        # toward zero (trunc), non-numerics NULL.
+        # the variant INT cast per the round-8 engine probe: JSON boolean
+        # -> 1/0 (json_type-guarded: a string 'true' is NULL here, not 1
+        # — r7 driver advisory #2), numerics truncated toward zero AND
+        # int32-range-checked ('int' is 32-bit; 2147483648 -> NULL),
+        # strings parsed only as integral decimals with optional
+        # sign/whitespace ('3' -> 3 but '3.7'/'3e2'/'0x10' -> NULL,
+        # where a bare DuckDB TRY_CAST would accept the latter two).
         F.expr("CAST(try_variant_get(__pv, '$.k', 'int') AS BIGINT)").alias("k"),
     )
 

@@ -143,7 +143,13 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1) cnt
     "banded-LSH candidate path with exact-jaccard verification (measured "
     "9.2x shuffle growth on 10x input vs 28x for the raw shared-shingle "
     "join — tools/shuffle_probe.py); oracle is DuckDB's recursive CTE "
-    "over the same exact-threshold pairs",
+    "over the same exact-threshold pairs. The gate is therefore bounded "
+    "by LSH recall at the threshold (16 bands x 4 rows: miss prob "
+    "(1-j^4)^16, ~2e-4 at j=0.804, falling fast above; worst for very "
+    "short docs whose OPH bins are mostly empty) — pinned "
+    "DETERMINISTICALLY by the hostile fixture's borderline pair at "
+    "j=0.8039 (doc 900017~900018), which banding must surface every "
+    "sweep, with the j=0.7959 twin excluded by exact verification",
 )
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)

@@ -217,7 +217,9 @@ def ts_funnel_three_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s1.agg(F.count("*").cast("bigint").alias("n_signup"))
+        # bounded: global no-key .agg() — exactly 1 row per funnel stage
         .crossJoin(s2.agg(F.count("*").cast("bigint").alias("n_click_after")))
+        # bounded: global no-key .agg() — exactly 1 row
         .crossJoin(s3.agg(F.count("*").cast("bigint").alias("n_purchase_after")))
     )
 

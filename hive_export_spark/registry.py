@@ -43,318 +43,138 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 7 rotation: EVIDENCE CLOSURE (r6 verdict asks #1-#3).
-    # Registry grew 261 -> 262 this round: llm_dedup_incremental_banded,
-    # the bucket-partitioned banded LSH store registration the verdict
-    # itself asked for (ask #3) — in-window, freshest code first.
-    # Then the 4 never-driver-green deferrals from r6, then the 19
-    # adversarially-hardened out-of-window queries whose pre-hardening
-    # driver rows are stale evidence (the r6-pinned rotation head; the
-    # other 3 from that list are covered: fn_printf_family and
-    # stats_winsorize sit in the never-green four, agg_skew_kurtosis
-    # went driver-green IN r6 post-hardening). The remaining 26 slots
-    # drain the r1-stale tail oldest-first; 4 of its 30 defer to r8 with
-    # same-implementation in-window reps noted inline.
+    # --- round 8 rotation: EVIDENCE CLOSURE, part 1 of 2 (r7 verdict
+    # asks #1-#2). Slots follow the standing policy — never-green first
+    # (none remain), then queries whose code/oracle changed after their
+    # newest driver row (the round-7 wave-hardened pool), oldest
+    # evidence first, then the r1/r2-stale tail. This is byte-for-byte
+    # the r8 head the r7 rotation comment pinned, with ONE carryover:
+    # the head enumerated 51 names for 50 slots, so
+    # graph_degree_assortativity (r6-green; its change is the wave-5
+    # signed-zero oracle pin, clean-fixture hash verified unchanged —
+    # the weakest staleness claim in the pool) defers to the r9 head.
     #
-    # ROUND-8 ROTATION HEAD (under the standing policy): the 4 deferred
-    # r1-tail queries (join_left, join_right — same _join_frames impl as
-    # in-window join_inner; setop_intersect_all — family rep
-    # setop_intersect in-window; agg_cube — same rollup/cube impl as
-    # in-window agg_rollup), then the r2-stale tail (45 queries), then
-    # the r3-green queries whose broadcast-hint cleanup this round makes
-    # their old rows plan-stale (results hash-verified unchanged in
-    # ORACLE_r07.txt): q2_min_cost_supplier, q8_market_share,
-    # q9_product_type_profit, q11_important_stock,
-    # q16_parts_supplier_relationship, q17_small_quantity_revenue,
-    # q20_potential_promotion, q21_suppliers_kept_waiting. ALSO r8-head:
-    # the out-of-window queries whose ORACLES gained the explicit
-    # [ \t\n\x0B\f\r]+ whitespace class in the round-7 control-char wave
-    # (clean-fixture hashes verified unchanged — the class only differs
-    # on \x0B text): llm_corpus_curation, llm_text_fingerprint,
-    # llm_chunking, llm_pack_sequences, llm_text_tfidf,
-    # llm_text_perplexity, llm_span_corruption, llm_dedup_simhash,
-    # llm_boilerplate_chunk_dedup, llm_vocab_coverage,
-    # llm_quality_classifier, llm_text_token_stats, fn_explode_outer.
-    # ALSO r8-head: the 13 out-of-window queries whose oracles gained
-    # the round-7 wave-5 signed-zero pin (`round(...) + 0` — DuckDB's
-    # round preserves IEEE -0.0 where Spark's BigDecimal round cannot;
-    # clean-fixture hashes verified unchanged, the pin only differs
-    # when a sign-crossing statistic rounds to zero from below), plus
-    # ts_seasonal_profile's try_divide/nullif zero-sum-series fix:
-    # agg_corr_regression, stats_ab_proportion_z, agg_skew_kurtosis,
-    # stats_welch_ttest, stats_mann_whitney_u, ts_ewma_window,
-    # ts_seasonal_profile, ts_delta_rate, ts_autocorrelation,
-    # ts_linear_forecast, ts_rolling_corr, ts_decompose_additive,
-    # graph_degree_assortativity. (ts_bollinger_bands also carries the
-    # pin but is in-window never-green — it earns first evidence on the
-    # new text this round.)
-    # ALSO r8-head: llm_dedup_components and llm_dedup_keep_canonical,
-    # whose pair generation moved to the banded-LSH OPH candidate path
-    # after the round-7 shuffle-linearity audit measured the uncapped
-    # shared-shingle join at 28x shuffle growth on 10x input
-    # (SCALING.md); verified pair graphs and clean-fixture driver
-    # hashes are unchanged, but the implementation is new.
-    # ALSO r8-head: stream_union_sources (r6 row stale — wave-7 made
-    # the shard split NULL-total, coalesce(pmod(user_id,2),0)) and
-    # ts_retention_cohorts (r4 row stale — wave-7 added the explicit
-    # identity filter on both engines); clean-fixture hashes verified
-    # unchanged for both, but code and oracle are new.
-    # ALSO r8-head: the 8 queries the round-7 wave-8 fixture (clock
-    # corruption / sentinel dates / at-least-once duplicates / blank
-    # partition keys) changed — join_asof (exactly-once DISTINCT),
-    # fn_date_family + fn_interval_family (NULL beyond year 9999),
-    # stream_session_window + stream_session_window_native (strict->
-    # inclusive gap boundary in the oracle), stream_watermark_late_drop
-    # (pre-epoch quarantine: initial watermark is epoch 0),
-    # scale_compaction (R4 token substitution before partitionBy),
-    # ts_rollup_two_level (oracle // -> floor). Clean-fixture hashes
-    # verified byte-identical for ALL 8 (the conventions only differ
-    # on adversarial rows), but code/oracle are new.
-    # ALSO r8-head: scale_dq_checks — extended with the four rules the
-    # quarantine-first doctrine routes to it (customer PK uniqueness,
-    # NULL embeddings, modal-dimension mismatch, non-finite elements);
-    # verified green on clean sf0.01 and FIRING correctly (passed=false
-    # rows with matching counts) on the hostile fixture.
-    #
-    # (ask #3) the banded-store registration, new this round:
-    "llm_dedup_incremental_banded",
-    # the 4 never-driver-green deferrals (evidence.py: never-green -> 0):
-    "window_ratio_to_report",
-    "fn_printf_family",
-    "stats_winsorize",
-    "ts_bollinger_bands",
-    # the 19 hardened-stale (r6 adversarial waves changed code/oracles
-    # after their newest driver rows):
-    "fmt_roundtrip_text",
-    "fn_regexp_family",
-    "fn_json_family",
-    "fn_variant_family",
-    "llm_text_repetition",
-    "llm_text_langid",
-    "llm_intradoc_dedup",
-    "llm_text_normalize",
-    "llm_text_quality",
-    "llm_multimodal_features",
-    "llm_sim_rp_lsh_topk",
-    "llm_dedup_minhash_ml",
-    "llm_sim_topk_bruteforce",
-    "stats_mad_outliers",
-    "stats_zscore_outliers",
-    "agg_stats_moments",
-    "ts_interpolate_linear",
-    "fn_try_family",
-    "llm_sample_mixture",
-    # the r1-stale tail, 26 of 30 (newest driver evidence five fixture
-    # generations old — the weakest rows in the ledger):
-    "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_theta_inequality",
-    "agg_groupby",
-    "agg_rollup",
-    "sort_limit",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "subquery_scalar_avg",
-    "unpivot_stack",
-    "cdc_upsert",
-    "window_row_number",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_sliding_avg",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-)
-
-_ROUND6_WINDOW: tuple[str, ...] = (
-    "llm_quality_classifier",
-    "fn_interval_family",
-    "cdc_snapshot_diff",
-    "stream_cdc_apply",
-    "stats_bootstrap_ci",
-    "stats_bootstrap_poisson",
-    "ts_delta_rate",
+    # (1) the 4 r1-era deferrals — the oldest driver evidence in the
+    # ledger (join_left/join_right share _join_frames with r7-green
+    # join_inner; agg_cube shares the rollup/cube impl with r7-green
+    # agg_rollup; setop_intersect_all's family rep setop_intersect is
+    # r7-green):
+    "join_left",
+    "join_right",
+    "agg_cube",
+    "setop_intersect_all",
+    # (2) wave-changed queries whose newest driver row is r2 — both
+    # stale-evidence AND code/oracle-changed, the weakest rows of all
+    # (join_asof: wave-8 exactly-once DISTINCT; fn_date_family: NULL
+    # beyond year 9999; stream_session_window: inclusive gap boundary;
+    # llm_dedup_simhash + llm_text_token_stats: explicit
+    # [ \t\n\x0B\f\r]+ whitespace class):
+    "join_asof",
+    "fn_date_family",
+    "stream_session_window",
+    "llm_dedup_simhash",
+    "llm_text_token_stats",
+    # (3) wave-changed, newest row r3: the 8 TPC-H queries whose
+    # data-sized broadcast hints the round-7 police sweep removed
+    # (results hash-verified unchanged in ORACLE_r07.txt; the plan is
+    # new), plus llm_text_fingerprint (whitespace-class pin):
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "llm_text_fingerprint",
+    # (4) wave-changed, newest row r4 (whitespace-class pins;
+    # agg_corr_regression's signed-zero pin; llm_dedup_components'
+    # banded-OPH pair-path swap; ts_retention_cohorts' wave-7 identity
+    # filter; stream_watermark_late_drop's epoch-0 initial watermark;
+    # scale_compaction's R4 token substitution on the write path;
+    # ts_rollup_two_level's oracle //->floor):
+    "llm_corpus_curation",
+    "llm_chunking",
+    "llm_pack_sequences",
+    "llm_text_tfidf",
+    "agg_corr_regression",
+    "llm_dedup_components",
+    "ts_retention_cohorts",
+    "stream_watermark_late_drop",
+    "scale_compaction",
+    "ts_rollup_two_level",
+    # (5) wave-changed, newest row r5 (whitespace pin; signed-zero
+    # pins; ts_seasonal_profile's try_divide zero-sum fix; the DQ gate
+    # extended with 4 quarantine-doctrine rules):
+    "llm_text_perplexity",
+    "ts_ewma_window",
+    "ts_seasonal_profile",
+    "scale_dq_checks",
+    # (6) wave-changed, newest row r6 — 18 of 19 (the whitespace-,
+    # signed-zero- and wave-7/8-convention-pinned remainder;
+    # graph_degree_assortativity carries over to r9 as noted above):
     "llm_span_corruption",
-    "graph_jaccard_linkpred",
-    "stats_chi2_independence",
-    "join_nearest_value",
-    "agg_argmax_family",
-    "window_nth_value",
-    "fn_xpath_family",
-    "fn_csv_serde_family",
-    "udf_scalar_iter_pandas",
-    "stream_session_window_native",
-    "source_partition_discovery",
-    "agg_filter_clause",
-    "fn_explode_outer",
-    "stats_ks_drift",
-    "ts_autocorrelation",
-    "fmt_compression_codecs",
-    "ts_linear_forecast",
-    "stats_ab_proportion_z",
-    "llm_dedup_keep_canonical",
-    "scale_shuffle_hash_hint",
-    "agg_skew_kurtosis",
-    "stats_gini_concentration",
-    "ts_flatline_runs",
-    "stream_union_sources",
-    "graph_bfs_hops",
-    "llm_dedup_incremental",
-    "udf_window_pandas",
-    "stats_welch_ttest",
-    "stats_mann_whitney_u",
-    "stats_benford_first_digit",
-    "ts_rolling_corr",
-    "graph_degree_assortativity",
     "llm_boilerplate_chunk_dedup",
     "llm_vocab_coverage",
-    "ts_markov_transitions",
-    "llm_frame_sample_plan",
-    "graph_kcore_peel",
-    "llm_source_overlap_matrix",
-    "ts_rolling_median",
+    "llm_quality_classifier",
+    "fn_explode_outer",
+    "stats_ab_proportion_z",
+    "agg_skew_kurtosis",
+    "stats_welch_ttest",
+    "stats_mann_whitney_u",
+    "ts_delta_rate",
+    "ts_autocorrelation",
+    "ts_linear_forecast",
+    "ts_rolling_corr",
     "ts_decompose_additive",
-    "fn_struct_family",
-    "stats_qq_deciles",
-    "llm_embedding_label_drift",
+    "llm_dedup_keep_canonical",
+    "stream_union_sources",
+    "fn_interval_family",
+    "stream_session_window_native",
 )
 
-_ROUND5_WINDOW: tuple[str, ...] = (
-    # --- round 5 rotation (kept for the audit trail; superseded above).
-    # Slot policy (unchanged): (1) queries with NO
-    # green driver row in any round — the 27 operators NEW this round —
-    # and queries whose code or oracle changed this round (their old rows
-    # are stale evidence); (2) the stale-evidence tail, oldest green
-    # first (fixtures regenerate between rounds, so an r1-era green row
-    # is the weakest evidence in the repo); (3) the riskiest r2-latest
-    # queries. The 18 new-query slots came first out of category (3) —
-    # bonus rotation of already-r2-green, unchanged queries, the lowest
-    # priority — then, once (3) was down to its single must-keep, out of
-    # category (2) entries whose implementation family keeps an in-window
-    # representative (noted inline below). Everything rotated out keeps
-    # its newest green row as evidence, and the all-query local replica
-    # (ORACLE_r05.txt, hostile driver-shaped session, refreshed this
-    # session) covers the remainder on current fixtures.
-    #
-    # (1a) NEW this round, never driver-verified:
-    "graph_triangle_count",
-    "pareto_skyline",
-    "window_running_distinct",
-    "ts_interpolate_linear",
-    "ts_ewma_window",
-    "stats_zscore_outliers",
-    "agg_histogram_equidepth",
-    "llm_text_perplexity",
-    "llm_sample_weighted",
-    "graph_pagerank",
-    "join_interval_overlap",
-    "stats_mad_outliers",
-    "ts_cusum_changepoint",
-    "fmt_roundtrip_text",
-    "cdc_changelog_compact",
-    "llm_sample_mixture",
-    "llm_bpe_pair_counts",
-    "llm_embed_quantize",
-    "ts_seasonal_profile",
-    "ts_attribution_last_touch",
-    "fn_higher_order_family",
-    "agg_grouping_id",
-    "join_null_safe_eq",
-    "stream_window_topk",
-    "sql_recursive_cte",
-    "agg_approx_top_k",
-    "agg_listagg_strings",
-    "llm_split_train_val_test",
-    "llm_global_shuffle",
-    "udf_map_in_arrow",
-    "udtf_word_positions",
-    "fmt_roundtrip_xml",
-    "source_binary_files",
-    "scale_runtime_bloom_join",
-    "scale_profile_columns",
-    "stream_static_enrich_join",
-    "llm_kmeans_assign",
-    "llm_kmeans_iterate",
-    "ts_downsample_m4",
-    "scale_dq_checks",
-    "join_fuzzy_levenshtein",
-    "agg_histogram_equiwidth",
-    # (1b) changed this round: Arrow batch reader, sf_scratch_dir keying,
-    # KLL median convention, JDBC sink pre-stream reset
-    "source_export_blocks",
-    "scale_dpp_scan",
-    "stream_stateful_totals",
-    "agg_kll_quantile_merge",
-    "stream_jdbc_sink_e2e",
-    # (2) the r1-latest tail: joins (join_left/join_right ceded slots to
-    # round-5 new queries — same _join_frames/_join_select implementation
-    # as join_inner, which stays, and both are green in ORACLE_r05.txt)
-    # (join_semi / join_anti ceded slots to session-2 new queries: one
-    # existence-join family, both green in the committed replica;
-    # join_inner / join_broadcast_dim / join_theta_inequality stay)
-    # (join_theta_inequality, join_inner and join_broadcast_dim ceded in
-    # session 2/4 — the join families keep join_null_safe_eq (broadcast
-    # equi-join, plan-asserted), join_fuzzy_levenshtein and
-    # join_interval_overlap in-window, and q3 exercises the full
-    # broadcast-dim equi-join stack end to end)
-    "q3_shipping_priority",
-    # aggregations + set ops
-    # (agg_groupby ceded in session 4 — agg_grouping_id and
-    # agg_histogram_equidepth are the in-window aggregation probes)
-    # (agg_rollup, sort_limit, setop_except, and later setop_union_all,
-    # q18, subquery_scalar_avg and cdc_upsert ceded slots to session-2/3
-    # new queries: agg_groupby remains the aggregation probe, q3 the
-    # TPC-H probe, cdc_changelog_compact the in-window CDC probe,
-    # 20 new queries above took the freed positions; every displaced
-    # query is green in the committed all-query replica on current
-    # fixtures)
-    # window functions (window_rank_dense earlier, and now window_lag_lead
-    # + window_sliding_avg, ceded slots: one ordered-window family with
-    # window_row_number / window_running_sum, which stay; the new
-    # window_running_distinct adds a third in-window window-family probe)
-    "window_running_sum",
-    # NOT in-window this round (the 50 slots are saturated with 46
-    # never-driver-green queries + 4 anchors): ts_delta_rate,
-    # llm_span_corruption, graph_jaccard_linkpred,
-    # stats_chi2_independence, join_nearest_value, agg_argmax_family,
-    # window_nth_value, fn_xpath_family, fn_csv_serde_family,
-    # udf_scalar_iter_pandas, stream_session_window_native,
-    # source_partition_discovery, agg_filter_clause, fn_explode_outer,
-    # stats_ks_drift, ts_autocorrelation, fmt_compression_codecs,
-    # ts_linear_forecast, stats_ab_proportion_z,
-    # llm_dedup_keep_canonical, ts_bollinger_bands,
-    # scale_shuffle_hash_hint, agg_skew_kurtosis,
-    # stats_gini_concentration, fn_printf_family, ts_flatline_runs,
-    # stream_union_sources, graph_bfs_hops, llm_dedup_incremental,
-    # udf_window_pandas, window_ratio_to_report, and the session-7 wave
-    # (stats_welch_ttest, stats_mann_whitney_u, stats_benford_first_digit,
-    # ts_rolling_corr, graph_degree_assortativity,
-    # llm_boilerplate_chunk_dedup, llm_vocab_coverage, fn_interval_family,
-    # ts_markov_transitions, stats_winsorize, llm_frame_sample_plan,
-    # stream_cdc_apply, stats_bootstrap_ci, cdc_snapshot_diff,
-    # graph_kcore_peel, llm_source_overlap_matrix, ts_rolling_median,
-    # ts_decompose_additive, llm_quality_classifier, fn_struct_family,
-    # stats_qq_deciles, llm_embedding_label_drift) — all green
-    # in the committed all-query replica (ORACLE_r05.txt, hostile); they
-    # are the ROUND-6 ROTATION HEAD (highest priority for r6 slots under
-    # the standing policy).
-    #
-    # (3) riskiest r2-latest kept after the new-query displacement: the
-    # single most fixture-drift-exposed shape (ts-format parity — the r4
-    # nanos->NTZ fixture flip hit exactly this). llm_dedup_minhash_lsh
-    # stays under bench.py watch (perf, not correctness) and, like every
-    # displaced query, is green in the committed all-query replica on
-    # current fixtures (ORACLE_r05.txt).
-    "parity_timestamp_format",
-)
+# ROUND-9 ROTATION HEAD (pinned NOW, r7 verdict ask #2 — exactly 50):
+#   1. graph_degree_assortativity — the r8 carryover above.
+#   2. fn_variant_family — its oracle gained the json_type(...) =
+#      'BOOLEAN' guard this round (r7 driver advisory #2), making its
+#      r7 row stale; clean-fixture hash verified unchanged (the guard
+#      only differs on a laced string-'true' props row).
+#   3. llm_sim_rp_lsh_topk — the modal-dimension probe now also
+#      reports the dropped non-modal/invalid row count (r7 verdict ask
+#      #5); dim selection is unchanged and the clean-fixture hash is
+#      verified unchanged, but the probe code is new.
+#   4. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
+#      fn_array_family, fn_conditional_family, fn_explode_unnest,
+#      fn_hash_family, fn_map_family, fn_math_family, fn_string_family,
+#      join_full, join_range_band, llm_dedup_exact,
+#      llm_dedup_minhash_lsh, llm_dedup_ngram_jaccard,
+#      parity_base64_encode, parity_json_encode,
+#      parity_partition_routing, parity_partition_token,
+#      parity_partitioned_write, parity_skip_internal_fields,
+#      pivot_status_by_priority, q12_shipmode_priority,
+#      q1_pricing_summary, q5_local_supplier_volume, setop_except_all,
+#      stream_dedup_keys, stream_export_e2e, stream_tumbling_window,
+#      topk_per_group, udf_grouped_agg_pandas, udf_grouped_map_pandas,
+#      udf_scalar_pandas, union_by_name_missing, window_distribution,
+#      window_ntile_first_last.
+#   5. the r3-stale tail, first 12 alphabetically:
+#      agg_approx_count_distinct, agg_approx_quantile_sketch,
+#      agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
+#      cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
+#      fmt_roundtrip_orc, fn_posexplode, fn_string_extra,
+#      jdbc_roundtrip_derby.
+# Remaining after r9 (r10 pool): the other 13 r3-era rows
+# (llm_dedup_embedding, llm_sample_fraction, llm_sample_stratified,
+# llm_text_frequent_ngrams, q7_volume_shipping, q15_top_supplier,
+# scale_clustered_scan, scale_salted_agg, scale_zorder_scan,
+# source_formats_roundtrip, sql_frontend_q1, stream_sliding_window,
+# stream_stream_interval_join) and the 29 unchanged r4-era rows. The
+# registry stays frozen (growth only for driver asks) until closure.
+#
+# (Historical windows: the r5/r6/r7 rotations and their slot-policy
+# narratives live in git history and COVERAGE.md — the dead in-file
+# copies were removed per r7 driver advisory #5.)
+
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

@@ -95,30 +95,45 @@ def test_no_unguarded_scale_killers():
 
 
 def test_audit_rejects_data_sized_broadcast(tmp_path):
-    """Round-6 allowlist discipline: crossJoin(F.broadcast(X)) is no
-    longer self-sanctioning. An X that is not visibly bounded (no
-    .agg/.groupBy/.limit/.range on the line) and carries no
-    '# bounded:' / '# oracle-twin:' justification must fail the sweep;
-    a justified or visibly-bounded one must pass; a stale allowlist
-    entry must be reported."""
+    """Round-6 allowlist discipline, tightened by the r7 driver
+    advisory #3: crossJoin(F.broadcast(X)) is not self-sanctioning,
+    and an AGGREGATE is no longer self-evidently bounded either — a
+    groupBy over a high-cardinality key is data-sized even though the
+    line ends in .agg(...). Only .limit(/.range( count as visibly
+    bounded; aggregate-valued args need a reviewed '# bounded:'
+    comment. The scanner must also ignore marks and parens inside
+    string literals and trailing comments. A stale allowlist entry
+    must be reported."""
     from hive_export_spark.plans.audit import scan_scale_killers
 
     pkg = tmp_path / "pkg"
     pkg.mkdir()
     (pkg / "bad.py").write_text(
         "out = facts.crossJoin(F.broadcast(all_events))\n"
+        # the advisory's exact class: a vocabulary-sized per-key
+        # frequency aggregate, auto-sanctioned under the old marks
+        "hot = sh.join(F.broadcast(freq.groupBy('shingle')"
+        ".agg(F.count('*').alias('f'))), 'shingle')\n"
+        # a mark inside a string literal must not sanction the hint
+        "spoof = a.crossJoin(F.broadcast(b.filter(\"x == '.limit('\")))\n"
+        # a mark in a trailing comment must not sanction the hint
+        "late = a.crossJoin(F.broadcast(c))  # uses .limit( upstream\n"
     )
     (pkg / "good.py").write_text(
+        "# bounded: global no-key agg, exactly 1 row\n"
         "tot = df.crossJoin(F.broadcast(df.agg(F.count('*').alias('n'))))\n"
         "# bounded: k x dim centroid table\n"
         "sc = v.crossJoin(F.broadcast(centroids))\n"
         "# oracle-twin: fixture-scale exact all-pairs; prod path is lsh_pairs\n"
         "ex = a.crossJoin(F.broadcast(b))\n"
+        "topn = a.crossJoin(F.broadcast(b.orderBy('x').limit(10)))\n"
     )
     vs = scan_scale_killers(str(pkg))
-    assert len(vs) >= 1
     assert any("bad.py:1" in v and "broadcast" in v for v in vs)
-    assert not any("good.py" in v for v in vs)
+    assert any("bad.py:2" in v for v in vs), vs
+    assert any("bad.py:3" in v for v in vs), vs
+    assert any("bad.py:4" in v for v in vs), vs
+    assert not any("good.py" in v for v in vs), vs
     # the repo allowlist is keyed to hive_export_spark paths, so every
     # entry is stale relative to this temp package — reported, not silent
     assert any("STALE allowlist entry" in v for v in vs)

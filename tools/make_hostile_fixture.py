@@ -161,6 +161,30 @@ def build(src: str, out: str) -> None:
              source="web", n_chars=20),
         dict(doc_id=900016, text="retry wrote me twice", lang="en",
              source="web", n_chars=20),
+        # --- round-8 wave 1: borderline-Jaccard pairs (r7 driver
+        # advisory #1). llm_dedup_components/keep_canonical generate
+        # candidate pairs via probabilistic banded OPH-LSH while their
+        # oracle is the exhaustive exact-Jaccard CTE, so the gate rests
+        # on LSH recall at the threshold. These rows make that
+        # assumption a DETERMINISTIC gate: 900017~900018 is a prefix
+        # pair at exact j = 41/51 = 0.8039 (just ABOVE the 0.8
+        # threshold — banding must surface it or the hash gate fails),
+        # 900019~900020 at j = 39/49 = 0.7959 (just BELOW — exact
+        # verification must exclude it on both engines). Distinct
+        # synthetic tokens keep their shingles disjoint from every
+        # other document.
+        dict(doc_id=900017,
+             text=" ".join(f"b8a{i:02d}" for i in range(1, 44)),
+             lang="en", source="web", n_chars=257),
+        dict(doc_id=900018,
+             text=" ".join(f"b8a{i:02d}" for i in range(1, 54)),
+             lang="en", source="web", n_chars=317),
+        dict(doc_id=900019,
+             text=" ".join(f"c8a{i:02d}" for i in range(1, 42)),
+             lang="en", source="web", n_chars=245),
+        dict(doc_id=900020,
+             text=" ".join(f"c8a{i:02d}" for i in range(1, 52)),
+             lang="en", source="web", n_chars=305),
     ])
 
     mid = datetime(2024, 6, 15, 12, 0, 0)
@@ -264,6 +288,30 @@ def build(src: str, out: str) -> None:
              value=1.0, props='{"k":"café"}'),
         dict(event_id=900030, ts=mid, user_id=4, event_type="click",
              value=1.0, props='{"k": [1]}'),
+        # --- round-8 wave 1: variant INT-cast boundary rows (r7 driver
+        # advisory #2 + fresh engine probe). Pinned conventions, each
+        # laced because a naive oracle silently diverges on it:
+        # string 'true' is NOT boolean true (json_extract_string cannot
+        # tell them apart; json_type BOOLEAN guard required — Spark
+        # NULL); string '3.7' / '3e2' / '0x10' fail Spark's integral-
+        # string parse where DuckDB TRY_CAST accepts the latter two
+        # (VARCHAR arm = integral-decimal regex only); 'int' is 32-bit
+        # so 2147483648 (numeric AND string) -> NULL on Spark where a
+        # BIGINT oracle would keep it.
+        dict(event_id=900081, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "true"}'),
+        dict(event_id=900082, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "3.7"}'),
+        dict(event_id=900083, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "3e2"}'),
+        dict(event_id=900084, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "0x10"}'),
+        dict(event_id=900085, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": 2147483648}'),
+        dict(event_id=900086, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": "2147483648"}'),
+        dict(event_id=900087, ts=mid, user_id=4, event_type="click",
+             value=1.0, props='{"k": " +3 "}'),
         # --- round-7 wave 7: NULL grouping/partition keys — anonymous
         # events (a logged-out session has no user_id; at corpus scale
         # these are a large, real traffic class). SQL conventions under
