@@ -71,7 +71,11 @@ HEADLINE = [
     # weights — the production formulation of stats_bootstrap_ci)
     "stats_bootstrap_poisson",
     # round 7: incremental dedup against the bucket-partitioned banded
-    # store (partition-pruned probe — the production daily-dedup shape)
+    # store (partition-pruned probe — the production daily-dedup shape).
+    # This entry is the WARM-STORE probe: the warmup run builds/finds
+    # the per-fixture store, the timed runs prune it. The one-time
+    # store build is measured separately into the "aux" output field
+    # (r7 verdict ask #4) so the suite wall tracks the recurring cost.
     "llm_dedup_incremental_banded",
 ]
 
@@ -88,6 +92,12 @@ def main() -> None:
     spark = get_spark("hive_export_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    # r7 verdict ask #3: record the box's load average at leg start so a
+    # number taken under residual contention (a draining Spark JVM from
+    # a prior sweep inflates heavy queries 15-30% — BENCH_SCALING.md)
+    # carries its own caveat instead of silently reading as a regression.
+    load_start = os.getloadavg()
 
     # JVM/codegen warmup on a trivial query so the first timed query does
     # not absorb one-time startup cost
@@ -113,6 +123,41 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # r7 verdict ask #4: the llm_dedup_incremental_banded suite entry
+    # above is the WARM-STORE probe — its warmup execution builds (or
+    # finds) the per-fixture banded store, so the timed min-of-3 prunes
+    # an existing store. That is the number that models recurring daily
+    # dedup; the amortized ONE-TIME store build is measured separately
+    # here on a cleared scratch, with the exact configuration the query
+    # uses, and reported in "aux" rather than folded into the suite wall.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hive_export_spark.operators import dedup as _dedup
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.queries.llm_queries import _INCR_SPLIT
+    from hive_export_spark.sources.tables import load_table
+
+    aux: dict[str, float] = {}
+    if "llm_dedup_incremental_banded" in timings:
+        store_root = sf_scratch_dir("banded_store", sf_dir)
+        shutil.rmtree(store_root, ignore_errors=True)
+        store = os.path.join(sf_scratch_dir("banded_store", sf_dir), "buckets")
+        old_docs = load_table(spark, "documents", sf_dir).filter(
+            F.col("doc_id") < _INCR_SPLIT
+        )
+        t0 = time.perf_counter()
+        _dedup.persist_banded_store(
+            _dedup.minhash_signatures(old_docs, "text", "doc_id", 64),
+            store, "doc_id", num_hashes=64, bands=16, bucket_parts=64,
+        )
+        aux["llm_dedup_incremental_banded_store_build"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -121,6 +166,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "aux": aux,
+                "load_1m_start": round(load_start[0], 2),
+                "load_5m_start": round(load_start[1], 2),
+                "load_1m_end": round(load_end[0], 2),
+                "load_5m_end": round(load_end[1], 2),
             }
         )
     )

@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 
 from hive_export_spark.operators.dedup import ensure_parallelism, word_shingles
 
+#: Diagnostic record of the most recent modal-dimension probe (r7 verdict
+#: ask #5 — dropped rows must be VISIBLE, not silently filtered):
+#: {"dim": modal size, "n_valid": rows at the modal size, "n_dropped":
+#: rows excluded (NULL / empty / non-modal length), "sizes": full
+#: {size: count} histogram (-1 = NULL)}. A legitimately mixed-dimension
+#: corpus (two embedding models) shows up here as a large n_dropped —
+#: route such corpora through scale_dq_checks' embeddings_dim_mismatch
+#: rule (same modal convention) and split by model upstream; the probe
+#: deliberately never guesses which minority dimension is intended.
+last_dim_probe: dict | None = None
+
 
 def ml_minhash_pairs(
     df: DataFrame,
@@ -110,17 +121,37 @@ def ml_random_projection_topk(
     # dependent in mixed-dimension corpora). The modal size is scan-order
     # deterministic (ties break to the larger size) and the agg reads one
     # pruned column with map-side combine over O(#distinct sizes) groups.
+    # The probe collects the FULL size histogram (same O(#distinct
+    # sizes) rows) so the excluded-row count is reported in
+    # ``last_dim_probe`` instead of silently filtered (r7 verdict ask
+    # #5): on a corpus that legitimately mixes dimensions the minority
+    # model's rows are dropped from the candidate set, and that loss
+    # must be observable and routable to the DQ gate.
     if dim is None:
-        probe = (
-            vectors.select(F.size(_as_double(F.col(vec_col))).alias("__sz"))
-            .filter(F.col("__sz") > 0)
+        hist = (
+            vectors.select(
+                F.coalesce(
+                    F.size(_as_double(F.col(vec_col))), F.lit(-1)
+                ).alias("__sz")
+            )
             .groupBy("__sz")
-            .agg(F.count("*").alias("__n"))
-            .orderBy(F.desc("__n"), F.desc("__sz"))
-            .limit(1)
+            # 1-row-per-distinct-size histogram, O(#distinct sizes)
+            .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        dim = probe[0][0] if probe else 0
+        sizes = {r["__sz"]: r["__n"] for r in hist}
+        ranked = sorted(
+            ((n, sz) for sz, n in sizes.items() if sz > 0), reverse=True
+        )
+        dim = ranked[0][1] if ranked else 0
+        n_valid = sizes.get(dim, 0) if dim > 0 else 0
+        global last_dim_probe
+        last_dim_probe = {
+            "dim": dim,
+            "n_valid": n_valid,
+            "n_dropped": sum(sizes.values()) - n_valid,
+            "sizes": sizes,
+        }
     zero = F.array_repeat(F.lit(0.0), dim)
 
     def total_arr(c):

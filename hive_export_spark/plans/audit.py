@@ -117,8 +117,9 @@ def scan_scale_killers(package_root: str) -> list[str]:
         ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
             "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
         ('operators/ml_lsh.py', '.collect()'):
-            "1-row modal embedding-dimension probe: groupBy(size).count "
-            "over one pruned column, orderBy+limit(1) — O(#distinct sizes)",
+            "modal embedding-dimension probe: size histogram over one "
+            "pruned column — O(#distinct sizes) rows, also feeds the "
+            "last_dim_probe dropped-row report (r7 verdict ask #5)",
     }
     for key, why in allowed.items():
         if not (isinstance(why, str) and why.strip()):

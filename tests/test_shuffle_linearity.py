@@ -1,0 +1,110 @@
+"""Standing shuffle-linearity gate (r7 verdict ask #6).
+
+The round-7 audit caught the repo's only real scale-killer — the
+dedup-components shared-shingle join at 28x shuffle growth on 10x input —
+by MEASURING stage metrics, not by reading plans. This test makes that
+measurement a permanent pytest gate for the shuffle-heavy families
+(dedup / graph / join), so the next super-linear exchange cannot land
+silently between rounds.
+
+Protocol (mirrors tools/shuffle_probe.py + tools/shuffle_compare.py):
+run each query once warmed and once measured at sf0.01 and sf0.1 (a true
+10x on every table these queries read — documents is FLAT between
+sf0.001 and sf0.01, so the smaller pair would mask growth entirely),
+read per-stage shuffleWriteRecords from the UI REST API, and compare.
+RECORDS are the signal — byte ratios at kilobyte scales carry 10-30%
+per-block framing noise (SCALING.md), and record counts are semantic
+(partition-count and AQE invariant). Spill must be zero at both scales.
+
+Thresholds are per-query, calibrated from the round-8 baseline run and
+set one notch above it so real regressions (2x the measured class) fail:
+
+- join/graph families: 15 (= data_ratio 10 x 1.5, shuffle_compare's
+  standard linear band — measured 9.7x/9.9x).
+- banded-LSH dedup family: 20. Measured 12.7-16.7x: signatures and
+  verified output are exactly linear (stage receipts: sig stage 500 ->
+  5000 rows, exact pairs 25 -> 256), but the CANDIDATE stage carries
+  the inherent LSH false-positive term ~ n^2 * E[j^r], inflated by this
+  synthetic corpus's shared vocabulary (bucket census: no bucket
+  exceeds 7 docs — many small collisions, not a degenerate hot
+  bucket). At real corpus scale the mitigation is raising rows-per-band
+  (r=8 at 10^9 docs), a config choice documented in SCALING.md, not a
+  plan defect — but a jump past 20x here means a NEW super-linear
+  exchange landed.
+
+Queries whose big-scale run stays under ABS_FLOOR records are passed on
+absolute volume (framing noise dominates ratios at that size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SMALL_SF = "/root/testdata/sf0.01"
+BIG_SF = "/root/testdata/sf0.1"
+ABS_FLOOR = 10_000  # records in the big run below this: noise regime
+
+#: query -> max allowed shuffleWriteRecords growth on 10x input
+GATED: dict[str, float] = {
+    "llm_dedup_minhash_oph": 20.0,
+    "llm_dedup_components": 20.0,
+    "llm_dedup_keep_canonical": 20.0,
+    "graph_pagerank": 15.0,
+    "join_asof": 15.0,
+    "scale_skew_join": 15.0,
+}
+
+
+@pytest.fixture(scope="module")
+def probes() -> dict[str, dict[str, dict[str, int]]]:
+    """One subprocess per scale (own SparkSession with the UI enabled —
+    isolated from the test session's JVM), all gated queries per run."""
+    out: dict[str, dict[str, dict[str, int]]] = {}
+    for tag, sf in (("small", SMALL_SF), ("big", BIG_SF)):
+        res = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "shuffle_probe.py"),
+                sf,
+                *GATED,
+            ],
+            check=True,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        rows: dict[str, dict[str, int]] = {}
+        for line in res.stdout.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if "query" in d:
+                rows[d["query"]] = d
+        out[tag] = rows
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(GATED))
+def test_shuffle_growth_is_linear(probes, name):
+    small, big = probes["small"][name], probes["big"][name]
+    # spill-free at both scales: partitions fit in executor memory
+    for leg in (small, big):
+        assert leg["memoryBytesSpilled"] == 0, (name, leg)
+        assert leg["diskBytesSpilled"] == 0, (name, leg)
+    if big["shuffleWriteRecords"] < ABS_FLOOR:
+        return  # noise regime: absolute volume is the budget, and it's tiny
+    ratio = big["shuffleWriteRecords"] / max(small["shuffleWriteRecords"], 1)
+    assert ratio <= GATED[name], (
+        f"{name}: shuffleWriteRecords grew {ratio:.1f}x on 10x input "
+        f"({small['shuffleWriteRecords']} -> {big['shuffleWriteRecords']}) — "
+        f"exceeds the {GATED[name]}x gate; a super-linear exchange landed "
+        f"(see tools/shuffle_compare.py and SCALING.md)"
+    )
