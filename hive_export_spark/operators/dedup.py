@@ -688,7 +688,12 @@ def incremental_pairs_against_banded_store(
         r[0] for r in new_banded.select("bucket_part").distinct().collect()
     ]
     store = (
-        spark.read.parquet(store_path)
+        # explicit schema (the store's layout == the increment's banded
+        # frame): a store persisted from an EMPTY corpus has no parquet
+        # footers to infer from — partitionBy writes zero data files for
+        # zero rows — and inference would crash where a day-zero store
+        # must simply probe nothing (round-8 day-zero sweep)
+        spark.read.schema(new_banded.schema).parquet(store_path)
         .where(F.col("bucket_part").isin(parts))
         .select(id_col, "band", "bucket", "bucket_part")
     )

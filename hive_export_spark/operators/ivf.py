@@ -102,7 +102,26 @@ def ivf_topk(
     )
     q_rows = q.select(query_id_col, "__qsig").limit(max_query_rows + 1).collect()
     if not q_rows:
-        raise ValueError("ivf_topk requires a non-empty query set")
+        # day-zero corpus / empty increment: no queries means no
+        # neighbors, not a configuration error (round-8 day-zero sweep) —
+        # raising here crashed every downstream pipeline on its first day
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    queries.schema[query_id_col],
+                    # query and corpus ids share the vec-id domain
+                    T.StructField(
+                        "neighbor_id",
+                        queries.schema[query_id_col].dataType,
+                    ),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     if len(q_rows) > max_query_rows:
         raise ValueError(
             f"ivf_topk query set exceeds max_query_rows={max_query_rows}; "

@@ -72,6 +72,11 @@ def compact_partitioned_table(
         return total
 
     files_before = count_files(path)
+    if files_before == 0:
+        # day-zero table (a partitioned write of zero rows leaves no data
+        # files): nothing to compact, and a format load would fail schema
+        # inference rather than return empty (round-8 day-zero sweep)
+        return {"files_before": 0, "files_after": 0}
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
     total_bytes = sum(

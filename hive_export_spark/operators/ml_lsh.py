@@ -173,6 +173,26 @@ def ml_random_projection_topk(
         valid(F.col(vec_col)).alias("__qvalid"),
     ).filter("__qvalid").withColumn("__qvec", array_to_vector("__qarr"))
 
+    if dim <= 0 or v.isEmpty():
+        # day-zero / no-valid-vector corpus: spark.ml's fit() raises on an
+        # empty frame where the operator's answer is simply "no neighbors"
+        # (round-8 day-zero sweep). isEmpty is a limit(1) probe — it
+        # short-circuits on the first row of any healthy corpus.
+        from pyspark.sql import types as T
+
+        return vectors.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    queries.schema[query_id_col],
+                    T.StructField(
+                        "neighbor_id", vectors.schema[id_col].dataType
+                    ),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="__vec", outputCol="__hashes",
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,

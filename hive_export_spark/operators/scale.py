@@ -279,8 +279,13 @@ def write_zordered(
     top = (1 << bits) - 1
 
     def scaled(col: str, lo, hi):
-        rng = float(max(int(hi) - int(lo), 1))
-        raw = ((F.col(col) - F.lit(int(lo))).cast("double") * top / F.lit(rng))
+        # day-zero guard: min/max over an EMPTY frame are NULL — scale
+        # against a degenerate [0, 0] range so the (empty) write still
+        # runs instead of crashing on int(None) (round-8 day-zero sweep)
+        lo = int(lo) if lo is not None else 0
+        hi = int(hi) if hi is not None else 0
+        rng = float(max(hi - lo, 1))
+        raw = ((F.col(col) - F.lit(lo)).cast("double") * top / F.lit(rng))
         return F.least(F.lit(top).cast("long"), raw.cast("long"))
 
     sa, sb = scaled(a, stats["amin"], stats["amax"]), scaled(b, stats["bmin"], stats["bmax"])

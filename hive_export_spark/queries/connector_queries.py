@@ -453,17 +453,20 @@ GROUP BY event_type
     "become a PartitionFilter (directories never opened), not a data "
     "filter, which is THE mechanism that makes 100 TB scans affordable "
     "when queries carry partition predicates. The partition column "
-    "itself is recovered from the path, exercising type inference on "
-    "the discovered column. Scratch write is _SUCCESS-cached per sf.",
+    "itself is recovered from the directory names; its TYPE comes from "
+    "the caller schema (the production discipline — value-based type "
+    "inference is layout-dependent, and a day-zero table has no files "
+    "to infer from at all). Scratch write is _SUCCESS-cached per sf.",
 )
 def source_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sf_scratch_dir("partition_discovery", sf_dir)
     marker = os.path.join(base, "_SUCCESS")
+    ev = load_table(spark, "events", sf_dir)
     if not os.path.exists(marker):
-        load_table(spark, "events", sf_dir).write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(base)
-    back = spark.read.parquet(base)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    # explicit read-back schema: a day-zero (empty) partitioned write
+    # leaves no data files to infer from (round-8 day-zero sweep)
+    back = spark.read.schema(ev.schema).parquet(base)
     return (
         back.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")

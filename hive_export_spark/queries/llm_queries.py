@@ -211,7 +211,14 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(found).select(
         "n_pairs",
         (
-            F.col("__found") / F.greatest(F.col("n_pairs"), F.lit(1)) >= F.lit(0.9)
+            # vacuous recall on a day-zero corpus: zero exact pairs means
+            # nothing to recover, so recall_ok is TRUE (the oracle's
+            # literal), not 0/1 < 0.9 (round-8 day-zero sweep)
+            (F.col("n_pairs") == 0)
+            | (
+                F.col("__found") / F.greatest(F.col("n_pairs"), F.lit(1))
+                >= F.lit(0.9)
+            )
         ).alias("recall_ok"),
     )
 

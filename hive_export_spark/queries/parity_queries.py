@@ -133,5 +133,7 @@ def parity_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = parity.export_pipeline(df, ["event_type"])
     out = tempfile.mkdtemp(prefix="hive_export_write_")
     parity.write_partitioned(routed, out, ["event_type"], mode="overwrite")
-    written = spark.read.parquet(out)
+    # explicit read-back schema: a day-zero (empty) partitioned write
+    # leaves no data files to infer from (round-8 day-zero sweep)
+    written = spark.read.schema(routed.schema).parquet(out)
     return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))

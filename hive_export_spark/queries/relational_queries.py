@@ -389,9 +389,15 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+-- day-zero pin (round-8 empty-fixture sweep): Spark's grouping
+-- lattice emits ZERO rows on an empty relation (Expand feeds the
+-- aggregate no input groups, including the () set) where DuckDB
+-- emits the grand-total row; the EXISTS guard mirrors Spark.
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+) t WHERE EXISTS (SELECT 1 FROM orders)
 """,
     doc="hierarchical rollup aggregation",
 )
@@ -406,8 +412,14 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_cube",
     oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+-- day-zero pin (round-8 empty-fixture sweep): Spark's grouping
+-- lattice emits ZERO rows on an empty relation (Expand feeds the
+-- aggregate no input groups, including the () set) where DuckDB
+-- emits the grand-total row; the EXISTS guard mirrors Spark.
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+) t WHERE EXISTS (SELECT 1 FROM orders)
 """,
     doc="cube aggregation (all grouping combinations)",
 )
@@ -419,9 +431,15 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_grouping_sets",
     oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+-- day-zero pin (round-8 empty-fixture sweep): Spark's grouping
+-- lattice emits ZERO rows on an empty relation (Expand feeds the
+-- aggregate no input groups, including the () set) where DuckDB
+-- emits the grand-total row; the EXISTS guard mirrors Spark.
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+) t WHERE EXISTS (SELECT 1 FROM orders)
 """,
     doc="explicit grouping sets via the SQL frontend",
 )
@@ -1908,13 +1926,19 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_grouping_id",
     oracle="""
-SELECT o_orderstatus, o_orderpriority,
-       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
-       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
-       COUNT(*) AS n
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                        (o_orderstatus, o_orderpriority), ())
+-- day-zero pin (round-8 empty-fixture sweep): Spark's grouping
+-- lattice emits ZERO rows on an empty relation (Expand feeds the
+-- aggregate no input groups, including the () set) where DuckDB
+-- emits the grand-total row; the EXISTS guard mirrors Spark.
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+         COUNT(*) AS n
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                          (o_orderstatus, o_orderpriority), ())
+) t WHERE EXISTS (SELECT 1 FROM orders)
 """,
     doc="GROUPING() marker functions over a 4-set grouping-sets "
     "expansion: the markers are what lets a consumer distinguish a "

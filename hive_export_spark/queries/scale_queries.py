@@ -464,7 +464,9 @@ def scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(24).write.partitionBy("event_type").parquet(base)
     stats = compact_partitioned_table(spark, base, ["event_type"])
     reduced = stats["files_after"] < stats["files_before"]
-    back = spark.read.parquet(base)
+    # explicit read-back schema: a day-zero (empty) partitioned write
+    # leaves no data files to infer from (round-8 day-zero sweep)
+    back = spark.read.schema(ev.schema).parquet(base)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
@@ -498,12 +500,14 @@ def scale_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sf-keyed on the full fixture path: see sf_scratch_dir
     base = sf_scratch_dir("dpp_fact", sf_dir)
+    proj = load_table(spark, "events", sf_dir).select("event_type", "value")
     if not os.path.exists(f"{base}/_SUCCESS"):
         shutil.rmtree(base, ignore_errors=True)
-        load_table(spark, "events", sf_dir).select(
-            "event_type", "value"
-        ).write.partitionBy("event_type").parquet(base)
-    fact = spark.read.parquet(base)
+        proj.write.partitionBy("event_type").parquet(base)
+    # explicit read-back schema: a day-zero (empty) partitioned write
+    # leaves no data files to infer from (round-8 day-zero sweep); DPP
+    # operates on the discovered directory layout either way
+    fact = spark.read.schema(proj.schema).parquet(base)
     # a literal mapping dimension (not derived from the fact): the
     # optimizer cannot fold the category filter into a static IN on the
     # fact side, so the partition filter MUST come from the runtime

@@ -367,9 +367,6 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
         "event_type"
     ).agg(F.expr("theta_sketch_agg(user_id)").alias("__sk"))
-    both = sk.agg(
-        F.expr("theta_sketch_estimate(theta_intersection_agg(__sk))").alias("__e_both")
-    )
     exact = ev.agg(
         F.countDistinct(
             F.when(F.col("event_type") == "click", F.col("user_id"))
@@ -390,17 +387,41 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
+    # each sketch leg is a global no-key AGGREGATE (first over 0-or-1
+    # sketch rows), never a filter/select: a filter leg has ZERO rows on
+    # a day-zero (empty) corpus and annihilates the whole crossJoin
+    # chain, where the oracle's scalar subqueries still emit their 1-row
+    # summary (round-8 day-zero sweep). The intersection uses the SCALAR
+    # theta_intersection over the two legs — theta_intersection_agg
+    # raises ("infinite set") when aggregated over ZERO sketches, even
+    # under an output guard, while the scalar form NULL-propagates a
+    # missing side (probed round 8). coalesce pins every missing-side
+    # estimate to 0 = the exact count on an empty/one-sided corpus, so
+    # sketch_ok stays TRUE vacuously; all no-ops on a two-sided corpus.
     est = (
         sk.filter(F.col("event_type") == "click")
-        .select(F.expr("theta_sketch_estimate(__sk)").alias("__e_click"))
-        # bounded: 1-row theta-sketch estimate on each side
+        .agg(F.first("__sk").alias("__sk_click"))
+        # bounded: 1-row first-sketch aggregate on each side
         .crossJoin(
-            sk.filter(F.col("event_type") == "purchase").select(
-                F.expr("theta_sketch_estimate(__sk)").alias("__e_purchase")
+            sk.filter(F.col("event_type") == "purchase").agg(
+                F.first("__sk").alias("__sk_purchase")
             )
         )
-        # bounded: 1-row aggregate (pair count)
-        .crossJoin(both)
+        .select(
+            F.coalesce(
+                F.expr("theta_sketch_estimate(__sk_click)"), F.lit(0.0)
+            ).alias("__e_click"),
+            F.coalesce(
+                F.expr("theta_sketch_estimate(__sk_purchase)"), F.lit(0.0)
+            ).alias("__e_purchase"),
+            F.coalesce(
+                F.expr(
+                    "theta_sketch_estimate("
+                    "theta_intersection(__sk_click, __sk_purchase))"
+                ),
+                F.lit(0.0),
+            ).alias("__e_both"),
+        )
     )
     rel = lambda e, x: F.abs(e - x) / F.greatest(x, F.lit(1))  # noqa: E731
     return (

@@ -141,7 +141,14 @@ def stream_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_export_ckpt_")
     q = streaming_export(stream, out, ckpt, ["event_type"])
     q.awaitTermination()
-    written = spark.read.parquet(out)
+    # explicit read-back schema (derived from the same pipeline the sink
+    # runs — schema-only, nothing executes): a day-zero source drains in
+    # ZERO micro-batches, so the output dir has no files to infer from
+    # (round-8 day-zero sweep)
+    from hive_export_spark.operators.parity import export_pipeline
+
+    expected = export_pipeline(stream, ["event_type"]).schema
+    written = spark.read.schema(expected).parquet(out)
     return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))
 
 
@@ -199,7 +206,23 @@ def stream_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_stream_from_table(spark, "events", sf_dir), out, ckpt, ["event_type"]
     )
     q2.awaitTermination()
-    written = spark.read.parquet(out).drop("batch")
+    # explicit read-back schema (pipeline schema + the batch=N overwrite
+    # key): a day-zero source drains in ZERO micro-batches and leaves no
+    # files to infer from (round-8 day-zero sweep)
+    from pyspark.sql import types as T
+
+    from hive_export_spark.operators.parity import export_pipeline
+
+    expected = T.StructType(
+        list(
+            export_pipeline(
+                read_stream_from_table(spark, "events", sf_dir),
+                ["event_type"],
+            ).schema.fields
+        )
+        + [T.StructField("batch", T.LongType())]
+    )
+    written = spark.read.schema(expected).parquet(out).drop("batch")
     return written.groupBy("event_type").agg(F.count("*").alias("n_rows"))
 
 

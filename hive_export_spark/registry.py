@@ -133,17 +133,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window_native",
 )
 
-# ROUND-9 ROTATION HEAD (pinned NOW, r7 verdict ask #2 — exactly 50):
+# ROUND-9 ROTATION HEAD (pinned NOW, r7 verdict ask #2 — exactly 50;
+# re-shaped mid-round-8 when the day-zero sweep's fixes made 10 more
+# out-of-window queries code/oracle-stale, which the standing policy
+# ranks above unchanged r3-era rows):
 #   1. graph_degree_assortativity — the r8 carryover above.
-#   2. fn_variant_family — its oracle gained the json_type(...) =
-#      'BOOLEAN' guard this round (r7 driver advisory #2), making its
-#      r7 row stale; clean-fixture hash verified unchanged (the guard
-#      only differs on a laced string-'true' props row).
-#   3. llm_sim_rp_lsh_topk — the modal-dimension probe now also
-#      reports the dropped non-modal/invalid row count (r7 verdict ask
-#      #5); dim selection is unchanged and the clean-fixture hash is
-#      verified unchanged, but the probe code is new.
-#   4. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
+#   2. fn_variant_family — its oracle gained the json_type BOOLEAN
+#      guard + int32/integral-string pins this round (r7 driver
+#      advisory #2 + engine probe); clean-fixture hash verified
+#      unchanged (the guards only differ on laced boundary rows).
+#   3. llm_sim_rp_lsh_topk — the modal-dimension probe now reports
+#      dropped rows (r7 verdict ask #5) and the operator gained the
+#      day-zero empty-corpus guard; clean-fixture hash verified
+#      unchanged.
+#   4. the 10 queries the round-8 DAY-ZERO sweep changed (all verified
+#      row-identical on clean sf0.01 post-change; the fixes only differ
+#      on empty input): agg_grouping_id, agg_theta_sketch_intersect,
+#      scale_dpp_scan, stream_replay_exactly_once, llm_dedup_embedding,
+#      llm_sim_ivf_topk, llm_sim_ivf_pruned, scale_zorder_scan,
+#      llm_dedup_incremental_banded, source_partition_discovery.
+#      (The other 7 day-zero-changed queries sit in the r8 window or
+#      the r2 tail below and get fresh evidence anyway.)
+#   5. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
 #      fn_array_family, fn_conditional_family, fn_explode_unnest,
 #      fn_hash_family, fn_map_family, fn_math_family, fn_string_family,
 #      join_full, join_range_band, llm_dedup_exact,
@@ -157,19 +168,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #      topk_per_group, udf_grouped_agg_pandas, udf_grouped_map_pandas,
 #      udf_scalar_pandas, union_by_name_missing, window_distribution,
 #      window_ntile_first_last.
-#   5. the r3-stale tail, first 12 alphabetically:
-#      agg_approx_count_distinct, agg_approx_quantile_sketch,
-#      agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
-#      cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
-#      fmt_roundtrip_orc, fn_posexplode, fn_string_extra,
-#      jdbc_roundtrip_derby.
-# Remaining after r9 (r10 pool): the other 13 r3-era rows
-# (llm_dedup_embedding, llm_sample_fraction, llm_sample_stratified,
+#   6. the r3-stale tail, first 2 alphabetically:
+#      agg_approx_count_distinct, agg_approx_quantile_sketch.
+# Remaining after r9 (r10 pool): the other 21 r3-era rows
+# (agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
+# cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
+# fmt_roundtrip_orc, fn_posexplode, fn_string_extra,
+# jdbc_roundtrip_derby, llm_sample_fraction, llm_sample_stratified,
 # llm_text_frequent_ngrams, q7_volume_shipping, q15_top_supplier,
-# scale_clustered_scan, scale_salted_agg, scale_zorder_scan,
-# source_formats_roundtrip, sql_frontend_q1, stream_sliding_window,
-# stream_stream_interval_join) and the 29 unchanged r4-era rows. The
-# registry stays frozen (growth only for driver asks) until closure.
+# scale_clustered_scan, scale_salted_agg, source_formats_roundtrip,
+# sql_frontend_q1, stream_sliding_window, stream_stream_interval_join)
+# and the unchanged r4-era rows. The registry stays frozen (growth
+# only for driver asks) until closure.
 #
 # (Historical windows: the r5/r6/r7 rotations and their slot-policy
 # narratives live in git history and COVERAGE.md — the dead in-file
