@@ -48,6 +48,10 @@ def test_audit_flags_unannotated_broadcast_join_hint(tmp_path):
     )
     (pkg / "good.py").write_text(
         "a = facts.join(F.broadcast(dim.limit(10)), 'k')\n"
+        # round-8 doctrine (r7 driver advisory #3): an aggregate is NOT
+        # self-evidently bounded — a groupBy over a high-cardinality key
+        # is data-sized — so aggregate-valued hints need the comment
+        "# bounded: per-status counts, <= #statuses rows\n"
         "b = facts.join(F.broadcast(dim.groupBy('k').agg(F.count('*'))), 'k')\n"
         "# bounded: nation dim, 25 rows at any scale factor\n"
         "c = facts.join(F.broadcast(nation), 'k')\n"
@@ -62,6 +66,12 @@ def test_audit_flags_unannotated_broadcast_join_hint(tmp_path):
     assert any(("bad.py:2" in v or "bad.py:3" in v) and "F.broadcast" in v
                for v in vs)
     assert any("bad.py:5" in v and "F.broadcast" in v for v in vs)
+    # an UNANNOTATED aggregate-valued hint is now a violation too
+    (pkg / "bad2.py").write_text(
+        "b = facts.join(F.broadcast(dim.groupBy('k').agg(F.count('*'))), 'k')\n"
+    )
+    vs2 = scan_scale_killers(str(pkg))
+    assert any("bad2.py:1" in v and "F.broadcast" in v for v in vs2)
     assert not any("good.py" in v for v in vs)
 
 
