@@ -291,14 +291,25 @@ def _recall_ok(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
+    # the bar is capped at the ACHIEVABLE count: a day-one corpus of one
+    # vector has exactly one exact neighbor, so demanding min_hits=7 of
+    # it would fail vacuously-perfect recall (round-8 single-row sweep);
+    # on any corpus with >= min_hits exact neighbors the cap is a no-op
+    exact_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_exact")
+    )
     return (
         queries.select("query_id")
         .join(hits, "query_id", "left")
+        .join(exact_n, "query_id", "left")
         .select(
             "query_id",
-            (F.coalesce(F.col("__hits"), F.lit(0)) >= F.lit(min_hits)).alias(
-                "recall_ok"
-            ),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0))
+                >= F.least(
+                    F.lit(min_hits), F.coalesce(F.col("__n_exact"), F.lit(0))
+                )
+            ).alias("recall_ok"),
         )
     )
 
@@ -781,8 +792,16 @@ def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_total",
             (
-                (F.col("__n_samp") >= 0.1 * F.col("n_total"))
-                & (F.col("__n_samp") <= 0.3 * F.col("n_total"))
+                # band |count - 0.2n| <= max(0.1n, 1): the 0.1n term is
+                # the original [0.1, 0.3]n window (±5.6 sigma at n=500);
+                # the ±1 absolute floor keeps the check honest at
+                # day-one corpus sizes, where a Bernoulli draw over one
+                # row is {0, 1} and NO count can sit inside [0.1, 0.3]
+                # (round-8 single-row sweep)
+                (
+                    F.abs(F.col("__n_samp") - 0.2 * F.col("n_total"))
+                    <= F.greatest(0.1 * F.col("n_total"), F.lit(1.0))
+                )
                 & (F.col("__n_diff") == 0)
             ).alias("frac_ok"),
         )

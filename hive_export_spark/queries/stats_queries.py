@@ -491,9 +491,14 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("__sk"))
         .select(
             "l_returnflag",
+            # coalesce fallback: a day-one group whose rows all land in
+            # ONE orderkey-half pivots the other half to NULL, and
+            # kll_sketch_merge_double NULL-propagates (probed round 8) —
+            # fall back to whichever single partial exists
             F.expr(
                 "kll_sketch_get_quantile_double("
-                "  kll_sketch_merge_double(`0`, `1`), 0.5)"
+                "  coalesce(kll_sketch_merge_double(`0`, `1`), `0`, `1`),"
+                "  0.5)"
             ).alias("__est"),
         )
     )
@@ -1307,12 +1312,15 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("sx").cast("double") / F.col("n")).alias("mean_v"),
-        (
+        # try_divide: a day-one n=1 group makes the sample variance
+        # undefined (divisor n-1 = 0) — DuckDB's / yields NULL there,
+        # ANSI Spark crashes (round-8 single-row sweep)
+        F.try_divide(
             (
                 F.col("sxx").cast("double")
                 - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
-            )
-            / (F.col("n") - 1)
+            ),
+            F.col("n") - 1,
         ).alias("var_v"),
     )
     a = F.col("event_type") == "click"
@@ -1325,12 +1333,17 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(~a, F.col("var_v"))).alias("vb"),
     )
     se2 = F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
-    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
-    df = (se2 * se2) / (
+    # try_divide on t and df: two constant series make se2 = 0 (and the
+    # Welch-Satterthwaite denominator 0) with non-NULL numerators —
+    # DuckDB / yields NULL, ANSI Spark crashes. The inner /(n-1) terms
+    # stay plain: a non-NULL variance implies n >= 2.
+    t = F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(se2))
+    df = F.try_divide(
+        se2 * se2,
         (F.col("va") / F.col("n_a")) * (F.col("va") / F.col("n_a"))
         / (F.col("n_a") - 1)
         + (F.col("vb") / F.col("n_b")) * (F.col("vb") / F.col("n_b"))
-        / (F.col("n_b") - 1)
+        / (F.col("n_b") - 1),
     )
     return p.select(
         "n_a",

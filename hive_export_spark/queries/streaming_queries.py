@@ -296,8 +296,15 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     late_dup = ev.orderBy("ts", "event_id").limit(1)
     run_phase(ev)  # all real events; watermark advances at phase end
-    run_phase(sentinel("2100-01-01 00:00:00").unionByName(late_dup))
-    run_phase(sentinel("2101-01-01 00:00:00"))
+    # the sentinel phase comes BEFORE the late injection: after phase 1
+    # alone the watermark is only max(real ts) - 10min, so on a day-one
+    # table (one event: earliest == latest) the "late" duplicate's window
+    # would still be OPEN and Spark would legitimately aggregate it
+    # (round-8 single-row sweep caught exactly that as a doubled count).
+    # Phase 2's far-future sentinel closes every real window first; the
+    # phase-3 duplicate is then below the watermark on EVERY fixture.
+    run_phase(sentinel("2100-01-01 00:00:00"))
+    run_phase(late_dup.unionByName(sentinel("2101-01-01 00:00:00")))
 
     return (
         spark.read.parquet(out)

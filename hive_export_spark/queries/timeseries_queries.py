@@ -1163,7 +1163,10 @@ def ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     stt = F.col("stt").cast("double")
     sv = F.col("sv").cast("double")
     stv = F.col("stv").cast("double")
-    slope = (n * stv - st * sv) / (n * stt - st * st)
+    # try_divide: a day-one single-bucket series has zero t-variance
+    # (n*stt - st^2 = 0) — the least-squares slope is undefined; DuckDB /
+    # yields NULL there, ANSI Spark crashes (round-8 single-row sweep)
+    slope = F.try_divide(n * stv - st * sv, n * stt - st * st)
     coefs = fit.select(
         "event_type",
         "last_epoch",

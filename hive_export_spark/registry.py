@@ -154,6 +154,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #      llm_dedup_incremental_banded, source_partition_discovery.
 #      (The other 7 day-zero-changed queries sit in the r8 window or
 #      the r2 tail below and get fresh evidence anyway.)
+#   4b. the 3 out-of-window queries the round-8 SINGLE-ROW (day-one)
+#      sweep changed (fixes only differ on 1-row tables; clean-fixture
+#      hashes verified unchanged): agg_kll_quantile_merge (NULL-half
+#      merge fallback), llm_sim_lsh_topk (_recall_ok achievable-count
+#      cap), llm_sample_fraction (±1 absolute band floor). The other 4
+#      day-one-changed queries (stream_watermark_late_drop,
+#      stats_welch_ttest, ts_linear_forecast, scale_compaction) are in
+#      the r8 window; the _recall_ok cap also touches the three
+#      llm_sim_* queries already in item 4.
 #   5. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
 #      fn_array_family, fn_conditional_family, fn_explode_unnest,
 #      fn_hash_family, fn_map_family, fn_math_family, fn_string_family,
@@ -168,13 +177,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #      topk_per_group, udf_grouped_agg_pandas, udf_grouped_map_pandas,
 #      udf_scalar_pandas, union_by_name_missing, window_distribution,
 #      window_ntile_first_last.
-#   6. the r3-stale tail, first 2 alphabetically:
-#      agg_approx_count_distinct, agg_approx_quantile_sketch.
-# Remaining after r9 (r10 pool): the other 21 r3-era rows
-# (agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
+# (Items 1-4b total 16 + the 35-name r2 tail = 51 — the last r2 name
+# in list order (window_ntile_first_last) defers to r10 to hold the
+# head at exactly 50; changed-code evidence outranks unchanged-old
+# under the standing policy, so the former item-6 r3 pair also moved
+# to the r10 pool.)
+# Remaining after r9 (r10 pool): that r2 deferral, and the 22
+# r3-era rows (agg_approx_count_distinct, agg_approx_quantile_sketch,
+# agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
 # cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
 # fmt_roundtrip_orc, fn_posexplode, fn_string_extra,
-# jdbc_roundtrip_derby, llm_sample_fraction, llm_sample_stratified,
+# jdbc_roundtrip_derby, llm_sample_stratified,
 # llm_text_frequent_ngrams, q7_volume_shipping, q15_top_supplier,
 # scale_clustered_scan, scale_salted_agg, source_formats_roundtrip,
 # sql_frontend_q1, stream_sliding_window, stream_stream_interval_join)

@@ -483,6 +483,17 @@ def build(src: str, out: str) -> None:
         # NULL vector: a failed embedding job writes the row with no
         # payload; distance/similarity paths must NULL-propagate
         dict(vec_id=900004, embedding=None, label=None),
+        # NOT laced (round-8 probed boundary): MIXED-DIMENSION vectors
+        # (a truncated write, or a second embedding model). DuckDB's
+        # list_cosine_similarity / list_inner_product RAISE
+        # ("list dimensions must be equal") — a hard oracle-engine crash
+        # for every oracle built on them — while list_zip/zip_with pad
+        # NULL identically on both engines. The class is therefore
+        # oracle-inexpressible here and is guarded in production code
+        # instead: the modal-dimension probe reports dropped rows
+        # (operators/ml_lsh.py last_dim_probe) and the DQ gate's
+        # embeddings_dim_mismatch rule fires — both pinned on a
+        # constructed mixed-dim corpus in tests/test_round8_ops.py.
     ])
 
     for t in ("region", "nation", "supplier"):
