@@ -312,6 +312,18 @@ def build(src: str, out: str) -> None:
              value=1.0, props='{"k": "2147483648"}'),
         dict(event_id=900087, ts=mid, user_id=4, event_type="click",
              value=1.0, props='{"k": " +3 "}'),
+        # NOT laced (round-8 probed boundary): DECIMAL-OVERFLOW values
+        # (a corrupted value >= 1e10 overflows the DECIMAL(12,2) cast
+        # every money/stat oracle uses for hash-stable sums). Probed:
+        # BOTH engines crash with the same semantics (Spark
+        # NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Conversion Error) and both
+        # yield NULL under TRY_CAST — a shared crash, not a
+        # cross-engine divergence, so there is no convention to pin by
+        # lacing; SUM itself widens precision (12,2 -> 22,2), so only
+        # the per-row cast is exposed. The production posture is
+        # quarantine-first: route out-of-domain values through a DQ
+        # range rule before analytics, exactly like the existing
+        # lineitem range rules in scale_dq_checks.
         # --- round-7 wave 7: NULL grouping/partition keys — anonymous
         # events (a logged-out session has no user_id; at corpus scale
         # these are a large, real traffic class). SQL conventions under
