@@ -78,6 +78,13 @@ PINNED = [
     # pair identically on both engines
     "llm_dedup_exact",
     "llm_dedup_keep_canonical",
+    # round-8 wave 1 (r7 driver advisory #1): the borderline-Jaccard
+    # pair gate — the fixture plants doc 900017~900018 at exact
+    # j = 41/51 = 0.8039 (banded OPH-LSH MUST surface it or the pair
+    # list hash-mismatches the exhaustive oracle) and 900019~900020 at
+    # j = 39/49 = 0.7959 (exact verification MUST exclude it). Pinned
+    # DIRECTLY on the pair list, not just through keep_canonical:
+    "llm_dedup_minhash_oph",
     # round-7 wave 5: astral-plane emoji + NFD combining marks held
     # with zero changes (both engines codepoint-based) — pinned via the
     # tokenization/normalize reps above, which now read the emoji/NFD
