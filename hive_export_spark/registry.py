@@ -194,6 +194,67 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # and the unchanged r4-era rows. The registry stays frozen (growth
 # only for driver asks) until closure.
 #
+# The same head, machine-checkable (tests/test_registry_smoke.py pins
+# length, registration, and disjointness from the r8 window — a typo
+# here would burn a driver slot next round). NOT dead code in the
+# advisory-#5 sense: it is the r9 rotation's input, consumed when
+# DRIVER_WINDOW is rebuilt from it, then deleted.
+ROUND9_HEAD: tuple[str, ...] = (
+    "graph_degree_assortativity",
+    "fn_variant_family",
+    "llm_sim_rp_lsh_topk",
+    # day-zero-changed (item 4):
+    "agg_grouping_id",
+    "agg_theta_sketch_intersect",
+    "scale_dpp_scan",
+    "stream_replay_exactly_once",
+    "llm_dedup_embedding",
+    "llm_sim_ivf_topk",
+    "llm_sim_ivf_pruned",
+    "scale_zorder_scan",
+    "llm_dedup_incremental_banded",
+    "source_partition_discovery",
+    # day-one-changed (item 4b):
+    "agg_kll_quantile_merge",
+    "llm_sim_lsh_topk",
+    "llm_sample_fraction",
+    # the r2-stale tail (item 5), minus the one r10 deferral:
+    "agg_distinct",
+    "agg_grouping_sets",
+    "fn_array_family",
+    "fn_conditional_family",
+    "fn_explode_unnest",
+    "fn_hash_family",
+    "fn_map_family",
+    "fn_math_family",
+    "fn_string_family",
+    "join_full",
+    "join_range_band",
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_ngram_jaccard",
+    "parity_base64_encode",
+    "parity_json_encode",
+    "parity_partition_routing",
+    "parity_partition_token",
+    "parity_partitioned_write",
+    "parity_skip_internal_fields",
+    "pivot_status_by_priority",
+    "q12_shipmode_priority",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "setop_except_all",
+    "stream_dedup_keys",
+    "stream_export_e2e",
+    "stream_tumbling_window",
+    "topk_per_group",
+    "udf_grouped_agg_pandas",
+    "udf_grouped_map_pandas",
+    "udf_scalar_pandas",
+    "union_by_name_missing",
+    "window_distribution",
+)
+#
 # (Historical windows: the r5/r6/r7 rotations and their slot-policy
 # narratives live in git history and COVERAGE.md — the dead in-file
 # copies were removed per r7 driver advisory #5.)

@@ -73,3 +73,17 @@ def test_driver_window_contract():
     assert [n for n in os_ if n in set(DRIVER_WINDOW)][:5] == [
         n for n in DRIVER_WINDOW if n in os_
     ][:5]
+
+
+def test_round9_head_is_valid():
+    """The pinned next-round rotation head must be typo-free NOW — a
+    misspelled name would burn a driver slot when the r9 window is
+    rebuilt from it (round-8 planning discipline, r7 verdict ask #2)."""
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND9_HEAD
+
+    qs = all_queries()
+    assert len(ROUND9_HEAD) == 50
+    assert len(set(ROUND9_HEAD)) == 50
+    assert [n for n in ROUND9_HEAD if n not in qs] == []
+    # a name already earning fresh evidence this round wastes a slot
+    assert set(ROUND9_HEAD) & set(DRIVER_WINDOW) == set()
