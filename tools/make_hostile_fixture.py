@@ -312,6 +312,14 @@ def build(src: str, out: str) -> None:
              value=1.0, props='{"k": "2147483648"}'),
         dict(event_id=900087, ts=mid, user_id=4, event_type="click",
              value=1.0, props='{"k": " +3 "}'),
+        # HELD, probed round 8 (receipt, no lacing needed): NFC-vs-NFD
+        # partition VALUES ('caf\xe9' vs 'café') round-trip
+        # byte-exact through partitionBy dir names on Linux — two
+        # distinct directories, two distinct groups on read-back, and
+        # DuckDB GROUP BY agrees (both engines codepoint-based, same as
+        # the wave-5 text result). Deployment caveat only: a macOS
+        # HFS+/APFS filesystem would normalize the dir names and merge
+        # the partitions — not reachable in this repo's Linux target.
         # NOT laced (round-8 probed boundary): DECIMAL-OVERFLOW values
         # (a corrupted value >= 1e10 overflows the DECIMAL(12,2) cast
         # every money/stat oracle uses for hash-stable sums). Probed:
