@@ -189,10 +189,19 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("__approx"),
         F.countDistinct("o_custkey").alias("exact_cust"),
     )
-    rel_err = F.abs(F.col("__approx") - F.col("exact_cust")) / F.col("exact_cust")
-    return agg.select(
-        "o_orderstatus", "exact_cust", (rel_err <= F.lit(0.15)).alias("approx_ok")
+    # try_divide + vacuous-ok: a status group whose only orders are
+    # guest checkouts (all-NULL custkey — the wave-7 class, one unique
+    # status value away) has countDistinct = 0 with a non-NULL
+    # numerator — ANSI crash, probed with a receipt round 8. Zero
+    # distinct values estimated as zero is a correct sketch, so the
+    # boolean stays TRUE (the oracle's literal) instead of NULL.
+    rel_err = F.try_divide(
+        F.abs(F.col("__approx") - F.col("exact_cust")), F.col("exact_cust")
     )
+    approx_ok = ((F.col("exact_cust") == 0) & (F.col("__approx") == 0)) | (
+        rel_err <= F.lit(0.15)
+    )
+    return agg.select("o_orderstatus", "exact_cust", approx_ok.alias("approx_ok"))
 
 
 @register(
@@ -296,9 +305,20 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
-    rel_err = F.abs(F.col("__est") - F.col("exact_parts")) / F.col("exact_parts")
+    # try_divide + vacuous-ok (same class as agg_approx_count_distinct,
+    # round-8 receipt): a flag group whose lineitems all carry NULL
+    # partkey makes the exact count 0 (ANSI crash on the bare divide)
+    # and the all-NULL sketch estimate NULL — zero-as-zero is a correct
+    # sketch, pinned TRUE to match the oracle's literal.
+    rel_err = F.try_divide(
+        F.abs(F.col("__est") - F.col("exact_parts")), F.col("exact_parts")
+    )
+    sketch_ok = (
+        (F.col("exact_parts") == 0)
+        & (F.coalesce(F.col("__est"), F.lit(0.0)) == 0)
+    ) | (rel_err <= F.lit(0.05))
     return exact.join(merged, "l_returnflag").select(
-        "l_returnflag", "exact_parts", (rel_err <= F.lit(0.05)).alias("sketch_ok")
+        "l_returnflag", "exact_parts", sketch_ok.alias("sketch_ok")
     )
 
 

@@ -154,15 +154,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #      llm_dedup_incremental_banded, source_partition_discovery.
 #      (The other 7 day-zero-changed queries sit in the r8 window or
 #      the r2 tail below and get fresh evidence anyway.)
-#   4b. the 3 out-of-window queries the round-8 SINGLE-ROW (day-one)
-#      sweep changed (fixes only differ on 1-row tables; clean-fixture
+#   4b. the 4 out-of-window queries the round-8 SINGLE-ROW (day-one)
+#      sweep + the zero-countDistinct receipt changed (fixes only
+#      differ on 1-row tables / all-NULL-key groups; clean-fixture
 #      hashes verified unchanged): agg_kll_quantile_merge (NULL-half
 #      merge fallback), llm_sim_lsh_topk (_recall_ok achievable-count
-#      cap), llm_sample_fraction (±1 absolute band floor). The other 4
-#      day-one-changed queries (stream_watermark_late_drop,
-#      stats_welch_ttest, ts_linear_forecast, scale_compaction) are in
-#      the r8 window; the _recall_ok cap also touches the three
-#      llm_sim_* queries already in item 4.
+#      cap), llm_sample_fraction (±1 absolute band floor),
+#      agg_hll_sketch_union (try_divide + vacuous-ok — the
+#      agg_approx_count_distinct twin, which is already in item 6's
+#      tail). The other 4 day-one-changed queries
+#      (stream_watermark_late_drop, stats_welch_ttest,
+#      ts_linear_forecast, scale_compaction) are in the r8 window; the
+#      _recall_ok cap also touches the three llm_sim_* queries already
+#      in item 4.
 #   5. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
 #      fn_array_family, fn_conditional_family, fn_explode_unnest,
 #      fn_hash_family, fn_map_family, fn_math_family, fn_string_family,
@@ -177,12 +181,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #      topk_per_group, udf_grouped_agg_pandas, udf_grouped_map_pandas,
 #      udf_scalar_pandas, union_by_name_missing, window_distribution,
 #      window_ntile_first_last.
-# (Items 1-4b total 16 + the 35-name r2 tail = 51 — the last r2 name
-# in list order (window_ntile_first_last) defers to r10 to hold the
-# head at exactly 50; changed-code evidence outranks unchanged-old
+# (Items 1-4b total 17 + the 35-name r2 tail = 52 — the last TWO r2
+# names in list order (window_distribution, window_ntile_first_last)
+# defer to r10 to hold the head at exactly 50; changed-code evidence outranks unchanged-old
 # under the standing policy, so the former item-6 r3 pair also moved
 # to the r10 pool.)
-# Remaining after r9 (r10 pool): that r2 deferral, and the 22
+# Remaining after r9 (r10 pool): those two r2 deferrals, and the 22
 # r3-era rows (agg_approx_count_distinct, agg_approx_quantile_sketch,
 # agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
 # cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
@@ -218,6 +222,11 @@ ROUND9_HEAD: tuple[str, ...] = (
     "agg_kll_quantile_merge",
     "llm_sim_lsh_topk",
     "llm_sample_fraction",
+    # zero-countDistinct crash fix (round-8 static sweep + receipt;
+    # its twin agg_approx_count_distinct is already below). Displaces
+    # window_distribution (unchanged r2) to the r10 pool — changed
+    # code outranks unchanged-old under the standing policy:
+    "agg_hll_sketch_union",
     # the r2-stale tail (item 5), minus the one r10 deferral:
     "agg_distinct",
     "agg_grouping_sets",
@@ -252,7 +261,6 @@ ROUND9_HEAD: tuple[str, ...] = (
     "udf_grouped_map_pandas",
     "udf_scalar_pandas",
     "union_by_name_missing",
-    "window_distribution",
 )
 #
 # (Historical windows: the r5/r6/r7 rotations and their slot-policy

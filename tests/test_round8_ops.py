@@ -130,3 +130,27 @@ def test_dq_gate_fires_on_mixed_dim_corpus(spark, mixed_dim_sf_dir):
         name: (r["n_violations"], r["passed"]) for name, r in rows.items()
     }
     assert spark_rules == oracle
+
+
+def test_approx_distinct_survives_all_null_key_group(spark):
+    """Round-8 static-sweep receipt: a group whose only rows carry a
+    NULL key (the wave-7 guest-checkout class with a unique status)
+    makes countDistinct 0 — the bare rel-err divide crashed ANSI Spark.
+    The fix (try_divide + zero-as-zero vacuous ok) must return TRUE for
+    that group, matching the oracle's literal."""
+    import hive_export_spark.queries.stats_queries  # noqa: F401  (register)
+    from hive_export_spark.registry import get
+
+    o = spark.createDataFrame(
+        [(1, 10, "O"), (2, 20, "F"), (3, None, "Z")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    o.write.mode("overwrite").parquet("/tmp/nullgroup_fx/orders.parquet")
+    rows = {
+        r["o_orderstatus"]: (r["exact_cust"], r["approx_ok"])
+        for r in get("agg_approx_count_distinct")
+        .fn(spark, "/tmp/nullgroup_fx")
+        .collect()
+    }
+    assert rows["Z"] == (0, True)
+    assert rows["O"] == (1, True) and rows["F"] == (1, True)
