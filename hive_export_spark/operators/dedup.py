@@ -687,12 +687,26 @@ def incremental_pairs_against_banded_store(
     parts = [
         r[0] for r in new_banded.select("bucket_part").distinct().collect()
     ]
+    # explicit schema (the store's layout == the increment's banded
+    # frame): a store persisted from an EMPTY corpus has no parquet
+    # footers to infer from — partitionBy writes zero data files for
+    # zero rows — and inference would crash where a day-zero store
+    # must simply probe nothing (round-8 day-zero sweep). When footers
+    # DO exist, the inferred column set must match exactly: parquet
+    # resolves by name, so an explicit schema over a drifted layout
+    # would silently NULL-fill missing columns and drop candidate
+    # pairs instead of failing loudly (r8 driver advisory #5).
+    try:
+        found = set(spark.read.parquet(store_path).schema.names)
+    except Exception:  # noqa: BLE001 — day-zero store: nothing to infer
+        found = None
+    if found is not None and found != set(new_banded.schema.names):
+        raise ValueError(
+            f"banded store at {store_path} has column layout "
+            f"{sorted(found)}, expected {sorted(new_banded.schema.names)} — "
+            "rebuild the store (persist_banded_store) before probing"
+        )
     store = (
-        # explicit schema (the store's layout == the increment's banded
-        # frame): a store persisted from an EMPTY corpus has no parquet
-        # footers to infer from — partitionBy writes zero data files for
-        # zero rows — and inference would crash where a day-zero store
-        # must simply probe nothing (round-8 day-zero sweep)
         spark.read.schema(new_banded.schema).parquet(store_path)
         .where(F.col("bucket_part").isin(parts))
         .select(id_col, "band", "bucket", "bucket_part")

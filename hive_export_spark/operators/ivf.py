@@ -107,16 +107,24 @@ def ivf_topk(
         # raising here crashed every downstream pipeline on its first day
         from pyspark.sql import types as T
 
+        # neighbor_id's type comes from the INDEX side, exactly as the
+        # non-empty path derives it from the index scan's id_col — keeping
+        # both code paths schema-identical even if query and corpus id
+        # types differ (r8 driver advisory #2). An unreadable store (never
+        # built, or day-zero partitionBy wrote no data files) falls back
+        # to the query id type, the only remaining domain witness.
+        try:
+            neighbor_type = spark.read.parquet(index_path).schema[
+                id_col
+            ].dataType
+        except Exception:  # noqa: BLE001 — AnalysisException / missing path
+            neighbor_type = queries.schema[query_id_col].dataType
         return spark.createDataFrame(
             [],
             T.StructType(
                 [
                     queries.schema[query_id_col],
-                    # query and corpus ids share the vec-id domain
-                    T.StructField(
-                        "neighbor_id",
-                        queries.schema[query_id_col].dataType,
-                    ),
+                    T.StructField("neighbor_id", neighbor_type),
                     T.StructField("cosine", T.DoubleType()),
                     T.StructField("rank", T.IntegerType()),
                 ]

@@ -198,8 +198,14 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.try_divide(
         F.abs(F.col("__approx") - F.col("exact_cust")), F.col("exact_cust")
     )
-    approx_ok = ((F.col("exact_cust") == 0) & (F.col("__approx") == 0)) | (
-        rel_err <= F.lit(0.15)
+    # coalesce(False): exact 0 with a NON-zero estimate leaves rel_err
+    # NULL (try_divide) and the vacuous clause false — a misestimating
+    # sketch on an empty group must read as a clean FALSE, not a
+    # tri-state NULL (r8 driver advisory #3)
+    approx_ok = F.coalesce(
+        ((F.col("exact_cust") == 0) & (F.col("__approx") == 0))
+        | (rel_err <= F.lit(0.15)),
+        F.lit(False),
     )
     return agg.select("o_orderstatus", "exact_cust", approx_ok.alias("approx_ok"))
 
@@ -313,10 +319,17 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.try_divide(
         F.abs(F.col("__est") - F.col("exact_parts")), F.col("exact_parts")
     )
-    sketch_ok = (
-        (F.col("exact_parts") == 0)
-        & (F.coalesce(F.col("__est"), F.lit(0.0)) == 0)
-    ) | (rel_err <= F.lit(0.05))
+    # coalesce(False): same advisory-#3 tri-state guard as
+    # agg_approx_count_distinct — exact 0 + non-zero estimate must read
+    # FALSE, not NULL
+    sketch_ok = F.coalesce(
+        (
+            (F.col("exact_parts") == 0)
+            & (F.coalesce(F.col("__est"), F.lit(0.0)) == 0)
+        )
+        | (rel_err <= F.lit(0.05)),
+        F.lit(False),
+    )
     return exact.join(merged, "l_returnflag").select(
         "l_returnflag", "exact_parts", sketch_ok.alias("sketch_ok")
     )

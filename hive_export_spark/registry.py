@@ -43,171 +43,18 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 8 rotation: EVIDENCE CLOSURE, part 1 of 2 (r7 verdict
-    # asks #1-#2). Slots follow the standing policy — never-green first
-    # (none remain), then queries whose code/oracle changed after their
-    # newest driver row (the round-7 wave-hardened pool), oldest
-    # evidence first, then the r1/r2-stale tail. This is byte-for-byte
-    # the r8 head the r7 rotation comment pinned, with ONE carryover:
-    # the head enumerated 51 names for 50 slots, so
-    # graph_degree_assortativity (r6-green; its change is the wave-5
-    # signed-zero oracle pin, clean-fixture hash verified unchanged —
-    # the weakest staleness claim in the pool) defers to the r9 head.
-    #
-    # (1) the 4 r1-era deferrals — the oldest driver evidence in the
-    # ledger (join_left/join_right share _join_frames with r7-green
-    # join_inner; agg_cube shares the rollup/cube impl with r7-green
-    # agg_rollup; setop_intersect_all's family rep setop_intersect is
-    # r7-green):
-    "join_left",
-    "join_right",
-    "agg_cube",
-    "setop_intersect_all",
-    # (2) wave-changed queries whose newest driver row is r2 — both
-    # stale-evidence AND code/oracle-changed, the weakest rows of all
-    # (join_asof: wave-8 exactly-once DISTINCT; fn_date_family: NULL
-    # beyond year 9999; stream_session_window: inclusive gap boundary;
-    # llm_dedup_simhash + llm_text_token_stats: explicit
-    # [ \t\n\x0B\f\r]+ whitespace class):
-    "join_asof",
-    "fn_date_family",
-    "stream_session_window",
-    "llm_dedup_simhash",
-    "llm_text_token_stats",
-    # (3) wave-changed, newest row r3: the 8 TPC-H queries whose
-    # data-sized broadcast hints the round-7 police sweep removed
-    # (results hash-verified unchanged in ORACLE_r07.txt; the plan is
-    # new), plus llm_text_fingerprint (whitespace-class pin):
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "llm_text_fingerprint",
-    # (4) wave-changed, newest row r4 (whitespace-class pins;
-    # agg_corr_regression's signed-zero pin; llm_dedup_components'
-    # banded-OPH pair-path swap; ts_retention_cohorts' wave-7 identity
-    # filter; stream_watermark_late_drop's epoch-0 initial watermark;
-    # scale_compaction's R4 token substitution on the write path;
-    # ts_rollup_two_level's oracle //->floor):
-    "llm_corpus_curation",
-    "llm_chunking",
-    "llm_pack_sequences",
-    "llm_text_tfidf",
-    "agg_corr_regression",
-    "llm_dedup_components",
-    "ts_retention_cohorts",
-    "stream_watermark_late_drop",
-    "scale_compaction",
-    "ts_rollup_two_level",
-    # (5) wave-changed, newest row r5 (whitespace pin; signed-zero
-    # pins; ts_seasonal_profile's try_divide zero-sum fix; the DQ gate
-    # extended with 4 quarantine-doctrine rules):
-    "llm_text_perplexity",
-    "ts_ewma_window",
-    "ts_seasonal_profile",
-    "scale_dq_checks",
-    # (6) wave-changed, newest row r6 — 18 of 19 (the whitespace-,
-    # signed-zero- and wave-7/8-convention-pinned remainder;
-    # graph_degree_assortativity carries over to r9 as noted above):
-    "llm_span_corruption",
-    "llm_boilerplate_chunk_dedup",
-    "llm_vocab_coverage",
-    "llm_quality_classifier",
-    "fn_explode_outer",
-    "stats_ab_proportion_z",
-    "agg_skew_kurtosis",
-    "stats_welch_ttest",
-    "stats_mann_whitney_u",
-    "ts_delta_rate",
-    "ts_autocorrelation",
-    "ts_linear_forecast",
-    "ts_rolling_corr",
-    "ts_decompose_additive",
-    "llm_dedup_keep_canonical",
-    "stream_union_sources",
-    "fn_interval_family",
-    "stream_session_window_native",
-)
-
-# ROUND-9 ROTATION HEAD (pinned NOW, r7 verdict ask #2 — exactly 50;
-# re-shaped mid-round-8 when the day-zero sweep's fixes made 10 more
-# out-of-window queries code/oracle-stale, which the standing policy
-# ranks above unchanged r3-era rows):
-#   1. graph_degree_assortativity — the r8 carryover above.
-#   2. fn_variant_family — its oracle gained the json_type BOOLEAN
-#      guard + int32/integral-string pins this round (r7 driver
-#      advisory #2 + engine probe); clean-fixture hash verified
-#      unchanged (the guards only differ on laced boundary rows).
-#   3. llm_sim_rp_lsh_topk — the modal-dimension probe now reports
-#      dropped rows (r7 verdict ask #5) and the operator gained the
-#      day-zero empty-corpus guard; clean-fixture hash verified
-#      unchanged.
-#   4. the 10 queries the round-8 DAY-ZERO sweep changed (all verified
-#      row-identical on clean sf0.01 post-change; the fixes only differ
-#      on empty input): agg_grouping_id, agg_theta_sketch_intersect,
-#      scale_dpp_scan, stream_replay_exactly_once, llm_dedup_embedding,
-#      llm_sim_ivf_topk, llm_sim_ivf_pruned, scale_zorder_scan,
-#      llm_dedup_incremental_banded, source_partition_discovery.
-#      (The other 7 day-zero-changed queries sit in the r8 window or
-#      the r2 tail below and get fresh evidence anyway.)
-#   4b. the 4 out-of-window queries the round-8 SINGLE-ROW (day-one)
-#      sweep + the zero-countDistinct receipt changed (fixes only
-#      differ on 1-row tables / all-NULL-key groups; clean-fixture
-#      hashes verified unchanged): agg_kll_quantile_merge (NULL-half
-#      merge fallback), llm_sim_lsh_topk (_recall_ok achievable-count
-#      cap), llm_sample_fraction (±1 absolute band floor),
-#      agg_hll_sketch_union (try_divide + vacuous-ok — the
-#      agg_approx_count_distinct twin, which is already in item 6's
-#      tail). The other 4 day-one-changed queries
-#      (stream_watermark_late_drop, stats_welch_ttest,
-#      ts_linear_forecast, scale_compaction) are in the r8 window; the
-#      _recall_ok cap also touches the three llm_sim_* queries already
-#      in item 4.
-#   5. the full r2-stale tail (35): agg_distinct, agg_grouping_sets,
-#      fn_array_family, fn_conditional_family, fn_explode_unnest,
-#      fn_hash_family, fn_map_family, fn_math_family, fn_string_family,
-#      join_full, join_range_band, llm_dedup_exact,
-#      llm_dedup_minhash_lsh, llm_dedup_ngram_jaccard,
-#      parity_base64_encode, parity_json_encode,
-#      parity_partition_routing, parity_partition_token,
-#      parity_partitioned_write, parity_skip_internal_fields,
-#      pivot_status_by_priority, q12_shipmode_priority,
-#      q1_pricing_summary, q5_local_supplier_volume, setop_except_all,
-#      stream_dedup_keys, stream_export_e2e, stream_tumbling_window,
-#      topk_per_group, udf_grouped_agg_pandas, udf_grouped_map_pandas,
-#      udf_scalar_pandas, union_by_name_missing, window_distribution,
-#      window_ntile_first_last.
-# (Items 1-4b total 17 + the 35-name r2 tail = 52 — the last TWO r2
-# names in list order (window_distribution, window_ntile_first_last)
-# defer to r10 to hold the head at exactly 50; changed-code evidence outranks unchanged-old
-# under the standing policy, so the former item-6 r3 pair also moved
-# to the r10 pool.)
-# Remaining after r9 (r10 pool): those two r2 deferrals, and the 22
-# r3-era rows (agg_approx_count_distinct, agg_approx_quantile_sketch,
-# agg_collect_sorted, agg_mode_deterministic, agg_percentiles,
-# cdc_upsert_current, fmt_roundtrip_csv, fmt_roundtrip_json,
-# fmt_roundtrip_orc, fn_posexplode, fn_string_extra,
-# jdbc_roundtrip_derby, llm_sample_stratified,
-# llm_text_frequent_ngrams, q7_volume_shipping, q15_top_supplier,
-# scale_clustered_scan, scale_salted_agg, source_formats_roundtrip,
-# sql_frontend_q1, stream_sliding_window, stream_stream_interval_join)
-# and the unchanged r4-era rows. The registry stays frozen (growth
-# only for driver asks) until closure.
-#
-# The same head, machine-checkable (tests/test_registry_smoke.py pins
-# length, registration, and disjointness from the r8 window — a typo
-# here would burn a driver slot next round). NOT dead code in the
-# advisory-#5 sense: it is the r9 rotation's input, consumed when
-# DRIVER_WINDOW is rebuilt from it, then deleted.
-ROUND9_HEAD: tuple[str, ...] = (
+    # --- round 9 rotation: EVIDENCE CLOSURE, part 2 of 3 (r8 verdict
+    # ask #1). This is byte-for-byte the ROUND9_HEAD the r8 rotation
+    # commit pinned and tests/test_registry_smoke.py machine-checked
+    # (length 50, all registered, disjoint from the r8 window).
+    # Composition, per the standing policy (changed-code first, then
+    # oldest evidence):
+    #   the r8 carryover + two r7/r8-advisory-touched queries:
     "graph_degree_assortativity",
     "fn_variant_family",
     "llm_sim_rp_lsh_topk",
-    # day-zero-changed (item 4):
+    # day-zero-changed in r8 (fixes only differ on empty input; clean
+    # sf0.01 hashes verified unchanged):
     "agg_grouping_id",
     "agg_theta_sketch_intersect",
     "scale_dpp_scan",
@@ -218,16 +65,14 @@ ROUND9_HEAD: tuple[str, ...] = (
     "scale_zorder_scan",
     "llm_dedup_incremental_banded",
     "source_partition_discovery",
-    # day-one-changed (item 4b):
+    # day-one-changed in r8 (singleton-group / 1-row-table fixes):
     "agg_kll_quantile_merge",
     "llm_sim_lsh_topk",
     "llm_sample_fraction",
-    # zero-countDistinct crash fix (round-8 static sweep + receipt;
-    # its twin agg_approx_count_distinct is already below). Displaces
-    # window_distribution (unchanged r2) to the r10 pool — changed
-    # code outranks unchanged-old under the standing policy:
+    # zero-countDistinct crash fix (round-8 static sweep + receipt):
     "agg_hll_sketch_union",
-    # the r2-stale tail (item 5), minus the one r10 deferral:
+    # the r2-stale tail (newest driver row is six fixture generations
+    # old), minus the two r10 deferrals noted in ROUND10_HEAD:
     "agg_distinct",
     "agg_grouping_sets",
     "fn_array_family",
@@ -262,10 +107,79 @@ ROUND9_HEAD: tuple[str, ...] = (
     "udf_scalar_pandas",
     "union_by_name_missing",
 )
+
+# ROUND-10 ROTATION HEAD (pinned NOW, r8 verdict ask #2 — exactly 50;
+# EVIDENCE CLOSURE, part 3 of 3). After the r9 window lands, the
+# residual stale pool (newest driver row <= r4, computed from
+# CORRECTNESS_r*.json by tools/evidence.py) is exactly 47 names:
+# the two r2 deferrals, the 22 r3-era rows, and the 23 r4-era rows —
+# all enumerated below in evidence-age order (oldest first). Three
+# fill slots go to the oldest r5-era rows in registry order
+# (source_export_blocks, fmt_roundtrip_xml, source_binary_files).
+# After r10 lands green, no query's newest driver row predates r5.
+# Machine-checked by tests/test_registry_smoke.py (length 50, all
+# registered, disjoint from THIS round's window). NOT dead code: it
+# is the r10 rotation's input, consumed when DRIVER_WINDOW is rebuilt
+# from it next round, then deleted.
+ROUND10_HEAD: tuple[str, ...] = (
+    # r2-era deferrals:
+    "window_distribution",
+    "window_ntile_first_last",
+    # r3-era rows:
+    "fmt_roundtrip_orc",
+    "fmt_roundtrip_csv",
+    "fmt_roundtrip_json",
+    "source_formats_roundtrip",
+    "jdbc_roundtrip_derby",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "fn_posexplode",
+    "fn_string_extra",
+    "agg_percentiles",
+    "agg_mode_deterministic",
+    "agg_collect_sorted",
+    "agg_approx_count_distinct",
+    "sql_frontend_q1",
+    "agg_approx_quantile_sketch",
+    "stream_sliding_window",
+    "llm_sample_stratified",
+    "cdc_upsert_current",
+    "scale_salted_agg",
+    "stream_stream_interval_join",
+    "scale_clustered_scan",
+    "llm_text_frequent_ngrams",
+    # r4-era rows:
+    "fmt_schema_evolution",
+    "subquery_correlated_exists",
+    "subquery_not_in_nulls",
+    "join_lateral_topk",
+    "window_range_frame",
+    "window_range_interval",
+    "fn_bitwise_family",
+    "agg_bitmap_distinct",
+    "agg_bool_family",
+    "stream_stream_left_outer_join",
+    "llm_dedup_minhash_oph",
+    "llm_decontaminate_ngram",
+    "llm_text_pii_redact",
+    "llm_sample_balanced",
+    "fn_url_family",
+    "cdc_scd2_history",
+    "scale_bucketed_join",
+    "scale_skew_join",
+    "cdc_asof_lookup",
+    "ts_gap_fill_locf",
+    "ts_funnel_three_stage",
+    "ts_sessionize_batch",
+    "ts_incremental_rollup",
+    # r5-era fills:
+    "source_export_blocks",
+    "fmt_roundtrip_xml",
+    "source_binary_files",
+)
 #
-# (Historical windows: the r5/r6/r7 rotations and their slot-policy
-# narratives live in git history and COVERAGE.md — the dead in-file
-# copies were removed per r7 driver advisory #5.)
+# (Historical windows: the r5-r8 rotations and their slot-policy
+# narratives live in git history and COVERAGE.md.)
 
 
 

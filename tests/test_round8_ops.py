@@ -132,7 +132,7 @@ def test_dq_gate_fires_on_mixed_dim_corpus(spark, mixed_dim_sf_dir):
     assert spark_rules == oracle
 
 
-def test_approx_distinct_survives_all_null_key_group(spark):
+def test_approx_distinct_survives_all_null_key_group(spark, tmp_path):
     """Round-8 static-sweep receipt: a group whose only rows carry a
     NULL key (the wave-7 guest-checkout class with a unique status)
     makes countDistinct 0 — the bare rel-err divide crashed ANSI Spark.
@@ -145,11 +145,11 @@ def test_approx_distinct_survives_all_null_key_group(spark):
         [(1, 10, "O"), (2, 20, "F"), (3, None, "Z")],
         "o_orderkey long, o_custkey long, o_orderstatus string",
     )
-    o.write.mode("overwrite").parquet("/tmp/nullgroup_fx/orders.parquet")
+    o.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     rows = {
         r["o_orderstatus"]: (r["exact_cust"], r["approx_ok"])
         for r in get("agg_approx_count_distinct")
-        .fn(spark, "/tmp/nullgroup_fx")
+        .fn(spark, str(tmp_path))
         .collect()
     }
     assert rows["Z"] == (0, True)
