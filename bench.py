@@ -61,14 +61,16 @@ HEADLINE = [
     # the custom connector's Arrow batch decode path (round-4 verdict ask)
     "source_export_blocks",
     # session-10 heavy operators: corpus-wide chunk-hash boilerplate
-    # removal (explode + agg + reassembly), B*n-row deterministic
-    # bootstrap (the widest generated join in the repo), and the
-    # inverted-index source overlap matrix
+    # removal (explode + agg + reassembly) and the inverted-index source
+    # overlap matrix
     "llm_boilerplate_chunk_dedup",
-    "stats_bootstrap_ci",
     "llm_source_overlap_matrix",
-    # round 6: the Poisson bootstrap scale path (one-scan resample
-    # weights — the production formulation of stats_bootstrap_ci)
+    # the Poisson bootstrap scale path (one-scan resample weights). This
+    # is the PRODUCTION bootstrap formulation and the one the suite
+    # times; its fixture-scale oracle twin stats_bootstrap_ci (B*n-row
+    # generated join, ~2.9 s of wall for a correctness-only shape) left
+    # the headline set in round 9 (r8 verdict ask #5) but remains
+    # registered and oracle-gated.
     "stats_bootstrap_poisson",
     # round 7: incremental dedup against the bucket-partitioned banded
     # store (partition-pruned probe — the production daily-dedup shape).
@@ -137,17 +139,18 @@ def main() -> None:
 
     from hive_export_spark.operators import dedup as _dedup
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
-    from hive_export_spark.queries.llm_queries import _INCR_SPLIT
+    from hive_export_spark.queries.llm_queries import _incr_split
     from hive_export_spark.sources.tables import load_table
 
     aux: dict[str, float] = {}
     if "llm_dedup_incremental_banded" in timings:
-        store_root = sf_scratch_dir("banded_store", sf_dir)
+        store_root = sf_scratch_dir("banded_store_v2", sf_dir)
         shutil.rmtree(store_root, ignore_errors=True)
-        store = os.path.join(sf_scratch_dir("banded_store", sf_dir), "buckets")
-        old_docs = load_table(spark, "documents", sf_dir).filter(
-            F.col("doc_id") < _INCR_SPLIT
+        store = os.path.join(
+            sf_scratch_dir("banded_store_v2", sf_dir), "buckets"
         )
+        docs = load_table(spark, "documents", sf_dir)
+        old_docs = docs.filter(F.col("doc_id") < _incr_split(docs))
         t0 = time.perf_counter()
         _dedup.persist_banded_store(
             _dedup.minhash_signatures(old_docs, "text", "doc_id", 64),

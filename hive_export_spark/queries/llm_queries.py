@@ -699,15 +699,20 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     _SUCCESS gate. The scratch tree is per-process (connector_queries.
     scratch_dir), so a driver round with regenerated fixtures always
     starts cold; within a process the fixture files are immutable.
+
+    The gate goes through Hadoop's FileSystem (sources.files.fs_exists),
+    not os.path.exists, so a store on s3a://hdfs:// resolves the same
+    way Spark wrote it (r8 verdict ask #4).
     """
     import os
 
     from hive_export_spark.operators.ivf import build_ivf_index
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists
 
     e = load_table(spark, "embeddings", sf_dir)
     path = os.path.join(sf_scratch_dir("ivf_index", sf_dir), "idx")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not fs_exists(spark, path + "/_SUCCESS"):
         build_ivf_index(e, path, n_planes=6)
     return e, path
 
@@ -1984,19 +1989,49 @@ def llm_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_SPLIT = 400  # doc_id < 400 = the stored corpus; >= 400 = the increment
+# Fixture-relative incremental split (r8 verdict ask #3): the bottom 80%
+# of the doc_id RANGE is "the stored corpus", the top 20% is "today's
+# increment". On the standard dense fixtures (ids 0..n-1) this is the
+# top 20% of documents — 400 on the 500-doc sf0.001/sf0.01 tables
+# (bit-identical to the old _INCR_SPLIT = 400 constant), 4000 on the
+# 5000-doc sf0.1 table — so SCALED fixtures keep the production probe
+# shape (small increment vs large store) instead of inverting it the
+# way the fixed constant did (95% of a 10x fixture landed on the
+# increment side, distorting every scaling leg). Integer arithmetic on
+# min/max only: bit-identical across engines, no percentile semantics
+# to align.
+_INCR_FRACTION_SQL = (
+    "(SELECT coalesce(min(doc_id) + ((max(doc_id) - min(doc_id) + 1) * 4) "
+    "// 5, 0) FROM documents)"
+)
+
+
+def _incr_split(d: DataFrame) -> int:
+    """The doc_id threshold mirroring ``_INCR_FRACTION_SQL`` exactly.
+
+    One bounded driver-side row (a global min/max aggregate — the same
+    shape as the allowlisted JDBC bounds collect); DuckDB ``//``
+    truncates and Python ``//`` floors, identical on the non-negative
+    operands here ((max-min+1)*4 >= 0 always).
+    """
+    row = d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if row["mn"] is None:  # day-zero corpus: no docs, split is moot
+        return 0
+    mn, mx = int(row["mn"]), int(row["mx"])
+    return mn + ((mx - mn + 1) * 4) // 5
 
 
 @register(
     "llm_dedup_incremental",
     oracle=f"""
 SELECT * FROM ({_JACCARD_ORACLE.strip()}
-) WHERE doc_b >= {_INCR_SPLIT}
+) WHERE doc_b >= {_INCR_FRACTION_SQL}
 """,
     doc="INCREMENTAL near-dedup against a persisted signature store — "
-    "the production mode: corpus signatures (doc_id < 400) are written "
-    "once to a parquet store (scratch, _SUCCESS-cached), the 'daily' "
-    "increment (doc_id >= 400) is signed fresh, bucket-joined against "
+    "the production mode: corpus signatures (the bottom 80% of the "
+    "doc_id range) are written once to a parquet store (scratch, "
+    "_SUCCESS-cached), the 'daily' increment (top 20%) is signed "
+    "fresh, bucket-joined against "
     "store + increment, and candidates exact-verified. Only pairs "
     "involving a new doc emerge (old-old is excluded by construction "
     "because the probe side is always new), and the full corpus is "
@@ -2010,12 +2045,17 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists
 
     d = load_table(spark, "documents", sf_dir)
-    old = d.filter(F.col("doc_id") < _INCR_SPLIT)
-    new = d.filter(F.col("doc_id") >= _INCR_SPLIT)
-    store = os.path.join(sf_scratch_dir("minhash_store", sf_dir), "sigs")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    split = _incr_split(d)
+    old = d.filter(F.col("doc_id") < split)
+    new = d.filter(F.col("doc_id") >= split)
+    # scratch name bumped (v2): the store's WRITE logic changed with the
+    # fixture-relative split and the cache key is content-, not
+    # code-versioned (stream_union_v2 precedent)
+    store = os.path.join(sf_scratch_dir("minhash_store_v2", sf_dir), "sigs")
+    if not fs_exists(spark, store + "/_SUCCESS"):
         dedup.minhash_signatures(old, "text", "doc_id", 64).write.mode(
             "overwrite"
         ).parquet(store)
@@ -2030,7 +2070,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_incremental_banded",
     oracle=f"""
 SELECT * FROM ({_JACCARD_ORACLE.strip()}
-) WHERE doc_b >= {_INCR_SPLIT}
+) WHERE doc_b >= {_INCR_FRACTION_SQL}
 """,
     doc="INCREMENTAL near-dedup against the BUCKET-PARTITIONED banded "
     "LSH store — the strongest 100 TB shape in the repo (round-6 "
@@ -2049,12 +2089,16 @@ def llm_dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists
 
     d = load_table(spark, "documents", sf_dir)
-    old = d.filter(F.col("doc_id") < _INCR_SPLIT)
-    new = d.filter(F.col("doc_id") >= _INCR_SPLIT)
-    store = os.path.join(sf_scratch_dir("banded_store", sf_dir), "buckets")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    split = _incr_split(d)
+    old = d.filter(F.col("doc_id") < split)
+    new = d.filter(F.col("doc_id") >= split)
+    # v2: write logic changed with the fixture-relative split (see
+    # llm_dedup_incremental)
+    store = os.path.join(sf_scratch_dir("banded_store_v2", sf_dir), "buckets")
+    if not fs_exists(spark, store + "/_SUCCESS"):
         dedup.persist_banded_store(
             dedup.minhash_signatures(old, "text", "doc_id", 64),
             store, "doc_id", num_hashes=64, bands=16, bucket_parts=64,

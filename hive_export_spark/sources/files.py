@@ -57,3 +57,21 @@ def read_table(
     elif fmt in ("csv", "json"):
         r = r.option("inferSchema", "true")
     return r.load(path)
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence check through Hadoop's FileSystem API.
+
+    Store gates (_SUCCESS markers for the persisted IVF index / MinHash
+    signature store / banded LSH bucket store) must resolve the path with
+    the SAME filesystem Spark writes through — a driver-side
+    ``os.path.exists`` silently reports False for every s3a:// or hdfs://
+    store, rebuilding (or missing) a perfectly good index at cluster
+    scale (r8 verdict ask #4). Hadoop's Path.getFileSystem dispatches on
+    the URI scheme, so local file:/ paths, bare /tmp paths, and object
+    stores all answer correctly.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
