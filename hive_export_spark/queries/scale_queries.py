@@ -755,6 +755,15 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM (
   FROM (SELECT c_custkey, COUNT(*) AS n FROM customer
         GROUP BY c_custkey HAVING COUNT(*) > 1) cd
   UNION ALL
+  SELECT 'documents_duplicate_pk',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT doc_id, COUNT(*) AS n FROM documents
+        WHERE doc_id IS NOT NULL
+        GROUP BY doc_id HAVING COUNT(*) > 1) dd
+  UNION ALL
+  SELECT 'documents_null_id', COUNT(*)
+  FROM documents WHERE doc_id IS NULL
+  UNION ALL
   SELECT 'embeddings_null_vector', COUNT(*)
   FROM embeddings WHERE embedding IS NULL
   UNION ALL
@@ -780,7 +789,12 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM (
     "the modal size is the same scan-order-deterministic probe "
     "operators/ml_lsh.py uses), and non-finite elements (NaN/Inf, the "
     "class that flips DuckDB cosine to -1 vs Spark NaN-propagation and "
-    "is therefore rejected with provenance, never computed over). One "
+    "is therefore rejected with provenance, never computed over), plus "
+    "the round-9 documents-table rules: duplicate doc_ids "
+    "(at-least-once corpus ingest — a byte-identical duplicate row "
+    "inflates exact-Jaccard past 1.0 and flips below-threshold pairs "
+    "into the near-dup output, probed with a 1.4-for-0.75 receipt) and "
+    "NULL doc_ids (silently dropped by every id-keyed dedup join). One "
     "(rule, violation count, passed) row each. Filter-count rules fuse "
     "into pushed-down scans; the FK rule is the only join (shuffled on "
     "the key, broadcast when the parent side is dim-sized); PK "
@@ -827,6 +841,26 @@ def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") > 1)
         .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
         .select(F.lit("customer_duplicate_pk").alias("rule"), F.col("n")),
+        # at-least-once corpus ingest (round-9 receipt): a byte-identical
+        # duplicate doc_id row corrupts every shingle-multiset statistic
+        # downstream — the exact-Jaccard oracle computes an impossible
+        # j=1.4 for a true-0.75 pair, flipping it INTO the near-dup set.
+        # Quarantine-first: duplicates are caught HERE with provenance,
+        # never "handled" inside each dedup operator.
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))
+        .select(F.lit("documents_duplicate_pk").alias("rule"), F.col("n")),
+        # NULL doc ids are silently invisible to every id-keyed dedup
+        # join (a.doc_id < b.doc_id drops them on both engines) — reject
+        # with provenance instead of losing rows without a trace
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id").isNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("documents_null_id").alias("rule"), F.col("n")),
         emb.filter(F.col("embedding").isNull())
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("embeddings_null_vector").alias("rule"), F.col("n")),

@@ -113,9 +113,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # residual stale pool (newest driver row <= r4, computed from
 # CORRECTNESS_r*.json by tools/evidence.py) is exactly 47 names:
 # the two r2 deferrals, the 22 r3-era rows, and the 23 r4-era rows —
-# all enumerated below in evidence-age order (oldest first). Three
-# fill slots go to the oldest r5-era rows in registry order
-# (source_export_blocks, fmt_roundtrip_xml, source_binary_files).
+# all enumerated below in evidence-age order (oldest first). The three
+# fill slots follow the standing policy — changed-code first:
+# scale_dq_checks gained the two documents-table rules in round 9 (its
+# r8 row is stale evidence), then the oldest r5-era rows in registry
+# order (source_export_blocks, fmt_roundtrip_xml).
 # After r10 lands green, no query's newest driver row predates r5.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
 # registered, disjoint from THIS round's window). NOT dead code: it
@@ -172,10 +174,10 @@ ROUND10_HEAD: tuple[str, ...] = (
     "ts_funnel_three_stage",
     "ts_sessionize_batch",
     "ts_incremental_rollup",
-    # r5-era fills:
+    # changed-code fill (round-9 documents DQ rules) + r5-era fills:
+    "scale_dq_checks",
     "source_export_blocks",
     "fmt_roundtrip_xml",
-    "source_binary_files",
 )
 #
 # (Historical windows: the r5-r8 rotations and their slot-policy

@@ -299,3 +299,68 @@ def test_fs_exists_handles_local_and_file_uris(spark, tmp_path):
     assert not fs_exists(spark, f"file:{tmp_path}/nope")
     # directory paths answer too (the store gates check <store>/_SUCCESS)
     assert fs_exists(spark, str(tmp_path))
+
+
+# --- round-9 DQ rules: documents duplicate / NULL ids -----------------------
+
+
+def test_dq_gate_fires_on_duplicate_and_null_doc_ids(spark, tmp_path):
+    """At-least-once corpus ingest: a byte-identical duplicate doc_id row
+    inflates exact-Jaccard past 1.0 (probed: j=1.4 for a true-0.75 pair,
+    flipping it into the near-dup output), and NULL doc_ids are silently
+    invisible to every id-keyed dedup join. Quarantine-first: both are
+    caught by scale_dq_checks with matching counts on both engines."""
+    import os
+    import shutil
+
+    import duckdb
+
+    import hive_export_spark.queries.scale_queries  # noqa: F401  (register)
+    from hive_export_spark.registry import get
+
+    src = "/root/testdata/sf0.001"
+    fx = str(tmp_path / "fx")
+    os.makedirs(fx)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        shutil.copy(f"{src}/{t}.parquet", f"{fx}/{t}.parquet")
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    # duplicate doc 0 twice (2 extra physical rows) and add one NULL-id row
+    corrupted = (
+        d.unionByName(d.filter("doc_id = 0"))
+        .unionByName(d.filter("doc_id = 0"))
+        .unionByName(
+            d.limit(1).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    if f.name == "doc_id"
+                    else F.col(f.name)
+                    for f in d.schema.fields
+                ]
+            )
+        )
+    )
+    corrupted.coalesce(1).write.mode("overwrite").parquet(
+        f"{fx}/documents.parquet"
+    )
+
+    rq = get("scale_dq_checks")
+    rows = {r["rule"]: (r["n_violations"], r["passed"]) for r in rq.fn(spark, fx).collect()}
+    assert rows["documents_duplicate_pk"] == (2, False)
+    assert rows["documents_null_id"] == (1, False)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        # the corrupted documents table is a Spark-written DIRECTORY;
+        # glob its part files for DuckDB
+        p = f"{fx}/{t}.parquet"
+        src_sql = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src_sql}")
+    oracle = {r[0]: (r[1], r[2]) for r in con.execute(rq.oracle).fetchall()}
+    con.close()
+    assert {k: rows[k] for k in oracle} == oracle  # rule-by-rule agreement
