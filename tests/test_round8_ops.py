@@ -82,7 +82,8 @@ def mixed_dim_sf_dir(spark, tmp_path, sf_dir):
     with 5 vectors truncated to 16 dims (a partial-write batch)."""
     out = str(tmp_path / "mixed_sf")
     os.makedirs(out)
-    for t in ("lineitem", "orders", "customer"):
+    # documents joined the gate's inputs in round 9 (PK rules)
+    for t in ("lineitem", "orders", "customer", "documents"):
         shutil.copy(
             os.path.join(sf_dir, f"{t}.parquet"),
             os.path.join(out, f"{t}.parquet"),
@@ -115,7 +116,7 @@ def test_dq_gate_fires_on_mixed_dim_corpus(spark, mixed_dim_sf_dir):
     assert mismatch["passed"] is False
 
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{os.path.join(mixed_dim_sf_dir, t)}.parquet'"
