@@ -61,10 +61,13 @@ GATED: dict[str, float] = {
     "scale_skew_join": 15.0,
     # the strongest 100 TB shape in the repo — the partition-pruned
     # incremental probe against the banded store. Measured SUB-linear
-    # (275 -> 1,725 records, 6.3x on 10x documents, round-8 baseline):
-    # the probe is sized by the increment and its bucket collisions,
-    # not the store. The warmup run builds (or finds) the per-fixture
-    # store scratch, so the measured run is the warm probe.
+    # (276 -> 2,188 records, 7.9x on 10x documents, round-9 baseline
+    # under the fixture-relative 80/20 split: the sf0.1 increment is
+    # now 1,000 docs probing a 4,000-doc store — the production shape
+    # at both scales): the probe is sized by the increment and its
+    # bucket collisions, not the store. The warmup run builds (or
+    # finds) the per-fixture store scratch, so the measured run is the
+    # warm probe.
     "llm_dedup_incremental_banded": 15.0,
 }
 

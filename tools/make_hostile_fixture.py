@@ -55,20 +55,22 @@ JVM-version-bound. Verification therefore runs on the shared notation
 domain (the generator's observed [0.03, 327.53] value range sits well
 inside it; hostile refund rows stay at cent granularity).
 
-Fourth documented boundary (probed round 9, deliberately NOT laced):
-duplicate and NULL doc_ids in documents. A byte-identical duplicate
-doc_id row corrupts every shingle-multiset statistic downstream — the
-exact-Jaccard oracle computes an impossible j=1.4 for a true-0.75
-pair, flipping it INTO the near-dup output — and NULL doc_ids are
-silently invisible to every id-keyed dedup join on both engines.
-Both are PK-contract violations of the corpus table, same class as
-the laced duplicate-custkey pair on the DIM side: the documents table
-is the input every dedup operator keys on, so per-query "handling"
-would mean re-deciding multiplicity semantics in a dozen operators.
-Quarantine-first instead: scale_dq_checks carries
-documents_duplicate_pk + documents_null_id rules (positive-fire
-verified in tests/test_round9_ops.py), and corpora failing them are
-rejected with provenance before dedup runs.
+Fourth documented boundary (probed round 9): duplicate and NULL
+doc_ids in documents. The byte-identical duplicate pair (doc 900016
+below) IS laced and held — both engines compute the SAME answer over
+it, so the gate stays green — but that shared answer can be
+arithmetically WRONG: a duplicate row doubles shingle-multiset sizes,
+and the exact-Jaccard statistic computes an impossible j=1.4 for a
+true-0.75 pair, flipping it into the near-dup output on BOTH engines
+at once (a distortion the cross-engine hash cannot see). NULL doc_ids
+are silently invisible to every id-keyed dedup join, again on both
+engines. Per-query "handling" would mean re-deciding multiplicity
+semantics in a dozen operators; quarantine-first instead:
+scale_dq_checks carries documents_duplicate_pk + documents_null_id
+rules (positive-fire verified in tests/test_round9_ops.py;
+documents_duplicate_pk fires on THIS fixture's laced pair with
+matching counts), and corpora failing them are rejected with
+provenance before dedup runs.
 
 Usage:
     python tools/make_hostile_fixture.py [src_sf_dir] [out_dir]
