@@ -1153,18 +1153,25 @@ def stats_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_skew_kurtosis",
     oracle="""
 WITH typed AS (
+  -- v2 is DECIMAL(19,4) here vs Spark's (18,4): DuckDB's 18-digit
+  -- decimals are int64-backed and its multiply rescales in-width
+  -- (runtime overflow at fixture magnitudes), while 19 digits forces
+  -- hugeint arithmetic; Spark conversely must stay at 18 so the
+  -- product's bound width 18+18+1 <= 38 avoids the silent scale-6
+  -- re-type. Same exact VALUES either way — only the declared widths
+  -- differ, and the moments compare as doubles.
   SELECT event_type,
-         CAST(value AS DECIMAL(10,2)) AS v,
-         CAST(CAST(value AS DECIMAL(10,2)) * CAST(value AS DECIMAL(10,2))
-              AS DECIMAL(20,4)) AS v2
+         CAST(value AS DECIMAL(9,2)) AS v,
+         CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))
+              AS DECIMAL(19,4)) AS v2
   FROM events
 ), sums AS (
   SELECT event_type,
          COUNT(*) AS n,
          SUM(v) AS s1,
          SUM(v2) AS s2,
-         SUM(CAST(v2 * v AS DECIMAL(30,6))) AS s3,
-         SUM(CAST(v2 * v2 AS DECIMAL(38,8))) AS s4
+         SUM(CAST(v2 * v AS DECIMAL(28,6))) AS s3,
+         SUM(CAST(v2 * v2 AS DECIMAL(37,8))) AS s4
   FROM typed GROUP BY event_type
 ), mom AS (
   SELECT event_type, n,
@@ -1190,19 +1197,34 @@ FROM mom
     "expansion runs on bit-identical doubles on both engines, "
     "round(6)-guarded. Built-in skewness()/kurtosis() are double "
     "accumulators — order-dependent and engine-divergent — so this is "
-    "also the only hash-stable formulation.",
+    "also the only hash-stable formulation. Precisions sized so the "
+    "4th-power product stays under Spark's 38-digit cap (round-9 "
+    "day-one receipt: an overflowing multiply silently re-types to "
+    "scale 6, and the rounded s4 makes zero-variance singletons emit "
+    "engine-DIFFERENT garbage).",
 )
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    v = F.col("value").cast("decimal(10,2)")
-    v2 = (v * v).cast("decimal(20,4)")
+    # precision budget (round-9 day-one receipt): with v at decimal(10,2)
+    # the 4th-power product v2*v2 was decimal(41,8) — past Spark's
+    # 38-digit cap, so the multiply SILENTLY re-typed to decimal(38,6),
+    # rounding s4 at scale 6 (1840.62450625 -> 1840.624506 for v=6.55)
+    # while DuckDB's explicit cast kept all 8 decimals. On real series
+    # the final round(6) hides the 2.5e-7 error; a zero-variance
+    # singleton divides it by var^2 ~ 5e-29 and the engines emit
+    # DIFFERENT garbage. decimal(9,2) (7 integer digits — the value
+    # domain tops out at 1e5 even laced) keeps every product exact:
+    # v2 (18,4), v3 (28,6), v4 (37,8) all within 38 digits, so both
+    # engines cast identical exact decimals to identical doubles.
+    v = F.col("value").cast("decimal(9,2)")
+    v2 = (v * v).cast("decimal(18,4)")
     typed = ev.select("event_type", v.alias("v"), v2.alias("v2"))
     sums = typed.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("s1"),
         F.sum("v2").alias("s2"),
-        F.sum((F.col("v2") * F.col("v")).cast("decimal(30,6)")).alias("s3"),
-        F.sum((F.col("v2") * F.col("v2")).cast("decimal(38,8)")).alias("s4"),
+        F.sum((F.col("v2") * F.col("v")).cast("decimal(28,6)")).alias("s3"),
+        F.sum((F.col("v2") * F.col("v2")).cast("decimal(37,8)")).alias("s4"),
     )
     n = F.col("n")
     m1 = F.col("s1").cast("double") / n

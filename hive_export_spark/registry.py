@@ -115,9 +115,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # the two r2 deferrals, the 22 r3-era rows, and the 23 r4-era rows —
 # all enumerated below in evidence-age order (oldest first). The three
 # fill slots follow the standing policy — changed-code first:
-# scale_dq_checks gained the two documents-table rules in round 9 (its
-# r8 row is stale evidence), then the oldest r5-era rows in registry
-# order (source_export_blocks, fmt_roundtrip_xml).
+# scale_dq_checks gained the two documents-table rules in round 9 and
+# agg_skew_kurtosis's decimal precisions were re-sized after the
+# round-9 day-one receipt (both r8 rows are stale evidence), then the
+# oldest r5-era row in registry order (source_export_blocks).
 # After r10 lands green, no query's newest driver row predates r5.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
 # registered, disjoint from THIS round's window). NOT dead code: it
@@ -174,10 +175,11 @@ ROUND10_HEAD: tuple[str, ...] = (
     "ts_funnel_three_stage",
     "ts_sessionize_batch",
     "ts_incremental_rollup",
-    # changed-code fill (round-9 documents DQ rules) + r5-era fills:
+    # changed-code fills (round-9 documents DQ rules; round-9 day-one
+    # precision-budget fix) + one r5-era fill:
     "scale_dq_checks",
+    "agg_skew_kurtosis",
     "source_export_blocks",
-    "fmt_roundtrip_xml",
 )
 #
 # (Historical windows: the r5-r8 rotations and their slot-policy

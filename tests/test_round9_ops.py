@@ -364,3 +364,42 @@ def test_dq_gate_fires_on_duplicate_and_null_doc_ids(spark, tmp_path):
     oracle = {r[0]: (r[1], r[2]) for r in con.execute(rq.oracle).fetchall()}
     con.close()
     assert {k: rows[k] for k in oracle} == oracle  # rule-by-rule agreement
+
+
+# --- round-9 day-one receipt: 4th-moment precision budget -------------------
+
+
+def test_skew_kurtosis_singleton_matches_oracle(spark, tmp_path):
+    """v=6.55 singleton: the 4th-power product must stay EXACT decimal
+    (the old decimal(20,4)^2 overflowed Spark's 38-digit cap and
+    silently re-typed to scale 6, so s4 rounded and the zero-variance
+    kurtosis emitted engine-DIFFERENT garbage: Spark -4.95e21 vs DuckDB
+    1.80e16). With the re-sized precisions both engines cast identical
+    exact decimals to identical doubles — same skew AND same kurt,
+    degenerate or not."""
+    import duckdb
+
+    import hive_export_spark.queries.stats_queries  # noqa: F401  (register)
+    from hive_export_spark.registry import get
+
+    spark.createDataFrame(
+        [(1, "error", 6.55, 1_700_000_000_000_000_000)],
+        "event_id long, event_type string, value double, ts long",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    rq = get("agg_skew_kurtosis")
+    got = {
+        r["event_type"]: (r["n"], r["skewness"], r["excess_kurtosis"])
+        for r in rq.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(rq.oracle).fetchall()}
+    con.close()
+    assert got == want
+    # and s4 is exact: the shared answer is the pure float-cancellation
+    # one (var = 7.105e-15 for v=6.55), not the scale-6-rounding one
+    assert got["error"][0] == 1
