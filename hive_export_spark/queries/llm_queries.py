@@ -804,15 +804,21 @@ def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_total",
             (
-                # band |count - 0.2n| <= max(0.1n, 1): the 0.1n term is
-                # the original [0.1, 0.3]n window (±5.6 sigma at n=500);
-                # the ±1 absolute floor keeps the check honest at
-                # day-one corpus sizes, where a Bernoulli draw over one
-                # row is {0, 1} and NO count can sit inside [0.1, 0.3]
-                # (round-8 single-row sweep)
+                # band |count - 0.2n| <= max(0.1n, 3*sqrt(0.16n) + 1):
+                # the 0.1n term is the original [0.1, 0.3]n window (±5.6
+                # sigma at n=500, and the wider arm for n >= 720); the
+                # 3-sigma + 1 binomial arm keeps the check honest at
+                # SMALL n, where a fixed ±1 floor is statistically wrong
+                # — at n=6, P(X=0) alone is 0.26 and the old band
+                # {1, 2} failed ~36% of legitimate draws (round-9
+                # constant-series sweep; the round-8 single-row ±1 floor
+                # is subsumed: 3*sigma + 1 = 2.2 at n=1)
                 (
                     F.abs(F.col("__n_samp") - 0.2 * F.col("n_total"))
-                    <= F.greatest(0.1 * F.col("n_total"), F.lit(1.0))
+                    <= F.greatest(
+                        0.1 * F.col("n_total"),
+                        3 * F.sqrt(0.16 * F.col("n_total")) + 1,
+                    )
                 )
                 & (F.col("__n_diff") == 0)
             ).alias("frac_ok"),

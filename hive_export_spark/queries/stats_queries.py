@@ -588,8 +588,19 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("q"),
         F.col("l_extendedprice").cast("double").alias("p"),
     )
+    # corr is the ONE two-column builtin with no zero-variance guard in
+    # ANSI Spark: a constant series (stuck sensor, single-SKU day) makes
+    # it RAISE DIVIDE_BY_ZERO where DuckDB yields NULL (round-9
+    # constant-series sweep receipt; regr_slope/regr_intercept carry
+    # internal guards and already mirror DuckDB: 0.0/intercept on a
+    # constant y, NULL on a constant x). Same co-moment accumulators,
+    # composed with try_divide: NULL on every degenerate shape, equal to
+    # the builtin at round(6) elsewhere.
+    corr = F.try_divide(
+        F.covar_samp("q", "p"), F.stddev_samp("q") * F.stddev_samp("p")
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("q", "p"), 6).cast("double").alias("corr_qty_price"),
+        F.round(corr, 6).cast("double").alias("corr_qty_price"),
         F.round(F.regr_slope("p", "q"), 4).cast("double").alias("slope_price_on_qty"),
         F.round(F.regr_intercept("p", "q"), 2)
         .cast("double")

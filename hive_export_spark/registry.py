@@ -115,10 +115,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # the two r2 deferrals, the 22 r3-era rows, and the 23 r4-era rows —
 # all enumerated below in evidence-age order (oldest first). The three
 # fill slots follow the standing policy — changed-code first:
-# scale_dq_checks gained the two documents-table rules in round 9 and
+# scale_dq_checks gained the two documents-table rules in round 9,
 # agg_skew_kurtosis's decimal precisions were re-sized after the
-# round-9 day-one receipt (both r8 rows are stale evidence), then the
-# oldest r5-era row in registry order (source_export_blocks).
+# round-9 day-one receipt, and agg_corr_regression's corr moved to the
+# try_divide co-moment form after the round-9 constant-series receipt
+# (all three r8 rows are stale evidence). The r5-era rows
+# (source_export_blocks first in registry order) form the r11 pool
+# with the rest of the r5 generation.
 # After r10 lands green, no query's newest driver row predates r5.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
 # registered, disjoint from THIS round's window). NOT dead code: it
@@ -176,10 +179,10 @@ ROUND10_HEAD: tuple[str, ...] = (
     "ts_sessionize_batch",
     "ts_incremental_rollup",
     # changed-code fills (round-9 documents DQ rules; round-9 day-one
-    # precision-budget fix) + one r5-era fill:
+    # precision-budget fix; round-9 constant-series corr fix):
     "scale_dq_checks",
     "agg_skew_kurtosis",
-    "source_export_blocks",
+    "agg_corr_regression",
 )
 #
 # (Historical windows: the r5-r8 rotations and their slot-policy
