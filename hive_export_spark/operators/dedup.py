@@ -172,7 +172,13 @@ def minhash_signatures(
     # (The classic (a*h+b) mod 2^64 permutation family would be cheaper
     # still, but ANSI mode — on by default and possibly on in the caller's
     # session — makes wrap-around multiplication throw.)
-    base = df.select(
+    # NULL text drops at the scan (round-9 all-NULL sweep): xxhash64 of
+    # the NULL shingle is a non-NULL constant, so NULL-text docs would
+    # all share one signature and emerge as a j=1.0 clique — while the
+    # SQL shingle algebra NULL-propagates and emits nothing. A doc with
+    # no content has nothing to be a duplicate OF; the DQ gate is where
+    # NULL payloads get provenance, not the pair list.
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.transform(word_shingles(text_col), lambda s: F.xxhash64(s)).alias("__hs"),
     )
@@ -208,7 +214,9 @@ def oph_minhash_signatures(
     ``minhash_signatures``, so banding/verification are shared unchanged.
     """
     bins = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    base = df.select(
+    # NULL text drops at the scan — same convention and reason as
+    # minhash_signatures (round-9 all-NULL sweep)
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.transform(word_shingles(text_col), lambda s: F.xxhash64(s)).alias("__hs"),
     )

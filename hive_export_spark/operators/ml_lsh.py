@@ -47,7 +47,10 @@ def ml_minhash_pairs(
     j=0.98 -> ~1-1e-13) -> exact shingle-Jaccard filter. Output equals the
     exact inverted-index answer at planted-dup similarity.
     """
-    base = ensure_parallelism(df).select(
+    # NULL text drops at the scan — array ops over the [NULL] shingle
+    # array would score two contentless docs as jaccard 1.0 (round-9
+    # all-NULL sweep); same convention as dedup.minhash_signatures
+    base = ensure_parallelism(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col), word_shingles(text_col).alias("__shs")
     )
     tf = HashingTF(

@@ -57,11 +57,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pareto_skyline",
     oracle="""
+-- NULL measurements drop at the scan on BOTH sides (round-9 all-NULL
+-- sweep): a row with an undefined dimension cannot participate in
+-- dominance — without the filter every NULL comparison reads unknown,
+-- NOT EXISTS reads true, and the whole corpus masquerades as a skyline
 SELECT p.p_partkey, p.p_retailprice, p.p_size
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM part q
-  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
 """,
@@ -75,9 +81,9 @@ WHERE NOT EXISTS (
     "oracle scale, and formulation-independent of the Spark algorithm.",
 )
 def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, "part", sf_dir).select(
-        "p_partkey", "p_retailprice", "p_size"
-    )
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select("p_partkey", "p_retailprice", "p_size")
     return skyline_2d(p, "p_retailprice", "p_size")
 
 
@@ -124,9 +130,17 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
+        # null-safe transition flag (round-9 all-NULL sweep): a NULL
+        # event_type is ONE pseudo-type (the oracle's ROW_NUMBER
+        # partition keeps it), but lag() IS NULL can't distinguish "no
+        # previous row" from "previous type is NULL" — every NULL-type
+        # row re-flagged as a new type. row_number()==1 marks the true
+        # partition head; eqNullSafe makes NULL-to-NULL a non-transition.
         F.when(
-            F.lag("event_type").over(w_first).isNull()
-            | (F.lag("event_type").over(w_first) != F.col("event_type")),
+            (F.row_number().over(w_first) == 1)
+            | ~F.lag("event_type")
+            .over(w_first)
+            .eqNullSafe(F.col("event_type")),
             1,
         )
         .otherwise(0)
@@ -346,13 +360,17 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_nearest_value",
     oracle="""
 WITH probes AS (
+  -- NULL measurements drop at the scan on BOTH sides (round-9 all-NULL
+  -- sweep): a probe with no value has no defined nearest neighbor —
+  -- without this filter the ROW_NUMBER happily ranks all-NULL
+  -- distances by the id tiebreak and invents one
   SELECT s_suppkey,
          CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS pv
-  FROM supplier
+  FROM supplier WHERE s_acctbal IS NOT NULL
 ), refs AS (
   SELECT p_partkey,
          CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rv
-  FROM part
+  FROM part WHERE p_retailprice IS NOT NULL
 ), scored AS (
   SELECT p.s_suppkey, p.pv, r.p_partkey, r.rv,
          abs(p.pv - r.rv) AS dist,
@@ -378,13 +396,20 @@ FROM scored WHERE rn = 1
 def join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.operators.relational import nearest_value_join
 
-    sup = load_table(spark, "supplier", sf_dir).select(
+    # explicit drop-NULL-measurements policy, mirrored in the oracle
+    # (the grid operator's bucket arithmetic also drops them, but the
+    # policy belongs at the query surface, not as an operator accident)
+    sup = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal").isNotNull()
+    ).select(
         "s_suppkey",
         (F.col("s_acctbal").cast("decimal(12,2)") * 100)
         .cast("bigint")
         .alias("pv"),
     )
-    part = load_table(spark, "part", sf_dir).select(
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_retailprice").isNotNull()
+    ).select(
         "p_partkey",
         (F.col("p_retailprice").cast("decimal(12,2)") * 100)
         .cast("bigint")

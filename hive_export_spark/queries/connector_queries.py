@@ -348,7 +348,7 @@ def fmt_roundtrip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(strlen(substr(text, 1, 64)) AS BIGINT) AS n_bytes,
        substr(text, 1, 64) AS head
-FROM documents WHERE doc_id < 100
+FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 """,
     doc="binaryFile source: the ingest path for opaque blobs (the "
     "multimodal column story's front door — images/audio land as files, "
@@ -367,13 +367,20 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select("doc_id", F.substring("text", 1, 64).alias("head"))
     )
-    out = sf_scratch_dir("source_binary_files", sf_dir)
+    # v2: write logic changed (NULL-payload skip) and the cache key is
+    # content-, not code-versioned (stream_union_v2 precedent)
+    out = sf_scratch_dir("source_binary_files_v2", sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         # write the blob files distributed (one partition dir sweep), not
         # via a driver loop: foreachPartition runs on executors
         def write_files(rows):
             for r in rows:
+                # a NULL payload has no blob to land — no file, no row
+                # (oracle mirrors with text IS NOT NULL; round-9
+                # all-NULL sweep: .encode on None crashed the executor)
+                if r.head is None:
+                    continue
                 with open(
                     os.path.join(out, f"doc_{r.doc_id}.txt"), "wb"
                 ) as f:

@@ -28,16 +28,18 @@ SELECT c_custkey,
        lower(c_mktsegment) AS seg_lower,
        substr(c_name, 1, 8) AS name_prefix,
        length(c_name) AS name_len,
-       concat(c_name, '#', c_mktsegment) AS name_seg,
+       c_name || '#' || c_mktsegment AS name_seg,
        replace(c_name, 'Customer', 'Cust') AS name_replaced,
        regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-       trim(concat(' ', c_name, ' ')) AS name_trimmed,
+       trim(' ' || c_name || ' ') AS name_trimmed,
        levenshtein(c_mktsegment, 'BUILDING') AS seg_lev
 FROM customer
 """,
     doc="string family: case, substring, concat, replace, regexp_extract, "
-    "pad, trim, levenshtein",
+    "pad, trim, levenshtein. Oracle concatenation uses || (DuckDB "
+    "concat() SKIPS NULL args where Spark concat NULL-propagates — "
+    "round-9 all-NULL sweep; || NULL-propagates on both engines).",
 )
 def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
@@ -365,7 +367,8 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_extra",
     oracle="""
 SELECT c_custkey,
-       split_part(c_name, '#', 2) AS name_num,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE split_part(c_name, '#', 2) END AS name_num,
        translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
        reverse(c_mktsegment) AS seg_reversed,
        repeat(substr(c_mktsegment, 1, 2), 2) AS seg_doubled,
@@ -374,7 +377,9 @@ SELECT c_custkey,
 FROM customer
 """,
     doc="string family 2: split_part, translate, reverse, repeat, "
-    "starts_with, contains",
+    "starts_with, contains. Oracle guards split_part with a NULL CASE "
+    "(DuckDB split_part returns '' on NULL input where Spark "
+    "NULL-propagates — round-9 all-NULL sweep).",
 )
 def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
@@ -831,7 +836,13 @@ SELECT o_orderkey,
        st.price_cents AS price_from_struct,
        struct_pack(k := o_orderkey, inner_s := st).inner_s.status AS status_nested,
        to_json(st)::VARCHAR AS packed,
-       st = struct_pack(status := st.status, price_cents := st.price_cents) AS eq_ok
+       -- IS NOT DISTINCT FROM: Spark struct equality is null-safe
+       -- member-wise (NULL == NULL inside a struct reads TRUE) where
+       -- DuckDB row equality NULL-propagates; identical on structs with
+       -- no NULL members (round-9 all-NULL sweep)
+       st IS NOT DISTINCT FROM
+         struct_pack(status := st.status, price_cents := st.price_cents)
+         AS eq_ok
 FROM s
 """,
     doc="struct/row-type function family: named-struct construction, "
@@ -861,6 +872,9 @@ def fn_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("st.price_cents").alias("price_from_struct"),
         nested.getField("inner_s").getField("status").alias("status_nested"),
-        F.to_json("st").alias("packed"),
+        # ignoreNullFields false: Spark to_json OMITS null struct fields
+        # by default where DuckDB emits "k":null (wave-7 convention,
+        # re-hit by the round-9 all-NULL sweep on this query)
+        F.to_json("st", {"ignoreNullFields": "false"}).alias("packed"),
         (F.col("st") == rebuilt).alias("eq_ok"),
     )

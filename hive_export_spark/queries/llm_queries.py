@@ -173,7 +173,8 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_embedding",
     oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS recall_ok
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
@@ -285,6 +286,13 @@ def _recall_ok(
     ``min_hits`` of k neighbors. The oracle can't know the ANN result, but
     it CAN know the query list — so the deterministic output is
     (query_id, recall_ok) with the oracle emitting literal TRUE."""
+    # a NULL-cosine "neighbor" (NULL or non-modal-dimension vector: no
+    # defined similarity) is not an achievable target — the ANN paths
+    # legitimately drop such vectors, so counting them in the exact bar
+    # would fail recall on a corpus with no valid vectors at all
+    # (round-9 all-NULL sweep; on healthy corpora the top-k is all
+    # non-NULL and this filter is a no-op)
+    exact = exact.filter(F.col("cosine").isNotNull())
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])

@@ -794,7 +794,7 @@ SELECT k, seg FROM (
     AND c_custkey NOT IN (SELECT c_custkey FROM customer
                           WHERE c_custkey BETWEEN 500 AND 1500)
   UNION ALL
-  SELECT c_custkey AS k, concat('NEW_', c_mktsegment) AS seg FROM customer
+  SELECT c_custkey AS k, 'NEW_' || c_mktsegment AS seg FROM customer
   WHERE c_custkey BETWEEN 500 AND 1500
 )
 """,

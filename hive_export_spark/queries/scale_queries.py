@@ -157,10 +157,17 @@ def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = salted_aggregate(
         li, key="l_returnflag", aggs={"l_extendedprice": "max"}, salt_buckets=16
     )
+    # null-safe join: the NULL pseudo-group survives both salted passes'
+    # GROUP BYs but a plain equi-join between them drops it (wave-7
+    # doctrine, round-9 all-NULL sweep)
     return (
-        out.join(mx, "l_returnflag")
+        out.alias("a")
+        .join(
+            mx.alias("b"),
+            F.col("a.l_returnflag").eqNullSafe(F.col("b.l_returnflag")),
+        )
         .select(
-            "l_returnflag",
+            F.col("a.l_returnflag").alias("l_returnflag"),
             "count_l_orderkey",
             F.col("min_l_extendedprice"),
             F.col("max_l_extendedprice"),

@@ -267,8 +267,23 @@ def agg_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ok(approx, exact):
-        return F.abs(F.col(approx) - F.col(exact)) / F.abs(F.col(exact)) <= F.lit(
-            0.02
+        # vacuous-ok + try_divide + coalesce(False) (round-9 all-NULL
+        # sweep): a group with no values has NULL exact AND NULL sketch
+        # (both engines' aggregates skip NULLs) — that reads TRUE; an
+        # exact of 0 divides safely via the equality short-circuit; any
+        # residual NULL reads as a clean FALSE
+        return F.coalesce(
+            F.when(F.col(exact).isNull(), F.col(approx).isNull()).otherwise(
+                (F.col(approx) == F.col(exact))
+                | (
+                    F.try_divide(
+                        F.abs(F.col(approx) - F.col(exact)),
+                        F.abs(F.col(exact)),
+                    )
+                    <= F.lit(0.02)
+                )
+            ),
+            F.lit(False),
         )
 
     return agg.select(
@@ -330,8 +345,20 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (rel_err <= F.lit(0.05)),
         F.lit(False),
     )
-    return exact.join(merged, "l_returnflag").select(
-        "l_returnflag", "exact_parts", sketch_ok.alias("sketch_ok")
+    # null-safe join: an all-NULL-flag corpus forms a NULL pseudo-group
+    # that GROUP BY keeps on both engines but a plain equi-join silently
+    # drops (wave-7 doctrine, re-hit by the round-9 all-NULL sweep)
+    return (
+        exact.alias("e")
+        .join(
+            merged.alias("m"),
+            F.col("e.l_returnflag").eqNullSafe(F.col("m.l_returnflag")),
+        )
+        .select(
+            F.col("e.l_returnflag").alias("l_returnflag"),
+            "exact_parts",
+            sketch_ok.alias("sketch_ok"),
+        )
     )
 
 
@@ -522,18 +549,8 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("l_returnflag")
         .pivot("__half", [0, 1])
         .agg(F.first("__sk"))
-        .select(
-            "l_returnflag",
-            # coalesce fallback: a day-one group whose rows all land in
-            # ONE orderkey-half pivots the other half to NULL, and
-            # kll_sketch_merge_double NULL-propagates (probed round 8) —
-            # fall back to whichever single partial exists
-            F.expr(
-                "kll_sketch_get_quantile_double("
-                "  coalesce(kll_sketch_merge_double(`0`, `1`), `0`, `1`),"
-                "  0.5)"
-            ).alias("__est"),
-        )
+        .select("l_returnflag", F.col("`0`").alias("__sk0"),
+                F.col("`1`").alias("__sk1"))
     )
     from pyspark.sql.window import Window
 
@@ -550,17 +567,60 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
         .select("l_returnflag", F.col("__p").alias("exact_p50"))
     )
-    exact = li.groupBy("l_returnflag").agg(
+    # null-safe joins: keep the NULL pseudo-group a GROUP BY emits on
+    # both engines (wave-7 doctrine, round-9 all-NULL sweep)
+    exact_cont = li.groupBy("l_returnflag").agg(
         F.expr("percentile(__p, 0.5, 1)").alias("__exact_cont"),
-    ).join(exact_disc, "l_returnflag")
-    return exact.join(merged, "l_returnflag").select(
-        "l_returnflag",
-        F.col("exact_p50").cast("double").alias("exact_p50"),
-        (
-            F.abs(F.col("__est") - F.col("__exact_cont"))
-            / F.greatest(F.abs(F.col("__exact_cont")), F.lit(1.0))
-            <= 0.02
-        ).alias("sketch_ok"),
+    )
+    exact = (
+        exact_cont.alias("c")
+        .join(
+            exact_disc.alias("d"),
+            F.col("c.l_returnflag").eqNullSafe(F.col("d.l_returnflag")),
+        )
+        .select(F.col("c.l_returnflag").alias("l_returnflag"),
+                "__exact_cont", "exact_p50")
+    )
+    # the merge + quantile read runs AFTER the join, guarded on the
+    # group actually having a non-NULL value: kll_sketch_agg_double over
+    # an all-NULL group returns a non-NULL EMPTY buffer whose
+    # get_quantile raises KLL_INVALID_INPUT_SKETCH_BUFFER (round-9
+    # all-NULL sweep probe); __exact_cont is NULL for exactly those
+    # groups, and scalar CASE WHEN is lazy, so the read never runs.
+    # coalesce fallback: a day-one group whose rows all land in ONE
+    # orderkey-half pivots the other half to NULL, and
+    # kll_sketch_merge_double NULL-propagates (probed round 8) — fall
+    # back to whichever single partial exists
+    est = F.when(
+        F.col("__exact_cont").isNotNull(),
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "  coalesce(kll_sketch_merge_double(__sk0, __sk1),"
+            "           __sk0, __sk1),"
+            "  0.5)"
+        ),
+    )
+    return (
+        exact.alias("e")
+        .join(
+            merged.alias("m"),
+            F.col("e.l_returnflag").eqNullSafe(F.col("m.l_returnflag")),
+        )
+        .select(
+            F.col("e.l_returnflag").alias("l_returnflag"),
+            F.col("exact_p50").cast("double").alias("exact_p50"),
+            # vacuous-ok: a group with no values has no median to
+            # misestimate (the oracle emits its literal TRUE there);
+            # coalesce(False) keeps the boolean two-state otherwise
+            F.coalesce(
+                F.when(F.col("__exact_cont").isNull(), F.lit(True)).otherwise(
+                    F.abs(est - F.col("__exact_cont"))
+                    / F.greatest(F.abs(F.col("__exact_cont")), F.lit(1.0))
+                    <= 0.02
+                ),
+                F.lit(False),
+            ).alias("sketch_ok"),
+        )
     )
 
 
@@ -664,9 +724,15 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(sketch, "o_orderpriority", "left").select(
         "o_orderpriority",
         "n_exact",
-        (F.coalesce(F.col("__est"), F.lit(-1)) == F.col("n_exact")).alias(
-            "topk_ok"
-        ),
+        # the NULL item is vacuously ok: approx_top_k skips NULLs by
+        # aggregate-function contract (same as COUNT(DISTINCT)), so the
+        # sketch CANNOT hold an entry for the NULL pseudo-group the
+        # exact GROUP BY reports (round-9 all-NULL sweep)
+        F.when(F.col("o_orderpriority").isNull(), F.lit(True))
+        .otherwise(
+            F.coalesce(F.col("__est"), F.lit(-1)) == F.col("n_exact")
+        )
+        .alias("topk_ok"),
     )
 
 

@@ -41,10 +41,15 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """,
     doc="tumbling 1h event-time windows per event_type (epoch-aligned, "
-    "same origin alignment as DuckDB time_bucket)",
+    "same origin alignment as DuckDB time_bucket). A NULL event time "
+    "is structurally invisible to Spark's window() operator (no bucket "
+    "to assign — the same class as pre-epoch rows under the initial "
+    "watermark); the oracle makes the exclusion explicit (round-9 "
+    "all-NULL sweep).",
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -78,11 +83,13 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
 WITH flagged AS (
+  -- ts IS NOT NULL: a NULL event time cannot join (or open) a session
+  -- window on the Spark side (round-9 all-NULL sweep)
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts,
@@ -689,11 +696,13 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_window_topk",
     oracle="""
 WITH agg AS (
+  -- ts IS NOT NULL: Spark's streaming window() has no bucket for a
+  -- NULL event time (round-9 all-NULL sweep)
   SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
            AS window_epoch,
          user_id,
          SUM(CAST(value AS DECIMAL(12,2))) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT window_epoch, user_id,
        CAST(sv AS DOUBLE) AS total_value,
@@ -763,11 +772,13 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window_native",
     oracle="""
 WITH flagged AS (
+  -- ts IS NOT NULL: a NULL event time cannot join (or open) a session
+  -- window on the Spark side (round-9 all-NULL sweep)
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts, event_id, value,
@@ -937,7 +948,14 @@ def cdc_merge_fn(state: str):
 @register(
     "stream_cdc_apply",
     oracle="""
-SELECT o_orderkey, o_orderstatus AS status
+SELECT o_orderkey,
+       -- the changelog's true fixed point: wave 2 only UPDATEs keys
+       -- whose status is NON-NULL and differs from 'O' (a NULL <> 'O'
+       -- predicate selects nothing), so NULL-status keys keep wave 1's
+       -- INSERT status (round-9 all-NULL sweep); identical to the bare
+       -- o_orderstatus on any corpus without NULL statuses
+       CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus <> 'O'
+            THEN o_orderstatus ELSE 'O' END AS status
 FROM orders WHERE o_orderkey % 97 <> 0
 """,
     doc="streaming CDC apply — the MERGE-into-keyed-table pattern "

@@ -381,10 +381,18 @@ def ts_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).alias("__sum"),
         )
 
-    # phase 1: historical rollup materialized once
-    partial(ev.filter(F.col("ts") < F.lit(split).cast("timestamp"))).write.parquet(
-        f"{base}/rollup"
-    )
+    # phase 1: historical rollup materialized once. The split must be
+    # TOTAL over a nullable event time (wave-7 doctrine, round-9
+    # all-NULL sweep): ts < split drops NULL-ts rows from BOTH phases,
+    # silently losing the NULL-hour bucket the oracle's GROUP BY keeps —
+    # clock-corrupt rows roll up under hour_epoch NULL with provenance
+    # instead of vanishing
+    partial(
+        ev.filter(
+            (F.col("ts") < F.lit(split).cast("timestamp"))
+            | F.col("ts").isNull()
+        )
+    ).write.parquet(f"{base}/rollup")
     # phase 2: delta-only aggregation + partial-state merge
     delta = partial(ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")))
     stored = spark.read.parquet(f"{base}/rollup")

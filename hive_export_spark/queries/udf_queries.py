@@ -87,6 +87,12 @@ def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def penny_sum(v: pd.Series) -> float:
+        # NULLs arrive as NaN; astype(int64) RAISES on them, and a group
+        # of only NULLs must return NULL like SQL SUM, not 0.0 (round-9
+        # all-NULL sweep)
+        v = v.dropna()
+        if v.empty:
+            return None
         # exact integer-penny arithmetic -> order-independent
         return float(round(v.mul(100).round().astype("int64").sum()) / 100.0)
 

@@ -119,9 +119,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # agg_skew_kurtosis's decimal precisions were re-sized after the
 # round-9 day-one receipt, and agg_corr_regression's corr moved to the
 # try_divide co-moment form after the round-9 constant-series receipt
-# (all three r8 rows are stale evidence). The r5-era rows
-# (source_export_blocks first in registry order) form the r11 pool
-# with the rest of the r5 generation.
+# (all three r8 rows are stale evidence).
+#
+# R11 POOL PRIORITY (head full; enumerate now so r11's rotation is
+# mechanical): the round-9 ALL-NULL-PAYLOAD wave changed 13 queries
+# that sit in neither the r9 window nor this head — fixes only differ
+# on all-NULL input; clean/hostile/day-zero/day-one/constant sweeps
+# verified 262/262 at the same HEAD: llm_dedup_minhash_ml,
+# llm_dedup_components, llm_dedup_keep_canonical, llm_dedup_incremental,
+# fn_struct_family, cdc_upsert, window_running_distinct,
+# join_nearest_value, pareto_skyline, agg_approx_top_k,
+# stream_session_window, stream_session_window_native,
+# stream_window_topk, stream_stateful_totals, stream_cdc_apply,
+# source_binary_files (dropped from this head's fills for the
+# changed-code trio above). After those, the r5-era generation
+# (source_export_blocks first in registry order).
 # After r10 lands green, no query's newest driver row predates r5.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
 # registered, disjoint from THIS round's window). NOT dead code: it

@@ -58,16 +58,25 @@ def running_user_totals(df: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
+            # COUNT(*) counts rows; SUM/MAX skip NULLs (NaN here) — a
+            # user with only NULL values must report NULL totals like
+            # the SQL aggregates, not 0.0/-inf (round-9 all-NULL sweep;
+            # pandas .sum() of all-NaN is 0.0 and .max() is NaN)
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            mx = max(mx, float(pdf["value"].max()))
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total += float(vals.sum())
+                mx = max(mx, float(vals.max()))
         state.update((n, total, mx))
+        # mx == -inf <=> no non-NULL value ever seen (values are money
+        # cents; -inf is unreachable as a real maximum)
+        seen = mx != float("-inf")
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
-                "max_value": [mx],
+                "total_value": [total if seen else None],
+                "max_value": [mx if seen else None],
             }
         )
 

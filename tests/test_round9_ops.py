@@ -56,9 +56,11 @@ def test_recall_gate_zero_exact_is_explicit_and_nonzero_exact_bites(spark):
     query HAS exact neighbors, an empty ANN result must read FALSE —
     the regression the advisory worried about."""
     queries = spark.createDataFrame([(1,), (2,)], "query_id long")
-    # query 1 has 3 exact neighbors; query 2 has none
+    # query 1 has 3 exact neighbors; query 2 has none (the gate filters
+    # NULL-cosine rows, so exact frames carry the cosine column)
     exact = spark.createDataFrame(
-        [(1, 10), (1, 11), (1, 12)], "query_id long, neighbor_id long"
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, neighbor_id long, cosine double",
     )
     ann_empty = spark.createDataFrame([], "query_id long, neighbor_id long")
     rows = {
