@@ -771,6 +771,9 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM (
   SELECT 'documents_null_id', COUNT(*)
   FROM documents WHERE doc_id IS NULL
   UNION ALL
+  SELECT 'documents_null_text', COUNT(*)
+  FROM documents WHERE text IS NULL
+  UNION ALL
   SELECT 'embeddings_null_vector', COUNT(*)
   FROM embeddings WHERE embedding IS NULL
   UNION ALL
@@ -868,6 +871,13 @@ def scale_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id").isNull())
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("documents_null_id").alias("rule"), F.col("n")),
+        # NULL text drops at every dedup signature scan (round-9
+        # all-NULL wave — a contentless doc can't be a duplicate of
+        # anything); this rule is where that drop gets provenance
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("text").isNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("documents_null_text").alias("rule"), F.col("n")),
         emb.filter(F.col("embedding").isNull())
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("embeddings_null_vector").alias("rule"), F.col("n")),
