@@ -700,18 +700,32 @@ def incremental_pairs_against_banded_store(
     # footers to infer from — partitionBy writes zero data files for
     # zero rows — and inference would crash where a day-zero store
     # must simply probe nothing (round-8 day-zero sweep). When footers
-    # DO exist, the inferred column set must match exactly: parquet
-    # resolves by name, so an explicit schema over a drifted layout
-    # would silently NULL-fill missing columns and drop candidate
-    # pairs instead of failing loudly (r8 driver advisory #5).
+    # DO exist, the inferred name->type layout must match exactly:
+    # parquet resolves by name, so an explicit schema over a drifted
+    # layout would silently NULL-fill missing columns — and a same-name
+    # TYPE drift (doc_id written int vs long) would defer to an opaque
+    # runtime parquet error — instead of failing loudly here (r8 driver
+    # advisory #5; type comparison added per r9 driver advisory #1).
+    # (bucket_part is the partitionBy column: its read-back type is
+    # re-inferred from directory STRINGS — an in-int-range value infers
+    # IntegerType regardless of the writer frame's type — so it gets a
+    # name-presence check only; data columns get the full type check)
+    def _layout(schema):
+        return {
+            f.name: None if f.name == "bucket_part" else f.dataType
+            for f in schema.fields
+        }
+
     try:
-        found = set(spark.read.parquet(store_path).schema.names)
+        found = _layout(spark.read.parquet(store_path).schema)
     except Exception:  # noqa: BLE001 — day-zero store: nothing to infer
         found = None
-    if found is not None and found != set(new_banded.schema.names):
+    expected = _layout(new_banded.schema)
+    if found is not None and found != expected:
         raise ValueError(
             f"banded store at {store_path} has column layout "
-            f"{sorted(found)}, expected {sorted(new_banded.schema.names)} — "
+            f"{sorted((n, str(t)) for n, t in found.items())}, expected "
+            f"{sorted((n, str(t)) for n, t in expected.items())} — "
             "rebuild the store (persist_banded_store) before probing"
         )
     store = (

@@ -814,7 +814,7 @@ def llm_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 # band |count - 0.2n| <= max(0.1n, 3*sqrt(0.16n) + 1):
                 # the 0.1n term is the original [0.1, 0.3]n window (±5.6
-                # sigma at n=500, and the wider arm for n >= 720); the
+                # sigma at n=500, and the wider arm from n ≈ 164 on); the
                 # 3-sigma + 1 binomial arm keeps the check honest at
                 # SMALL n, where a fixed ±1 floor is statistically wrong
                 # — at n=6, P(X=0) alone is 0.26 and the old band

@@ -43,103 +43,13 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 9 rotation: EVIDENCE CLOSURE, part 2 of 3 (r8 verdict
-    # ask #1). This is byte-for-byte the ROUND9_HEAD the r8 rotation
+    # --- round 10 rotation: EVIDENCE CLOSURE, part 3 of 3 (r9 verdict
+    # ask #1). This is byte-for-byte the ROUND10_HEAD the r9 rotation
     # commit pinned and tests/test_registry_smoke.py machine-checked
-    # (length 50, all registered, disjoint from the r8 window).
-    # Composition, per the standing policy (changed-code first, then
-    # oldest evidence):
-    #   the r8 carryover + two r7/r8-advisory-touched queries:
-    "graph_degree_assortativity",
-    "fn_variant_family",
-    "llm_sim_rp_lsh_topk",
-    # day-zero-changed in r8 (fixes only differ on empty input; clean
-    # sf0.01 hashes verified unchanged):
-    "agg_grouping_id",
-    "agg_theta_sketch_intersect",
-    "scale_dpp_scan",
-    "stream_replay_exactly_once",
-    "llm_dedup_embedding",
-    "llm_sim_ivf_topk",
-    "llm_sim_ivf_pruned",
-    "scale_zorder_scan",
-    "llm_dedup_incremental_banded",
-    "source_partition_discovery",
-    # day-one-changed in r8 (singleton-group / 1-row-table fixes):
-    "agg_kll_quantile_merge",
-    "llm_sim_lsh_topk",
-    "llm_sample_fraction",
-    # zero-countDistinct crash fix (round-8 static sweep + receipt):
-    "agg_hll_sketch_union",
-    # the r2-stale tail (newest driver row is six fixture generations
-    # old), minus the two r10 deferrals noted in ROUND10_HEAD:
-    "agg_distinct",
-    "agg_grouping_sets",
-    "fn_array_family",
-    "fn_conditional_family",
-    "fn_explode_unnest",
-    "fn_hash_family",
-    "fn_map_family",
-    "fn_math_family",
-    "fn_string_family",
-    "join_full",
-    "join_range_band",
-    "llm_dedup_exact",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_ngram_jaccard",
-    "parity_base64_encode",
-    "parity_json_encode",
-    "parity_partition_routing",
-    "parity_partition_token",
-    "parity_partitioned_write",
-    "parity_skip_internal_fields",
-    "pivot_status_by_priority",
-    "q12_shipmode_priority",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "setop_except_all",
-    "stream_dedup_keys",
-    "stream_export_e2e",
-    "stream_tumbling_window",
-    "topk_per_group",
-    "udf_grouped_agg_pandas",
-    "udf_grouped_map_pandas",
-    "udf_scalar_pandas",
-    "union_by_name_missing",
-)
-
-# ROUND-10 ROTATION HEAD (pinned NOW, r8 verdict ask #2 — exactly 50;
-# EVIDENCE CLOSURE, part 3 of 3). After the r9 window lands, the
-# residual stale pool (newest driver row <= r4, computed from
-# CORRECTNESS_r*.json by tools/evidence.py) is exactly 47 names:
-# the two r2 deferrals, the 22 r3-era rows, and the 23 r4-era rows —
-# all enumerated below in evidence-age order (oldest first). The three
-# fill slots follow the standing policy — changed-code first:
-# scale_dq_checks gained the two documents-table rules in round 9,
-# agg_skew_kurtosis's decimal precisions were re-sized after the
-# round-9 day-one receipt, and agg_corr_regression's corr moved to the
-# try_divide co-moment form after the round-9 constant-series receipt
-# (all three r8 rows are stale evidence).
-#
-# R11 POOL PRIORITY (head full; enumerate now so r11's rotation is
-# mechanical): the round-9 ALL-NULL-PAYLOAD wave changed 13 queries
-# that sit in neither the r9 window nor this head — fixes only differ
-# on all-NULL input; clean/hostile/day-zero/day-one/constant sweeps
-# verified 262/262 at the same HEAD: llm_dedup_minhash_ml,
-# llm_dedup_components, llm_dedup_keep_canonical, llm_dedup_incremental,
-# fn_struct_family, cdc_upsert, window_running_distinct,
-# join_nearest_value, pareto_skyline, agg_approx_top_k,
-# stream_session_window, stream_session_window_native,
-# stream_window_topk, stream_stateful_totals, stream_cdc_apply,
-# source_binary_files (dropped from this head's fills for the
-# changed-code trio above). After those, the r5-era generation
-# (source_export_blocks first in registry order).
-# After r10 lands green, no query's newest driver row predates r5.
-# Machine-checked by tests/test_registry_smoke.py (length 50, all
-# registered, disjoint from THIS round's window). NOT dead code: it
-# is the r10 rotation's input, consumed when DRIVER_WINDOW is rebuilt
-# from it next round, then deleted.
-ROUND10_HEAD: tuple[str, ...] = (
+    # (length 50, all registered, disjoint from the r9 window, and a
+    # superset of the stale pool: every query whose newest green driver
+    # row was r4 or older). After this window lands green, no query's
+    # newest driver evidence predates r5. Composition, oldest first:
     # r2-era deferrals:
     "window_distribution",
     "window_ntile_first_last",
@@ -195,6 +105,76 @@ ROUND10_HEAD: tuple[str, ...] = (
     "scale_dq_checks",
     "agg_skew_kurtosis",
     "agg_corr_regression",
+)
+
+# ROUND-11 ROTATION HEAD (pinned NOW, per the standing r8 planning
+# discipline — exactly 50). After the r10 window lands, the residual
+# stale pool is exactly the 38 r5-era rows (newest driver row == r5,
+# computed from CORRECTNESS_r*.json by tools/evidence.py). Slot policy,
+# changed-code first: the round-9 ALL-NULL-PAYLOAD wave changed 16
+# queries that sat in neither the r9 window nor the r10 head (fixes
+# only differ on all-NULL input; all six fixture-generation sweeps
+# verified 262/262 at the same HEAD) — 6 of those 16 are themselves
+# r5-era rows, so the union is 48 names; the 2 fill slots start the
+# r6-era generation in registry order. Machine-checked by
+# tests/test_registry_smoke.py (length 50, all registered, disjoint
+# from THIS round's window, superset of the r5-era pool). NOT dead
+# code: it is the r11 rotation's input, consumed when DRIVER_WINDOW
+# is rebuilt from it next round, then deleted.
+ROUND11_HEAD: tuple[str, ...] = (
+    # all-NULL-payload-changed in r9 (16, incl. 6 that are also r5-era):
+    "llm_dedup_minhash_ml",
+    "llm_dedup_components",
+    "llm_dedup_keep_canonical",
+    "llm_dedup_incremental",
+    "fn_struct_family",
+    "cdc_upsert",
+    "window_running_distinct",
+    "join_nearest_value",
+    "pareto_skyline",
+    "agg_approx_top_k",
+    "stream_session_window",
+    "stream_session_window_native",
+    "stream_window_topk",
+    "stream_stateful_totals",
+    "stream_cdc_apply",
+    "source_binary_files",
+    # remaining r5-era rows (32, registry order):
+    "source_export_blocks",
+    "fmt_roundtrip_xml",
+    "parity_timestamp_format",
+    "q3_shipping_priority",
+    "sql_recursive_cte",
+    "join_fuzzy_levenshtein",
+    "cdc_changelog_compact",
+    "join_null_safe_eq",
+    "window_running_sum",
+    "fn_higher_order_family",
+    "agg_listagg_strings",
+    "agg_histogram_equiwidth",
+    "agg_histogram_equidepth",
+    "stream_jdbc_sink_e2e",
+    "stream_static_enrich_join",
+    "udf_map_in_arrow",
+    "udtf_word_positions",
+    "llm_split_train_val_test",
+    "llm_global_shuffle",
+    "llm_kmeans_assign",
+    "llm_kmeans_iterate",
+    "llm_sample_weighted",
+    "llm_bpe_pair_counts",
+    "llm_embed_quantize",
+    "scale_runtime_bloom_join",
+    "scale_profile_columns",
+    "ts_downsample_m4",
+    "ts_cusum_changepoint",
+    "ts_attribution_last_touch",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "join_interval_overlap",
+    # r6-era generation starts (2 fills, registry order):
+    "fmt_compression_codecs",
+    "agg_argmax_family",
 )
 #
 # (Historical windows: the r5-r8 rotations and their slot-policy

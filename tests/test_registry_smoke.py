@@ -75,31 +75,31 @@ def test_driver_window_contract():
     ][:5]
 
 
-def test_round10_head_is_valid():
+def test_round11_head_is_valid():
     """The pinned next-round rotation head must be typo-free NOW — a
-    misspelled name would burn a driver slot when the r10 window is
-    rebuilt from it (round-8 planning discipline, r8 verdict ask #2)."""
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND10_HEAD
+    misspelled name would burn a driver slot when the r11 window is
+    rebuilt from it (round-8 planning discipline, r9 verdict ask #2)."""
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND11_HEAD
 
     qs = all_queries()
-    assert len(ROUND10_HEAD) == 50
-    assert len(set(ROUND10_HEAD)) == 50
-    assert [n for n in ROUND10_HEAD if n not in qs] == []
+    assert len(ROUND11_HEAD) == 50
+    assert len(set(ROUND11_HEAD)) == 50
+    assert [n for n in ROUND11_HEAD if n not in qs] == []
     # a name already earning fresh evidence this round wastes a slot
-    assert set(ROUND10_HEAD) & set(DRIVER_WINDOW) == set()
+    assert set(ROUND11_HEAD) & set(DRIVER_WINDOW) == set()
 
 
-def test_round10_head_closes_the_stale_pool():
-    """After r9+r10 land green, no query's newest driver row may predate
-    r5 — the r10 head must therefore contain EVERY query whose newest
-    green CORRECTNESS row is r4 or older and which is not already in
+def test_round11_head_closes_the_stale_pool():
+    """After r10+r11 land green, no query's newest driver row may predate
+    r6 — the r11 head must therefore contain EVERY query whose newest
+    green CORRECTNESS row is r5 or older and which is not already in
     this round's window (evidence-closure invariant, r8 verdict ask #2)."""
     import glob
     import json
     import os
     import re
 
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND10_HEAD
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND11_HEAD
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
@@ -117,6 +117,6 @@ def test_round10_head_closes_the_stale_pool():
     pool = {
         n
         for n in all_queries()
-        if newest.get(n, 0) <= 4 and n not in set(DRIVER_WINDOW)
+        if newest.get(n, 0) <= 5 and n not in set(DRIVER_WINDOW)
     }
-    assert pool <= set(ROUND10_HEAD), sorted(pool - set(ROUND10_HEAD))
+    assert pool <= set(ROUND11_HEAD), sorted(pool - set(ROUND11_HEAD))

@@ -195,6 +195,36 @@ def test_banded_store_layout_drift_raises(spark, tmp_path):
         ).collect()
 
 
+def test_banded_store_type_drift_raises(spark, tmp_path):
+    """Same column NAMES but a drifted column TYPE (doc_id written int
+    where the probe expects long) must also raise the loud ValueError —
+    not defer to an opaque runtime parquet error in the explicit-schema
+    read (r9 driver advisory #1)."""
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with shared words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "banded_store")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16)
+    (
+        dedup.banded_buckets(sigs, "doc_id", 16, 4)
+        .withColumn("doc_id", F.col("doc_id").cast("int"))
+        .withColumn("bucket_part", F.pmod(F.col("bucket"), F.lit(8)))
+        .write.partitionBy("bucket_part")
+        .parquet(path)
+    )
+    with pytest.raises(ValueError, match="column layout"):
+        dedup.incremental_pairs_against_banded_store(
+            spark,
+            path,
+            new_docs=docs.limit(2),
+            all_docs=docs,
+            num_hashes=16,
+            bands=4,
+            bucket_parts=8,
+        ).collect()
+
+
 def test_banded_store_matching_layout_still_probes(spark, tmp_path):
     """The drift guard must not break the healthy path (including the
     day-zero store, which has no footers to check)."""

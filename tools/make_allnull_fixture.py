@@ -86,10 +86,6 @@ def build(src_dir: str, out: str, k: int = 4) -> None:
             rq = q
         else:
             off = _OFFSET_KEYS[t]
-            repl = ", ".join(
-                f"{c} + i * {_OFF} AS {c}" if c in off else f"{c} AS {c}"
-                for c in keys
-            )
             # CASE WHEN TRUE THEN NULL ELSE col END keeps the column's
             # own type on the NULL (a bare NULL literal types as int32
             # and breaks the pyarrow cast back to timestamps/lists)
