@@ -1,11 +1,12 @@
-"""IVF-style persisted ANN index: signature-bucket-partitioned storage.
+"""IVF-style persisted ANN index: bucket-partitioned storage.
 
 The in-memory LSH operators (similarity.py, ml_lsh.py) still scan the
 whole corpus to compute candidate signatures per query. At 100 TB the
 index must live in STORAGE such that a query only READS matching buckets.
 This module materializes that layout with nothing but parquet +
-partitioning:
+partitioning, in two variants:
 
+Hyperplane variant (data-oblivious buckets):
 - build: signature = random-hyperplane bits (deterministic, seeded) →
   write vectors partitioned by the signature value. One directory per
   bucket; Spark's partition discovery turns the signature into a
@@ -14,10 +15,24 @@ partitioning:
   read the index with ``sig IN (buckets)`` — a PARTITION FILTER, so only
   the probed buckets' files are opened (asserted in tests via
   PartitionFilters) — then exact-rescore and top-k.
+- bucket math: n_planes=6 → 64 buckets; probe radius 2 → 22 buckets/query
+  (1 + 6 + 15), i.e. ~1/3 of the corpus read instead of all of it, at any
+  scale. Tune n_planes ~ log2(corpus/bucket_target) and radius for recall.
 
-Bucket math: n_planes=6 → 64 buckets; probe radius 2 → 22 buckets/query
-(1 + 6 + 15), i.e. ~1/3 of the corpus read instead of all of it, at any
-scale. Tune n_planes ~ log2(corpus/bucket_target) and radius for recall.
+Centroid variant (classic IVF — k-means-trained buckets, round 10):
+- build: Lloyd's k-means (operators/kmeans.py — broadcast centroids,
+  map-only assignment) partitions the corpus by nearest-centroid id; the
+  k × dim centroid table persists beside the index.
+- probe: rank the centroids by distance to each query and read only the
+  ``nprobe`` nearest centroids' partitions — the classic IVF probe order.
+  Because centroids ADAPT to the data where hyperplanes cannot, the same
+  read fraction buys materially higher recall (measured in
+  tools/ann_probe.py: hyperplane radius-2 reads ~35 % for recall
+  0.72–0.78; centroid nprobe=4/16 reads ~25 % for recall ≥ 0.9 on the
+  same corpus — receipts in SCALING.md).
+- the per-query probe set is (query_id, nprobe centroid ids) — collected
+  driver-side under the same bounded-exchange contract as the hyperplane
+  probe's signatures, never the vectors themselves.
 """
 
 from __future__ import annotations
@@ -159,6 +174,213 @@ def ivf_topk(
     candidates = index.join(F.broadcast(bucket_map), "sig").join(
         # bounded: q capped by the max_query_rows guard above
         F.broadcast(q), query_id_col
+    )
+    scored = candidates.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qv"), _as_double(F.col(vec_col))).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def _centroids_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "_centroids"
+
+
+def _coarse_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "_coarse"
+
+
+def build_ivf_centroid_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    max_iter: int = 5,
+) -> None:
+    """Materialize the two-tier k-means-trained IVF layout. Idempotent
+    overwrite.
+
+    Three artifacts, all cid-partitioned or tiny:
+    - ``<path>``: the EXACT tier — full-precision vectors partitioned by
+      nearest-centroid id (``cid``), sorted by ``id_col`` within each
+      partition so the rerank's ``vec_id IN (...)`` pushdown prunes row
+      groups, not just partitions;
+    - ``<path>_coarse``: the COARSE tier — int8-quantized vectors
+      (symmetric per-vector scaling, round(127·x/max|x|)), ~8× fewer
+      bytes per row. For cosine RANKING the scale cancels —
+      cos(q, v/s) = dot(q, int8)/(|q|·|int8|) — so only the int8 array
+      is stored;
+    - ``<path>_centroids``: the trained n_centroids × dim centroid table,
+      so probes never re-train.
+
+    Ingest-time cost: kmeans_fit's Lloyd iterations (each a
+    broadcast-assign scan plus one (cluster, dim) mean shuffle) plus two
+    routed writes — all corpus-linear, no all-pairs stage anywhere.
+
+    NULL / dimension-mismatched vectors score NULL against every centroid
+    and fall to the deterministic first cluster (assign_clusters orders
+    NULL dist2 first with the cluster-id tiebreak); they quantize to a
+    NULL int8 array, re-surface as NULL cosine at probe time and drop out
+    of every shortlist/top-k — same convention as the hyperplane variant.
+    A zero vector's quantization scale divides by max|x| = 0, so its int8
+    array is NULL too (try_divide), matching its undefined cosine.
+    """
+    from hive_export_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    fitted = kmeans_fit(
+        vectors, k=n_centroids, max_iter=max_iter, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cents = fitted.centroids.select(
+        F.col("cluster_id"), F.col("centroid")
+    )
+    assignment = assign_clusters(
+        vectors, cents, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cluster_id").alias("cid"))
+    indexed = vectors.select(id_col, vec_col).join(assignment, id_col)
+    (
+        indexed.repartition("cid")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    v = _as_double(F.col(vec_col))
+    scale = F.try_divide(
+        F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
+    )
+    qvec = F.when(
+        scale.isNotNull(),
+        F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
+    )
+    (
+        indexed.select(id_col, qvec.alias("qvec"), "cid")
+        .repartition("cid")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(_coarse_path(path))
+    )
+    cents.write.mode("overwrite").parquet(_centroids_path(path))
+
+
+def ivf_centroid_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Nearest-centroid multi-probe top-k over the persisted index.
+
+    Each query ranks the (broadcast) centroid table by exact L2 distance
+    and probes its ``nprobe`` nearest centroids' partitions — the probe
+    set adapts to where the query actually lands instead of a fixed
+    Hamming radius. The collected (query_id, cid) pairs (≤ queries ×
+    nprobe rows — bounded by ``max_query_rows``) become a LITERAL
+    partition filter, so only probed partitions' files are opened
+    (PartitionFilters pinned in tests/test_ivf.py), then candidates are
+    scored exactly and ranked per query.
+    """
+    from pyspark.sql import types as T
+
+    from hive_export_spark.operators.kmeans import _sq_l2
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+
+    def _empty_result() -> DataFrame:
+        # neighbor_id's type comes from the INDEX side, exactly as the
+        # non-empty path derives it from the index scan's id_col (r8
+        # driver advisory #2); an unreadable store falls back to the
+        # query id type, the only remaining domain witness.
+        try:
+            neighbor_type = spark.read.parquet(index_path).schema[
+                id_col
+            ].dataType
+        except Exception:  # noqa: BLE001 — AnalysisException / missing path
+            neighbor_type = queries.schema[query_id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    queries.schema[query_id_col],
+                    T.StructField("neighbor_id", neighbor_type),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+
+    # centroid table: n_centroids × dim — the bounded broadcast/driver
+    # exchange this module's probes are built around. A day-zero index
+    # (k-means over an empty corpus persists zero centroids, and
+    # partitionBy wrote no data files) probes nothing.
+    try:
+        cents = spark.read.parquet(_centroids_path(index_path))
+        has_centroids = bool(cents.take(1))
+    except Exception:  # noqa: BLE001 — store never built / day-zero write
+        has_centroids = False
+    if not has_centroids:
+        return _empty_result()
+
+    w_cent = Window.partitionBy(query_id_col).orderBy(
+        "__cd2", "cluster_id"
+    )
+    probe_pairs = (
+        # bounded: cents is the n_centroids x dim trained centroid table
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            F.col("cluster_id"),
+            _sq_l2(F.col("__qv"), _as_double(F.col("centroid"))).alias(
+                "__cd2"
+            ),
+        )
+        .withColumn("__rk", F.row_number().over(w_cent))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id_col, F.col("cluster_id").alias("cid"))
+    )
+    # bounded collect: <= max_query_rows x nprobe (query id, cluster id)
+    # pairs — the same driver-exchange contract as ivf_topk's signature
+    # collect; vectors themselves never leave the executors
+    pairs = probe_pairs.limit(max_query_rows * nprobe + 1).collect()
+    if not pairs:
+        return _empty_result()
+    if len(pairs) > max_query_rows * nprobe:
+        raise ValueError(
+            f"ivf_centroid_topk probe set exceeds max_query_rows="
+            f"{max_query_rows}; probe pairs are collected driver-side, so "
+            "batch the queries or use the distributed lsh_topk path "
+            "(hive_export_spark.operators.similarity) for corpus-sized "
+            "query sets"
+        )
+    probe_cids = sorted({r["cid"] for r in pairs})
+    index = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    bucket_map = spark.createDataFrame(
+        [(r[query_id_col], r["cid"]) for r in pairs], [query_id_col, "cid"]
+    )
+    # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
+    candidates = index.join(F.broadcast(bucket_map), "cid").join(
+        # bounded: q joins the <= max_query_rows collected probe pairs on query_id
+        F.broadcast(q.join(bucket_map.select(query_id_col).distinct(), query_id_col)),
+        query_id_col,
     )
     scored = candidates.select(
         query_id_col,

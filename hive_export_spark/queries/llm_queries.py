@@ -781,6 +781,53 @@ def llm_sim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_ok(ann, exact, queries, min_hits=5)
 
 
+def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
+    """Build-once persisted centroid-IVF index per (process, fixture path)
+    — same _SUCCESS-gated scratch contract as _ivf_index_for, FS-agnostic
+    via Hadoop's FileSystem."""
+    import os
+
+    from hive_export_spark.operators.ivf import build_ivf_centroid_index
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = os.path.join(sf_scratch_dir("ivf_centroid_index", sf_dir), "idx")
+    if not fs_exists(spark, path + "/_SUCCESS"):
+        build_ivf_centroid_index(e, path, n_centroids=16, max_iter=5)
+    return e, path
+
+
+@register(
+    "llm_sim_ivf_kmeans",
+    oracle=_RECALL_ORACLE,
+    doc="the centroid (classic) IVF path: k-means-trained buckets "
+    "(operators.ivf.build_ivf_centroid_index — corpus partitioned by "
+    "nearest-centroid id, centroid table persisted beside it), probed by "
+    "ranking centroids per query and reading only the nprobe=4 of 16 "
+    "nearest centroids' partitions (operators.ivf.ivf_centroid_topk — "
+    "~25 % of the corpus read via partition-pruned scans, "
+    "PartitionFilters pinned in tests/test_ivf.py), then exact re-score. "
+    "Because centroids adapt to the data where hyperplanes cannot, this "
+    "operating point dominates the hyperplane probe (recall >= 0.9 at a "
+    "lower read fraction — tools/ann_probe.py receipts in SCALING.md). "
+    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact top-10| "
+    ">= 7 (deterministic k-means init, seeded assignment; observed "
+    "fixture min 10/10 at sf0.01 and sf0.1); the oracle lists the query "
+    "ids with literal TRUE.",
+)
+def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, path = _ivf_centroid_index_for(spark, sf_dir)
+    from hive_export_spark.operators.ivf import ivf_centroid_topk
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, nprobe=4)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
 @register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
@@ -2545,8 +2592,14 @@ def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     gn = glob.agg(F.sum(F.col("sg") * F.col("sg")).alias("ng2"))
-    cos = F.col("dot").cast("double") / F.sqrt(
-        F.col("na2").cast("double") * F.col("ng2").cast("double")
+    # try_divide: a label group whose only members are ZERO vectors (the
+    # combined-adversity duplicate zero-vector pair under a NULL label)
+    # has na2 = 0 — its centroid has no direction, so the cosine is
+    # undefined: NULL on both engines (DuckDB's /0 is NULL; ANSI `/`
+    # would crash)
+    cos = F.try_divide(
+        F.col("dot").cast("double"),
+        F.sqrt(F.col("na2").cast("double") * F.col("ng2").cast("double")),
     )
     # bounded: gn is a 1-row aggregate (global centroid norm)
     return dots.crossJoin(F.broadcast(gn)).select(

@@ -1381,8 +1381,12 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("i") * F.col("x")).alias("sixr"),
     )
     n = F.col("n")
-    gini = (2 * F.col("sixr")).cast("double") / (
-        n * F.col("sx").cast("double")
+    # try_divide: a constant-ZERO series (a frozen sensor emitting 0.0 —
+    # the combined-adversity fixture's 'frozen' class) passes the
+    # value >= 0 filter with sx = 0; Gini over zero mass is undefined —
+    # NULL on both engines (DuckDB's /0 is NULL; ANSI `/` would crash)
+    gini = F.try_divide(
+        (2 * F.col("sixr")).cast("double"), n * F.col("sx").cast("double")
     ) - (n + 1).cast("double") / n
     return agg.select(
         "event_type",

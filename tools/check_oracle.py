@@ -193,9 +193,28 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     hostile = "--hostile" in sys.argv[1:]
     hostile_fixture = "--hostile-fixture" in sys.argv[1:]
+    combined_fixture = "--combined-fixture" in sys.argv[1:]
     determinism = "--determinism" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+
+    if combined_fixture:
+        # the round-10 combined-adversity gate: rebuild the interacting-
+        # degenerate-classes fixture from sf_dir and sweep on it in one
+        # command (sibling of --hostile-fixture). Implies the hostile
+        # session.
+        import tempfile
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_combined_fixture import build
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"combined_fixture_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        build(sf_dir, out)
+        sf_dir = out
+        hostile = True
 
     if hostile_fixture:
         # the standing adversarial gate (round-6 verdict ask #6): rebuild
