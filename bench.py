@@ -51,6 +51,10 @@ HEADLINE = [
     "agg_kll_quantile_merge",
     "scale_skew_join",
     "llm_sim_ivf_pruned",
+    # round 10: the two-tier centroid IVF probe (coarse int8 scan of the
+    # nprobe nearest centroids' partitions + exact rerank of the
+    # shortlist) — the recall>=0.9-at-~11%-bytes ANN operating point
+    "llm_sim_ivf_kmeans",
     # round-5 structural analytics: degree-oriented triangle counting
     # (wedge-join heavy), two-phase skyline (local prune + sweep), and
     # the scatter-reduce EWMA kernel
@@ -91,6 +95,25 @@ def main() -> None:
         # non-driver dir names (e.g. /tmp/sf1_scaled): keep the tag as a
         # string rather than crash AFTER the whole suite has run
         sf = sf_tag
+    # r9 verdict ask #6: the r8/r9 official legs both ran at load >= 3
+    # (residual JVMs from the preceding sweeps), printing a phantom
+    # ~1.13x geomean "regression" the idle re-legs disproved. Rather than
+    # annotate after the fact, WAIT for the box to drain before starting
+    # the leg: poll 1-minute load until it drops under the idle bar or
+    # the budget runs out (the leg then proceeds and its load fields
+    # carry the caveat as before). Tunables:
+    #   SPARK_GRAFT_BENCH_IDLE_LOAD  idle bar (default 1.0)
+    #   SPARK_GRAFT_BENCH_WAIT_IDLE  max wait seconds (default 600; 0
+    #                                disables the gate entirely)
+    idle_bar = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE", "600"))
+    waited = 0.0
+    while wait_budget > 0 and os.getloadavg()[0] >= idle_bar:
+        if waited >= wait_budget:
+            break
+        time.sleep(15.0)
+        waited += 15.0
+
     spark = get_spark("hive_export_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -174,6 +197,7 @@ def main() -> None:
                 "load_5m_start": round(load_start[1], 2),
                 "load_1m_end": round(load_end[0], 2),
                 "load_5m_end": round(load_end[1], 2),
+                "idle_wait_sec": round(waited, 1),
             }
         )
     )

@@ -236,9 +236,16 @@ def build_ivf_centroid_index(
     """
     from hive_export_spark.operators.kmeans import assign_clusters, kmeans_fit
 
+    # train on the vectors that HAVE a direction: an all-NULL-payload
+    # corpus (failed embedding job) would otherwise hand kmeans_fit NULL
+    # init centroids and crash its driver-side materialization; with zero
+    # trainable vectors the centroid table is empty and probes correctly
+    # find nothing (round-10 all-NULL sweep). NULL vectors still land in
+    # the index below — assignment against the trained centroids routes
+    # them to the deterministic first cluster.
     fitted = kmeans_fit(
-        vectors, k=n_centroids, max_iter=max_iter, id_col=id_col,
-        vec_col=vec_col,
+        vectors.filter(F.col(vec_col).isNotNull()),
+        k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
     )
     cents = fitted.centroids.select(
         F.col("cluster_id"), F.col("centroid")
@@ -282,6 +289,7 @@ def ivf_centroid_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 4,
+    rerank: int | None = None,
     max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Nearest-centroid multi-probe top-k over the persisted index.
@@ -294,6 +302,19 @@ def ivf_centroid_topk(
     partition filter, so only probed partitions' files are opened
     (PartitionFilters pinned in tests/test_ivf.py), then candidates are
     scored exactly and ranked per query.
+
+    ``rerank=None`` scores probed candidates on the EXACT tier directly.
+    ``rerank=C`` takes the two-tier path: probed partitions are scanned
+    on the int8 COARSE tier (~8× fewer bytes), each query shortlists its
+    approximate top-C, and only the shortlist touches the exact tier —
+    via a LITERAL ``vec_id IN (...)`` pushed filter over the
+    ``cid``-pruned, id-sorted layout, so row groups prune too. The same
+    read budget then covers a much larger nprobe: on the fixture corpus,
+    nprobe=12/16 with C=30 reads ~11 % of index BYTES for recall ≥ 0.9
+    where the single-tier hyperplane probe read ~35 % for 0.72–0.78
+    (tools/ann_probe.py receipts, SCALING.md). Approximate cosine needs
+    no dequantization: the per-vector scale cancels inside
+    cos(q, v/s) = dot(q, int8)/(|q|·|int8|).
     """
     from pyspark.sql import types as T
 
@@ -370,18 +391,67 @@ def ivf_centroid_topk(
             "query sets"
         )
     probe_cids = sorted({r["cid"] for r in pairs})
-    index = spark.read.parquet(index_path).filter(
-        F.col("cid").isin(probe_cids)
-    )
     bucket_map = spark.createDataFrame(
         [(r[query_id_col], r["cid"]) for r in pairs], [query_id_col, "cid"]
     )
-    # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
-    candidates = index.join(F.broadcast(bucket_map), "cid").join(
-        # bounded: q joins the <= max_query_rows collected probe pairs on query_id
-        F.broadcast(q.join(bucket_map.select(query_id_col).distinct(), query_id_col)),
-        query_id_col,
+    # bounded: q joins the <= max_query_rows collected probe pairs on query_id
+    q_probed = F.broadcast(
+        q.join(bucket_map.select(query_id_col).distinct(), query_id_col)
     )
+
+    if rerank is None:
+        index = spark.read.parquet(index_path).filter(
+            F.col("cid").isin(probe_cids)
+        )
+        # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
+        candidates = index.join(F.broadcast(bucket_map), "cid").join(
+            q_probed, query_id_col
+        )
+    else:
+        coarse = spark.read.parquet(_coarse_path(index_path)).filter(
+            F.col("cid").isin(probe_cids)
+        )
+        approx = (
+            # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
+            coarse.join(F.broadcast(bucket_map), "cid")
+            .join(q_probed, query_id_col)
+            .select(
+                query_id_col,
+                F.col(id_col),
+                cosine(
+                    F.col("__qv"),
+                    F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                ).alias("__approx"),
+            )
+        )
+        w_short = Window.partitionBy(query_id_col).orderBy(
+            F.col("__approx").desc_nulls_last(), F.col(id_col)
+        )
+        shortlist = (
+            approx.withColumn("__rk", F.row_number().over(w_short))
+            .filter(F.col("__rk") <= rerank)
+            .select(query_id_col, id_col)
+        )
+        # bounded collect: <= max_query_rows x rerank (query id, vec id)
+        # rows — the same driver-exchange contract as the probe pairs;
+        # the ids become a LITERAL pushed filter on the exact tier so
+        # its id-sorted row groups prune below the partition level
+        short_rows = shortlist.collect()
+        if not short_rows:
+            return _empty_result()
+        short_ids = sorted({r[id_col] for r in short_rows})
+        exact_tier = spark.read.parquet(index_path).filter(
+            F.col("cid").isin(probe_cids) & F.col(id_col).isin(short_ids)
+        )
+        short_map = spark.createDataFrame(
+            [(r[query_id_col], r[id_col]) for r in short_rows],
+            [query_id_col, id_col],
+        )
+        # bounded: short_map = collected per-query shortlists, capped by the max_query_rows guard
+        candidates = exact_tier.join(F.broadcast(short_map), id_col).join(
+            q_probed, query_id_col
+        )
+
     scored = candidates.select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),

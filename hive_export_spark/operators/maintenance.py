@@ -11,11 +11,34 @@ sink must own it.
 
 from __future__ import annotations
 
-import os
-from urllib.parse import urlparse
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """(FileSystem, Path) resolved through Hadoop — the SAME dispatch the
+    store gates use (sources.files.fs_exists): file:/ single- and
+    triple-slash URIs, bare local paths, hdfs:// and s3a:// all answer
+    through the path's own filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _count_data_files(fs, jpath) -> tuple[int, int]:
+    """(data-file count, total bytes) under jpath, recursively, skipping
+    _SUCCESS/_metadata/dotfiles — one recursive listing (listFiles walks
+    server-side on HDFS/object stores; no per-directory round trips)."""
+    it = fs.listFiles(jpath, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+            total += int(st.getLen())
+    return n, total
 
 
 def compact_partitioned_table(
@@ -29,49 +52,43 @@ def compact_partitioned_table(
 
     Reads the whole table, re-routes on the partition columns, and writes
     with maxRecordsPerFile derived from the observed bytes/row, replacing
-    the table atomically (write to .compacting, then swap). Returns
+    the table via rename (write to .compacting, rename the old table to
+    .pre_compact, rename .compacting in, delete the backup). Returns
     {'files_before': n, 'files_after': m}.
 
     Scale notes: one shuffle on the partition columns (the same shuffle a
     fresh routed write pays); AQE coalesces the output partitions so small
     partitions share tasks. For petabyte tables run per-partition-subtree
     instead of whole-table (pass a partition-scoped path).
+
+    Filesystem notes: every file operation dispatches through Hadoop's
+    FileSystem on the path's OWN scheme (r9 verdict ask #7 — previously
+    local-only), so hdfs:// tables compact with atomic per-directory
+    renames. On rename-as-copy object stores (s3a://) the swap is
+    correct but not atomic and the copies cost O(table) — prefer a
+    table-format-native rewrite (Iceberg rewrite_data_files / Delta
+    OPTIMIZE) there, or route writes through sinks/catalog_table.py and
+    compact per partition subtree to bound the copy window.
     """
-
-    # local-filesystem implementation: the directory swap and size probes
-    # use os-level calls. For object stores / HDFS, compact per partition
-    # with the same read->rewrite shape and commit via the table format.
-    # Scheme handling goes through urlparse so Spark's single-slash form
-    # ('file:/path') normalizes the same as 'file:///path', and any
-    # non-file scheme (s3a://, hdfs://) is rejected explicitly instead of
-    # slipping past a substring check into os.walk as a literal path.
-    parsed = urlparse(path)
-    if parsed.scheme and parsed.scheme != "file":
-        raise NotImplementedError(
-            "compact_partitioned_table operates on local paths; for "
-            f"{path!r} use a table-format-native compaction"
+    fs, jpath = _fs_for(spark, path)
+    if not fs.exists(jpath):
+        # nothing ever written here (a sink that has not produced its
+        # first batch): nothing to compact — same contract as the
+        # zero-file table below
+        return {"files_before": 0, "files_after": 0}
+    backup = fs.makeQualified(
+        spark._jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + ".pre_compact"
         )
-    if parsed.scheme == "file":
-        if parsed.netloc not in ("", "localhost"):
-            raise NotImplementedError(
-                f"remote file URI host {parsed.netloc!r} is not local"
-            )
-        path = parsed.path
-    backup = path.rstrip("/") + ".pre_compact"
-    if os.path.exists(backup):
+    )
+    if fs.exists(backup):
         raise RuntimeError(
-            f"stale backup {backup!r} exists — a previous compaction did "
-            "not complete; inspect and remove it (it holds the pre-swap "
-            "table) before compacting again"
+            f"stale backup {backup.toString()!r} exists — a previous "
+            "compaction did not complete; inspect and remove it (it holds "
+            "the pre-swap table) before compacting again"
         )
 
-    def count_files(p: str) -> int:
-        total = 0
-        for _, _, files in os.walk(p):
-            total += sum(1 for f in files if not f.startswith(("_", ".")))
-        return total
-
-    files_before = count_files(path)
+    files_before, total_bytes = _count_data_files(fs, jpath)
     if files_before == 0:
         # day-zero table (a partitioned write of zero rows leaves no data
         # files): nothing to compact, and a format load would fail schema
@@ -79,31 +96,30 @@ def compact_partitioned_table(
         return {"files_before": 0, "files_after": 0}
     df = spark.read.format(fmt).load(path)
     n_rows = df.count()
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if not f.startswith(("_", "."))
-    )
     bytes_per_row = max(total_bytes / max(n_rows, 1), 1.0)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
 
-    staging = path.rstrip("/") + ".compacting"
+    staging_str = path.rstrip("/") + ".compacting"
     (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_file)
         .partitionBy(*partition_cols)
         .format(fmt)
-        .save(staging)
+        .save(staging_str)
     )
-    import shutil
+    staging = fs.makeQualified(
+        spark._jvm.org.apache.hadoop.fs.Path(staging_str)
+    )
+    qpath = fs.makeQualified(jpath)
+    if not fs.rename(qpath, backup):
+        raise RuntimeError(f"could not move {path!r} aside for the swap")
+    if not fs.rename(staging, qpath):
+        fs.rename(backup, qpath)  # restore the original table
+        raise RuntimeError(
+            f"could not move compacted table into place at {path!r}"
+        )
+    fs.delete(backup, True)
+    files_after, _ = _count_data_files(fs, qpath)
+    return {"files_before": files_before, "files_after": files_after}
 
-    os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except OSError:
-        os.rename(backup, path)  # restore the original table
-        raise
-    shutil.rmtree(backup)
-    return {"files_before": files_before, "files_after": count_files(path)}

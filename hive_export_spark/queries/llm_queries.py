@@ -801,20 +801,23 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
 @register(
     "llm_sim_ivf_kmeans",
     oracle=_RECALL_ORACLE,
-    doc="the centroid (classic) IVF path: k-means-trained buckets "
-    "(operators.ivf.build_ivf_centroid_index — corpus partitioned by "
-    "nearest-centroid id, centroid table persisted beside it), probed by "
-    "ranking centroids per query and reading only the nprobe=4 of 16 "
-    "nearest centroids' partitions (operators.ivf.ivf_centroid_topk — "
-    "~25 % of the corpus read via partition-pruned scans, "
-    "PartitionFilters pinned in tests/test_ivf.py), then exact re-score. "
-    "Because centroids adapt to the data where hyperplanes cannot, this "
-    "operating point dominates the hyperplane probe (recall >= 0.9 at a "
-    "lower read fraction — tools/ann_probe.py receipts in SCALING.md). "
-    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact top-10| "
-    ">= 7 (deterministic k-means init, seeded assignment; observed "
-    "fixture min 10/10 at sf0.01 and sf0.1); the oracle lists the query "
-    "ids with literal TRUE.",
+    doc="the two-tier centroid (classic) IVF path: k-means-trained "
+    "buckets (operators.ivf.build_ivf_centroid_index — exact tier + int8 "
+    "coarse tier partitioned by nearest-centroid id, centroid table "
+    "persisted beside them), probed by ranking centroids per query: the "
+    "nprobe=12 of 16 nearest centroids' partitions are scanned on the "
+    "COARSE tier (~8x fewer bytes/row; the quantization scale cancels "
+    "inside the cosine), each query shortlists its approximate top-30, "
+    "and only the shortlist touches the exact tier via a literal "
+    "vec_id IN (...) pushed filter over the id-sorted cid-pruned layout "
+    "(operators.ivf.ivf_centroid_topk; PartitionFilters + PushedFilters "
+    "pinned in tests/test_ivf.py). The operating point dominates the "
+    "single-tier hyperplane probe: recall >= 0.9 at ~11 % of index "
+    "bytes vs 0.72-0.78 at ~35 % (tools/ann_probe.py receipts, "
+    "SCALING.md). Oracle-able formulation: per-query recall_ok = "
+    "|IVF ∩ exact top-10| >= 7 (deterministic k-means init, seeded "
+    "assignment; observed fixture min 9/10 at sf0.01 and sf0.1); the "
+    "oracle lists the query ids with literal TRUE.",
 )
 def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, path = _ivf_centroid_index_for(spark, sf_dir)
@@ -823,7 +826,7 @@ def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = ivf_centroid_topk(spark, path, queries, k=10, nprobe=4)
+    ann = ivf_centroid_topk(spark, path, queries, k=10, nprobe=12, rerank=30)
     exact = similarity.brute_force_topk(e, queries, k=10)
     return _recall_ok(ann, exact, queries, min_hits=7)
 

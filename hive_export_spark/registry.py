@@ -115,12 +115,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # queries that sat in neither the r9 window nor the r10 head (fixes
 # only differ on all-NULL input; all six fixture-generation sweeps
 # verified 262/262 at the same HEAD) — 6 of those 16 are themselves
-# r5-era rows, so the union is 48 names; the 2 fill slots start the
-# r6-era generation in registry order. Machine-checked by
-# tests/test_registry_smoke.py (length 50, all registered, disjoint
-# from THIS round's window, superset of the r5-era pool). NOT dead
-# code: it is the r11 rotation's input, consumed when DRIVER_WINDOW
-# is rebuilt from it next round, then deleted.
+# r5-era rows, so the union is 48 names. The 2 fill slots go to
+# round-10 changed code: llm_sim_ivf_kmeans (NEW — the two-tier
+# centroid-IVF query, never driver-green, highest slot priority by the
+# standing invariant) and stats_gini_concentration (the combined-
+# adversity try_divide fix; r6 evidence, the oldest among this round's
+# changed rows).
+#
+# R12 POOL PRIORITY (head full; enumerate now so r12's rotation is
+# mechanical): the remaining round-10 changed-code rows —
+# llm_embedding_label_drift (combined-adversity try_divide fix, r6
+# evidence), scale_compaction (compaction rewritten FS-agnostic, r8),
+# llm_dedup_incremental_banded (type-aware drift guard, r9) — then the
+# r6-era generation in registry order (fmt_compression_codecs,
+# agg_argmax_family first, displaced from this head's fills).
+#
+# Machine-checked by tests/test_registry_smoke.py (length 50, all
+# registered, disjoint from THIS round's window, superset of the
+# r5-era pool). NOT dead code: it is the r11 rotation's input,
+# consumed when DRIVER_WINDOW is rebuilt from it next round, then
+# deleted.
 ROUND11_HEAD: tuple[str, ...] = (
     # all-NULL-payload-changed in r9 (16, incl. 6 that are also r5-era):
     "llm_dedup_minhash_ml",
@@ -172,9 +186,9 @@ ROUND11_HEAD: tuple[str, ...] = (
     "graph_triangle_count",
     "graph_pagerank",
     "join_interval_overlap",
-    # r6-era generation starts (2 fills, registry order):
-    "fmt_compression_codecs",
-    "agg_argmax_family",
+    # round-10 changed-code fills (see slot policy above):
+    "llm_sim_ivf_kmeans",
+    "stats_gini_concentration",
 )
 #
 # (Historical windows: the r5-r8 rotations and their slot-policy

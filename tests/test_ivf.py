@@ -62,3 +62,109 @@ def test_ivf_topk_guards_query_set_size(spark, sf_dir, tmp_path):
     queries = e.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="max_query_rows"):
         ivf_topk(spark, path, queries, k=3, max_query_rows=5)
+
+
+# --- two-tier centroid (k-means) IVF, round 10 ----------------------------
+
+
+def test_centroid_ivf_layout_and_pruning(spark, sf_dir, tmp_path):
+    from hive_export_spark.operators.ivf import build_ivf_centroid_index
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = str(tmp_path / "civf")
+    build_ivf_centroid_index(e, path, n_centroids=8, max_iter=3)
+
+    # three artifacts: exact tier, coarse tier (both cid-partitioned),
+    # centroid table
+    assert any(p.name.startswith("cid=") for p in (tmp_path / "civf").iterdir())
+    assert any(
+        p.name.startswith("cid=") for p in (tmp_path / "civf_coarse").iterdir()
+    )
+    cents = spark.read.parquet(path + "_centroids")
+    assert cents.count() <= 8 and "centroid" in cents.columns
+
+    # the coarse tier is genuinely int8
+    coarse = spark.read.parquet(path + "_coarse")
+    assert dict(coarse.dtypes)["qvec"] == "array<tinyint>"
+
+    # probe reads prune on BOTH levels: cid in PartitionFilters
+    # (directory pruning) and vec_id in PushedFilters (row groups — the
+    # exact tier is id-sorted within partitions for exactly this)
+    probed = spark.read.parquet(path).filter(
+        F.col("cid").isin([1, 2]) & F.col("vec_id").isin([1, 2, 3])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan.split("PartitionFilters:")[1][:120]
+    assert "vec_id" in plan.split("PushedFilters:")[1][:120]
+
+
+def test_centroid_ivf_rerank_recall_beats_budget(spark, tmp_path):
+    """The two-tier operating point (nprobe 12/16, rerank 30): recall
+    >= 0.9 against brute force while touching ~11 % of index bytes —
+    the round-10 recall/read receipt (full numbers in SCALING.md via
+    tools/ann_probe.py). Pinned at sf0.01 (500 vectors, the oracle-gate
+    scale): the 50-vector sf0.001 corpus is below the regime where 16
+    centroids are meaningful (~3 members each) and reads 0.88."""
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    path = str(tmp_path / "civf_rr")
+    build_ivf_centroid_index(e, path, n_centroids=16, max_iter=5)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_centroid_topk(
+        spark, path, queries, k=10, nprobe=12, rerank=30
+    )
+    exact = brute_force_topk(e, queries, k=10)
+    a_sets, e_sets = {}, {}
+    for r in approx.collect():
+        a_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact.collect():
+        e_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(e_sets[q] & a_sets.get(q, set())) / len(e_sets[q]) for q in e_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert all(len(s) == 10 for s in a_sets.values())
+
+
+def test_centroid_ivf_day_zero_and_allnull(spark, tmp_path):
+    """k-means IVF must survive the two corpus failure modes: an EMPTY
+    corpus (no centroids trained, partitionBy writes nothing) and an
+    all-NULL-embedding corpus (zero trainable vectors — the round-10
+    all-NULL sweep's kmeans_fit NULL-init crash)."""
+    from pyspark.sql import types as T
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_topk,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    # all-NULL corpus: builds an index with an empty centroid table
+    nulls = spark.createDataFrame([(1, None), (2, None)], schema)
+    path = str(tmp_path / "civf_nulls")
+    build_ivf_centroid_index(nulls, path, n_centroids=4, max_iter=2)
+    queries = nulls.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_centroid_topk(spark, path, queries, k=3, nprobe=2, rerank=5)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+    # day-zero corpus
+    empty = spark.createDataFrame([], schema)
+    path2 = str(tmp_path / "civf_empty")
+    build_ivf_centroid_index(empty, path2, n_centroids=4, max_iter=2)
+    out2 = ivf_centroid_topk(
+        spark, path2, empty.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=3, nprobe=2,
+    )
+    assert out2.count() == 0

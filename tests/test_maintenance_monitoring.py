@@ -92,10 +92,23 @@ def test_compaction_accepts_single_slash_file_uri(spark, sf_dir, tmp_path):
     assert stats["files_after"] < stats["files_before"]
 
 
-def test_compaction_rejects_remote_schemes(spark):
+def test_compaction_missing_path_is_noop(spark, tmp_path):
+    # a sink that has not produced its first batch: the Hadoop-FS
+    # existence gate answers before any load/listing is attempted
+    stats = compact_partitioned_table(
+        spark, str(tmp_path / "never_written"), ["p"]
+    )
+    assert stats == {"files_before": 0, "files_after": 0}
+
+
+def test_compaction_stale_backup_raises(spark, sf_dir, tmp_path):
+    # an interrupted prior compaction leaves .pre_compact; compacting
+    # again must refuse loudly instead of deleting the only good copy
+    ev = load_table(spark, "events", sf_dir).limit(50)
+    path = str(tmp_path / "tbl")
+    ev.write.partitionBy("event_type").parquet(path)
+    (tmp_path / "tbl.pre_compact").mkdir()
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        compact_partitioned_table(spark, "s3a://bucket/table", ["p"])
-    with pytest.raises(NotImplementedError):
-        compact_partitioned_table(spark, "hdfs://nn/table", ["p"])
+    with pytest.raises(RuntimeError, match="stale backup"):
+        compact_partitioned_table(spark, path, ["event_type"])

@@ -35,8 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hive_export_spark.operators.ivf import (  # noqa: E402
+    build_ivf_centroid_index,
     build_ivf_index,
     hamming_ball,
+    ivf_centroid_topk,
     ivf_topk,
 )
 from hive_export_spark.operators.similarity import (  # noqa: E402
@@ -182,6 +184,112 @@ def main() -> None:
                         sum(per_query_fracs) / len(per_query_fracs), 3
                     ),
                     "rows_read_frac_batch_union": round(n_read / n_vecs, 3),
+                }
+            ),
+            flush=True,
+        )
+
+    # --- two-tier centroid (k-means) IVF, round 10: the recall/read
+    # trade the hyperplane probe cannot reach on near-uniform data.
+    # Bytes accounting: the flat baseline reads n x dim x 8 B; the
+    # two-tier probe reads (coarse rows in probed partitions) x dim x
+    # 1 B (int8) + (shortlist rows) x dim x 8 B — the exact tier is
+    # id-sorted within cid partitions so the vec_id IN (...) pushdown
+    # prunes row groups below the partition level.
+    N_CENT, NPROBE, RERANK = 16, 12, 30
+    for k in ks:
+        path = replicated_vectors(spark, sf_dir, k, out_root)
+        corpus = spark.read.parquet(path)
+        n_vecs = corpus.count()
+        dim = len(corpus.select("embedding").first()[0])
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(corpus, queries, k=K_NN).collect()
+        }
+        idx_path = os.path.join(out_root, f"civf_x{k}_c{N_CENT}")
+        t0 = time.perf_counter()
+        build_ivf_centroid_index(corpus, idx_path, n_centroids=N_CENT)
+        wall_build = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_centroid_topk(
+                spark, idx_path, queries, k=K_NN, nprobe=NPROBE,
+                rerank=RERANK,
+            ).collect()
+        }
+        wall_probe = round(time.perf_counter() - t0, 2)
+        recall = round(len(exact & got) / len(exact), 3)
+
+        # read accounting mirrors the probe's own pruning: per query,
+        # rows in its nprobe nearest centroids' partitions (coarse tier)
+        # plus its <= RERANK shortlist rows (exact tier)
+        from hive_export_spark.operators.kmeans import _sq_l2
+
+        cents = spark.read.parquet(idx_path + "_centroids")
+        by_cid = {
+            r["cid"]: r["cnt"]
+            for r in spark.read.parquet(idx_path)
+            .groupBy("cid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # recompute the full nprobe set exactly as the probe does
+        from pyspark.sql import Window as W
+
+        qv = queries.select(
+            "query_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("__qv"),
+        )
+        # bounded: cents is the n_centroids x dim trained centroid table
+        ranked = (
+            qv.crossJoin(F.broadcast(cents))
+            .select(
+                "query_id",
+                "cluster_id",
+                _sq_l2(
+                    F.col("__qv"),
+                    F.transform("centroid", lambda x: x.cast("double")),
+                ).alias("d2"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy("d2", "cluster_id")
+                ),
+            )
+            .filter(F.col("rk") <= NPROBE)
+            .collect()
+        )
+        per_q_coarse = {}
+        for r in ranked:
+            per_q_coarse.setdefault(r["query_id"], 0)
+            per_q_coarse[r["query_id"]] += by_cid.get(r["cluster_id"], 0)
+        coarse_rows = sum(per_q_coarse.values()) / len(per_q_coarse)
+        exact_rows = min(RERANK, n_vecs)
+        bytes_flat = n_vecs * dim * 8
+        bytes_read = coarse_rows * dim * 1 + exact_rows * dim * 8
+        print(
+            json.dumps(
+                {
+                    "probe": "ann_centroid",
+                    "replication": k,
+                    "n_centroids": N_CENT,
+                    "nprobe": NPROBE,
+                    "rerank": RERANK,
+                    "vectors": n_vecs,
+                    "wall_civf_build_sec": wall_build,
+                    "wall_civf_probe_sec": wall_probe,
+                    "recall_at_10": recall,
+                    "coarse_rows_read_frac_per_query": round(
+                        coarse_rows / n_vecs, 3
+                    ),
+                    "exact_rows_read_per_query": exact_rows,
+                    "bytes_read_frac_per_query": round(
+                        bytes_read / bytes_flat, 3
+                    ),
                 }
             ),
             flush=True,

@@ -72,6 +72,25 @@ documents_duplicate_pk fires on THIS fixture's laced pair with
 matching counts), and corpora failing them are rejected with
 provenance before dedup runs.
 
+Fifth documented boundary (probed round 9, adjudicated round 10):
+integer bucketing past 2^53. floor(k / width) * width computes through
+DOUBLE division on both engines and their roundings DIVERGE for
+k ~ 2^62 (probed: Spark ...99600 vs DuckDB ...99168 for
+k = 2^62 + 12345, width 3600), while integer `div` / `%` / pmod stay
+exact and identical at every magnitude. NOT laced, for the same reason
+as the decimal-overflow class: every fixture key/value domain that
+reaches a bucketing expression is <= ~1e12 (cents, epoch-SECONDS, token
+counts — all inside the 2^53-exact window; epoch-ns converts via
+integer `div 1000` at the loader and is never float-divided), so a
+2^62-scale laced key would first hit the a*SCALE+b composite-key
+packing sites, which OVERFLOW identically on both engines (ANSI long vs
+DuckDB INT64 — a shared crash, quarantine class, not a divergence).
+The convention for new code is a RULE, not a fixture row: bucket
+integers with div/pmod, never floor(x/y), whenever the domain can
+exceed 2^53. The standing static sweep is the enforcement point: every
+current bucketing site was audited safe by value domain (receipts in
+.claude/skills/verify/SKILL.md, commit 51bfc67).
+
 Usage:
     python tools/make_hostile_fixture.py [src_sf_dir] [out_dir]
     python tools/check_oracle.py <out_dir> --hostile        # then sweep
