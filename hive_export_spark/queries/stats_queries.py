@@ -31,11 +31,20 @@ WITH sums AS (
          SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS sxx
   FROM customer GROUP BY c_mktsegment
 )
-SELECT c_mktsegment, n,
-       CAST(sx AS DOUBLE) / n AS mean_bal,
-       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_bal,
-       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_bal
-FROM sums
+SELECT c_mktsegment, n, mean_bal, var_bal,
+       -- NULL-preserving zero clamp: a constant segment's variance can
+       -- float-cancel to a TINY NEGATIVE (sxx and sx^2/n round apart in
+       -- double) — DuckDB sqrt raises where Spark yields NaN (round-10
+       -- constant sweep, fresh driver fixture). CASE, not greatest():
+       -- greatest(NULL, 0) is 0 on Spark but NULL here.
+       sqrt(CASE WHEN var_bal < 0 THEN 0 ELSE var_bal END) AS stddev_bal
+FROM (
+  SELECT c_mktsegment, n,
+         CAST(sx AS DOUBLE) / n AS mean_bal,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var_bal
+  FROM sums
+)
 """,
     doc="mean/variance/stddev from decimal power sums — exact partial "
     "aggregation, deterministic across reduction orders (built-in double "
@@ -55,12 +64,18 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide: a single-customer segment has n-1 = 0; ANSI Spark
     # raises where DuckDB yields NULL (round-6 hostile sweep)
     var = F.try_divide(sxx - sx * sx / n, (n - 1).cast("double"))
+    # NULL-preserving zero clamp under the sqrt: a constant segment's
+    # variance can float-cancel to a tiny negative (round-10 constant
+    # sweep) — sqrt(negative) is a DuckDB crash and a Spark NaN. CASE,
+    # not F.greatest (greatest ignores NULLs: the n=1 NULL variance
+    # would clamp to 0 instead of staying NULL).
+    var0 = F.when(var < 0, F.lit(0.0)).otherwise(var)
     return sums.select(
         "c_mktsegment",
         "n",
         (sx / n).alias("mean_bal"),
         var.alias("var_bal"),
-        F.sqrt(var).alias("stddev_bal"),
+        F.sqrt(var0).alias("stddev_bal"),
     )
 
 
@@ -806,10 +821,18 @@ WITH sums AS (
          SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx
   FROM events GROUP BY event_type
 ), stats AS (
-  SELECT event_type,
-         CAST(sx AS DOUBLE) / n AS mean_v,
-         sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) AS sd_v
-  FROM sums
+  -- zero clamp under sqrt: constant series float-cancel to tiny
+  -- negative population variance (DuckDB sqrt raises, Spark NaN —
+  -- round-10 constant sweep); sd 0 then NULLs every z via /0
+  SELECT event_type, mean_v,
+         sqrt(CASE WHEN pvar < 0 THEN 0 ELSE pvar END) AS sd_v
+  FROM (
+    SELECT event_type,
+           CAST(sx AS DOUBLE) / n AS mean_v,
+           (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n AS pvar
+    FROM sums
+  )
 )
 SELECT e.event_id, e.event_type, e.value,
        CAST(round((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - s.mean_v) / s.sd_v, 6)
@@ -839,10 +862,13 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
     n = F.col("n")
+    # zero clamp under sqrt (round-10 constant sweep — see the oracle's
+    # twin comment); CASE keeps an all-NULL group's NULL variance NULL
+    pvar = (sxx - sx * sx / n) / n
     stats = sums.select(
         "event_type",
         (sx / n).alias("mean_v"),
-        F.sqrt((sxx - sx * sx / n) / n).alias("sd_v"),
+        F.sqrt(F.when(pvar < 0, F.lit(0.0)).otherwise(pvar)).alias("sd_v"),
     )
     # try_divide: a singleton series has sd 0; DuckDB yields NULL and the
     # |z| predicate drops the row — ANSI Spark must not crash instead
@@ -1420,7 +1446,12 @@ WITH g AS (
     (SELECT var_v FROM m WHERE event_type = 'error') AS vb
 )
 SELECT n_a, n_b,
-       CAST(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) + 0 AS DOUBLE) AS t_r,
+       -- zero clamp under sqrt: constant arms float-cancel to tiny
+       -- negative variances (round-10 constant sweep); the clamped 0
+       -- then NULLs t via /0 on both engines
+       CAST(round((ma - mb)
+         / sqrt(CASE WHEN va / n_a + vb / n_b < 0 THEN 0
+                     ELSE va / n_a + vb / n_b END), 6) + 0 AS DOUBLE) AS t_r,
        CAST(round(
          (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
            / ((va / n_a) * (va / n_a) / (n_a - 1)
@@ -1472,8 +1503,12 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide on t and df: two constant series make se2 = 0 (and the
     # Welch-Satterthwaite denominator 0) with non-NULL numerators —
     # DuckDB / yields NULL, ANSI Spark crashes. The inner /(n-1) terms
-    # stay plain: a non-NULL variance implies n >= 2.
-    t = F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(se2))
+    # stay plain: a non-NULL variance implies n >= 2. The zero clamp
+    # under the sqrt guards the float-cancelled tiny-NEGATIVE se2
+    # (round-10 constant sweep: DuckDB sqrt raises, Spark NaN); CASE
+    # keeps a missing arm's NULL se2 NULL.
+    se2_0 = F.when(se2 < 0, F.lit(0.0)).otherwise(se2)
+    t = F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(se2_0))
     df = F.try_divide(
         se2 * se2,
         (F.col("va") / F.col("n_a")) * (F.col("va") / F.col("n_a"))
@@ -1513,15 +1548,25 @@ WITH s AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       -- zero clamp under sqrt: an ALL-TIED corpus (constant series on
+       -- both arms) drives the tie-corrected variance to exactly 0 (or
+       -- float-cancels it tiny-negative) — sqrt must not raise, and the
+       -- /0 then NULLs z on both engines (round-10 constant sweep). The
+       -- tie ratio's own /0 (n_a + n_b = 1) NULL-propagates here and
+       -- ANSI-guards on the Spark side.
        CAST(round(
          (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
             - CAST(n_a AS DOUBLE) * n_b / 2)
-           / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
-                  * ((n_a + n_b + 1)
-                     - CAST(tie_term AS DOUBLE)
-                       / ((n_a + n_b) * (n_a + n_b - 1)))), 6) + 0
+           / sqrt(CASE WHEN mw_var < 0 THEN 0 ELSE mw_var END), 6) + 0
          AS DOUBLE) AS z_r
-FROM agg, ties
+FROM (
+  SELECT n_a, n_b, r2_a,
+         CAST(n_a AS DOUBLE) * n_b / 12
+           * ((n_a + n_b + 1)
+              - CAST(tie_term AS DOUBLE)
+                / ((n_a + n_b) * (n_a + n_b - 1))) AS mw_var
+  FROM agg, ties
+)
 """,
     doc="Mann-Whitney U rank-sum test between two event series with the "
     "EXACT tie correction: average ranks come from min-rank + tie-count "
@@ -1571,13 +1616,24 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a, n_b = F.col("n_a"), F.col("n_b")
     u2_a = F.col("r2_a") - n_a * (n_a + 1)
     n = n_a + n_b
-    z = (
-        u2_a.cast("double") / 2 - n_a.cast("double") * n_b / 2
-    ) / F.sqrt(
+    # try_divide on the tie ratio (a 1-row corpus has n(n-1) = 0) and on
+    # z itself (an ALL-TIED corpus has exactly-zero variance); the CASE
+    # clamp under the sqrt guards the float-cancelled tiny-negative
+    # (round-10 constant sweep; DuckDB mirrors via /0-NULL + CASE)
+    mw_var = (
         n_a.cast("double")
         * n_b
         / 12
-        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+        * (
+            (n + 1)
+            - F.try_divide(
+                F.col("tie_term").cast("double"), (n * (n - 1)).cast("double")
+            )
+        )
+    )
+    z = F.try_divide(
+        u2_a.cast("double") / 2 - n_a.cast("double") * n_b / 2,
+        F.sqrt(F.when(mw_var < 0, F.lit(0.0)).otherwise(mw_var)),
     )
     return j.select(
         "n_a",

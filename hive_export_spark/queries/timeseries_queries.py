@@ -1023,12 +1023,22 @@ WITH buckets AS (
   GROUP BY event_type, k
 )
 SELECT event_type, CAST(k AS INTEGER) AS lag_k, CAST(n AS BIGINT) AS n,
+       -- per-factor zero clamp: a FLATLINE series (constant value over
+       -- real time) has exactly-zero — or float-cancelled tiny-negative
+       -- — variance factors; sqrt must not raise (DuckDB) or NaN
+       -- (Spark), and the /0 then NULLs the undefined acf on both
+       -- engines (round-10 constant-fixture flatline extension)
        CAST(round(
          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         / sqrt(CASE WHEN fx < 0 THEN 0 ELSE fx END
+                * CASE WHEN fy < 0 THEN 0 ELSE fy END),
          6) + 0 AS DOUBLE) AS acf
-FROM sums
+FROM (
+  SELECT *,
+         n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS fx,
+         n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS fy
+  FROM sums
+)
 """,
     doc="autocorrelation function (lags 1-3) per series over 15-minute "
     "buckets: the seasonality/persistence fingerprint forecasting "
@@ -1082,8 +1092,17 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    acf = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # per-factor zero clamp + try_divide: flatline series have zero (or
+    # float-cancelled tiny-negative) variance factors — the acf is
+    # undefined there, NULL on both engines (round-10 constant sweep)
+    fx = n * sxx - sx * sx
+    fy = n * syy - sy * sy
+    acf = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(
+            F.when(fx < 0, F.lit(0.0)).otherwise(fx)
+            * F.when(fy < 0, F.lit(0.0)).otherwise(fy)
+        ),
     )
     return sums.select(
         "event_type",
@@ -1385,12 +1404,21 @@ WITH b AS (
   WINDOW win AS (ORDER BY bucket_epoch ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT bucket_epoch,
+       -- per-factor zero clamp: a flatline frame's variance factor is
+       -- exactly 0 (or float-cancels tiny-negative); sqrt must not
+       -- raise, the /0 NULLs the undefined correlation on both engines
+       -- (round-10 constant-fixture flatline extension)
        CAST(round(
          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+           / sqrt(CASE WHEN fx < 0 THEN 0 ELSE fx END
+                  * CASE WHEN fy < 0 THEN 0 ELSE fy END), 6) + 0
          AS DOUBLE) AS corr_r
-FROM w WHERE n = 24
+FROM (
+  SELECT *,
+         n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS fx,
+         n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS fy
+  FROM w
+) WHERE n = 24
 """,
     doc="rolling 24-bucket (6-hour) Pearson correlation between the "
     "click and purchase per-bucket volume series — the co-movement "
@@ -1441,8 +1469,17 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    corr = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # per-factor zero clamp + try_divide: flatline frames have zero (or
+    # float-cancelled tiny-negative) variance — correlation undefined,
+    # NULL on both engines (round-10 constant sweep)
+    fx = n * sxx - sx * sx
+    fy = n * syy - sy * sy
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(
+            F.when(fx < 0, F.lit(0.0)).otherwise(fx)
+            * F.when(fy < 0, F.lit(0.0)).otherwise(fy)
+        ),
     )
     return w.where(n == 24).select(
         "bucket_epoch",

@@ -125,9 +125,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # R12 POOL PRIORITY (head full; enumerate now so r12's rotation is
 # mechanical): the remaining round-10 changed-code rows —
 # llm_embedding_label_drift (combined-adversity try_divide fix, r6
-# evidence), scale_compaction (compaction rewritten FS-agnostic, r8),
-# llm_dedup_incremental_banded (type-aware drift guard, r9) — then the
-# r6-era generation in registry order (fmt_compression_codecs,
+# evidence), the six variance-cancellation-class queries hardened
+# after the regenerated driver fixture crashed agg_stats_moments'
+# oracle (sqrt of a float-cancelled tiny-negative variance; all six
+# now zero-clamp under sqrt with NULL-preserving CASE on both
+# engines): agg_stats_moments (r7), stats_zscore_outliers (r7),
+# stats_welch_ttest (r8), stats_mann_whitney_u (r8),
+# ts_autocorrelation (r8), ts_rolling_corr (r8) — plus
+# scale_compaction (compaction rewritten FS-agnostic, r8) and
+# llm_dedup_incremental_banded (type-aware drift guard, r9) — then
+# the r6-era generation in registry order (fmt_compression_codecs,
 # agg_argmax_family first, displaced from this head's fills).
 #
 # Machine-checked by tests/test_registry_smoke.py (length 50, all

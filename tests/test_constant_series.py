@@ -68,7 +68,27 @@ def test_fixture_shape(constant_dir, spark):
         li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count() == 0
     )
     ev = spark.read.parquet(f"{constant_dir}/events.parquet")
-    assert ev.select("ts").distinct().count() == 1  # zero time span
+    # values stay constant everywhere; the BASE series keeps the zero
+    # time span while the round-10 flatline extension adds bucket-spaced
+    # constant series for each filtered event_type (see generator)
+    assert ev.select("value").distinct().count() == 1
+    base_type = ev.orderBy("event_id").first()["event_type"]
+    base = ev.filter(
+        (F.col("event_type") == base_type)
+        & (F.col("event_id") < 1_000_003 * 6)
+    )
+    assert base.select("ts").distinct().count() == 1  # zero time span
+    # every filtered type has both the burst (>= 6 rows at one ts) and
+    # the 30-step flatline inside the timeseries spine window
+    for typ in ("view", "purchase", "click", "error"):
+        sub = ev.filter(F.col("event_type") == typ)
+        assert sub.count() >= 36, typ
+        assert (
+            sub.filter(
+                (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-11")
+            ).count()
+            == 30
+        ), typ
 
 
 def test_corr_family_nulls_match_oracle(constant_dir, spark):
@@ -135,6 +155,56 @@ def test_dedup_all_identical_docs(constant_dir, spark):
     pairs = jac.fn(spark, constant_dir).collect()
     assert len(pairs) == 15  # C(6,2): every pair is an exact near-dup
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the round-10 variance-cancellation class: exact decimal power
+        # sums cast to DOUBLE can float-cancel a true-zero variance to a
+        # TINY NEGATIVE under sqrt — DuckDB sqrt raises where Spark
+        # yields NaN (caught live when the regenerated driver fixture
+        # crashed agg_stats_moments' oracle). Every sqrt-over-variance
+        # site now zero-clamps with a NULL-preserving CASE on both
+        # engines, and exact-zero denominators NULL via try_divide / the
+        # DuckDB /0 convention. The burst + flatline constant series the
+        # round-10 generator extension adds reach each of these through
+        # their event_type filters.
+        "agg_stats_moments",
+        "stats_zscore_outliers",
+        "stats_welch_ttest",
+        "stats_mann_whitney_u",
+        "ts_autocorrelation",
+        "ts_rolling_corr",
+        "stats_gini_concentration",
+    ],
+)
+def test_variance_cancellation_class_matches_oracle(
+    constant_dir, spark, name
+):
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from check_oracle import frame_fingerprint
+
+    rq = get(name)
+    sdf = rq.fn(spark, constant_dir)
+    s = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{constant_dir}/{t}.parquet'"
+        )
+    rel = con.sql(rq.oracle)
+    d = frame_fingerprint(rel.columns, rel.fetchall())
+    con.close()
+    assert s == d
 
 
 def test_generator_rejects_nothing_it_shouldnt(constant_dir):

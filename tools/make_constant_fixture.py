@@ -81,7 +81,53 @@ def build(src_dir: str, out: str, k: int = 6) -> None:
     for t, q, keys in picks:
         tab = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
         con.register("src", tab)
-        if keys:
+        if t == "events":
+            # Round-10 extension: the single replicated base row only ever
+            # carries ONE event_type, so every estimator behind an
+            # event_type filter (welch click/error, mann-whitney
+            # view/purchase, rolling corr click+purchase) never saw a
+            # constant series — the round-10 driver-fixture regen proved
+            # the class real when agg_stats_moments' oracle crashed on a
+            # sqrt of a float-cancelled negative variance. Two shapes per
+            # registered filter type:
+            #   - a constant BURST (k rows, one shared ts): zero variance,
+            #     all-tied ranks, zero timespan, n > 1;
+            #   - a FLATLINE (30 bucket-spaced ts steps inside the
+            #     timeseries spine window): constant value over real time,
+            #     reaching the bucketed rolling/lagged moments (ACF,
+            #     rolling corr at its n=24 frame, bollinger) with exact
+            #     zero-variance frames.
+            base = f"({q}) one"
+            legs = [
+                f"SELECT * EXCLUDE (i) REPLACE "
+                f"(event_id + i * {_OFF} AS event_id) "
+                f"FROM {base}, range({k}) t(i)"
+            ]
+            block = k
+            for typ in ("view", "purchase", "click", "error"):
+                legs.append(
+                    f"SELECT * EXCLUDE (i) REPLACE "
+                    f"(event_id + ({block} + i) * {_OFF} AS event_id, "
+                    f"'{typ}' AS event_type) "
+                    f"FROM {base}, range({k}) t(i)"
+                )
+                block += k
+            for typ in ("view", "purchase", "click", "error"):
+                legs.append(
+                    f"SELECT * EXCLUDE (i) REPLACE "
+                    f"(event_id + ({block} + i) * {_OFF} AS event_id, "
+                    f"'{typ}' AS event_type, "
+                    f"TIMESTAMP '2024-01-10 00:00:00' "
+                    f"+ i * INTERVAL '900 seconds' AS ts) "
+                    f"FROM {base}, range(30) t(i)"
+                )
+                block += 30
+            rq = (
+                "SELECT * FROM ("
+                + " UNION ALL ".join(legs)
+                + ") ORDER BY event_id"
+            )
+        elif keys:
             repl = ", ".join(f"{c} + i * {_OFF} AS {c}" for c in keys)
             rq = (
                 f"SELECT * EXCLUDE (i) REPLACE ({repl}) FROM ({q}) one, "
