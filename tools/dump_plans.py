@@ -28,6 +28,7 @@ PICKS = [
     ("stats_zscore_outliers", "decimal power-sum agg + BroadcastHashJoin scoring, fact side never shuffles"),
     ("llm_embed_quantize", "array lambdas fully inside codegen: zero Exchange"),
     ("join_nearest_value", "grid-anchor 1-NN: bucket agg + broadcast anchors + per-probe min"),
+    ("llm_sim_ivf_kmeans", "two-tier centroid IVF probe: cid PartitionFilters on the int8 coarse scan, vec_id IN PushedFilters on the exact rerank, broadcast probe maps"),
 ]
 
 
