@@ -129,3 +129,52 @@ def test_combined_query_matches_oracle(spark, combined_dir, duck, name):
     rel = duck.sql(all_oracles()[name])
     d_n, d_cols, d_hash = frame_fingerprint(rel.columns, rel.fetchall())
     assert (s_n, s_cols, s_hash) == (d_n, d_cols, d_hash)
+
+
+@pytest.fixture(scope="module")
+def union_dir(tmp_path_factory) -> str:
+    """Hostile ∪ combined: BOTH lacing generations in one table set —
+    their key ranges are disjoint by design (900001+/3.0e9 vs
+    910001+/3.1e9), so the generators compose by chaining. The full
+    registry swept 263/263 green on this union (round 10); this gate
+    keeps the composition itself from silently breaking."""
+    hostile = str(tmp_path_factory.mktemp("union_hostile"))
+    out = str(tmp_path_factory.mktemp("union"))
+    for tool, src in (
+        ("make_hostile_fixture.py", "/root/testdata/sf0.001"),
+        ("make_combined_fixture.py", hostile),
+    ):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", tool), src,
+             out if tool.startswith("make_combined") else hostile],
+            check=True,
+            capture_output=True,
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the queries where hostile rows (borderline-Jaccard pairs,
+        # laced NULLs, duplicate PKs) and combined rows (NULL-text
+        # duplicates, zero-mass series) meet in one corpus
+        "scale_dq_checks",
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_ngram_jaccard",
+        "stats_gini_concentration",
+        "llm_embedding_label_drift",
+    ],
+)
+def test_union_of_lacing_generations_matches_oracle(spark, union_dir, name):
+    sdf = all_queries()[name](spark, union_dir)
+    s = frame_fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{union_dir}/{t}.parquet'"
+        )
+    rel = con.sql(all_oracles()[name])
+    d = frame_fingerprint(rel.columns, rel.fetchall())
+    con.close()
+    assert s == d
