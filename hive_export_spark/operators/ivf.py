@@ -254,13 +254,17 @@ def build_ivf_centroid_index(
         vectors, cents, id_col=id_col, vec_col=vec_col
     ).select(id_col, F.col("cluster_id").alias("cid"))
     indexed = vectors.select(id_col, vec_col).join(assignment, id_col)
-    (
-        indexed.repartition("cid")
-        .sortWithinPartitions(id_col)
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(path)
-    )
+    # Write order is a CRASH-CONSISTENCY contract (r10 advisory #1): the
+    # EXACT tier at ``path`` goes LAST, because callers gate their
+    # build-once cache on ``path + '/_SUCCESS'``
+    # (queries/llm_queries.py:_ivf_centroid_index_for). With the exact
+    # tier last, that marker implies the centroid table and coarse tier
+    # already committed; a build interrupted earlier leaves no marker and
+    # the next caller rebuilds (all three writes are idempotent
+    # overwrites). Writing the exact tier first — as round 10 did —
+    # left a _SUCCESS-complete-looking index whose probes returned empty
+    # forever after a mid-build crash.
+    cents.write.mode("overwrite").parquet(_centroids_path(path))
     v = _as_double(F.col(vec_col))
     scale = F.try_divide(
         F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -277,7 +281,13 @@ def build_ivf_centroid_index(
         .partitionBy("cid")
         .parquet(_coarse_path(path))
     )
-    cents.write.mode("overwrite").parquet(_centroids_path(path))
+    (
+        indexed.repartition("cid")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
 
 
 def ivf_centroid_topk(
@@ -353,10 +363,11 @@ def ivf_centroid_topk(
     # partitionBy wrote no data files) probes nothing.
     try:
         cents = spark.read.parquet(_centroids_path(index_path))
-        has_centroids = bool(cents.take(1))
+        # bounded: the persisted centroid table is k x dim by construction
+        n_centroids = cents.count()
     except Exception:  # noqa: BLE001 — store never built / day-zero write
-        has_centroids = False
-    if not has_centroids:
+        n_centroids = 0
+    if n_centroids == 0:
         return _empty_result()
 
     w_cent = Window.partitionBy(query_id_col).orderBy(
@@ -376,13 +387,20 @@ def ivf_centroid_topk(
         .filter(F.col("__rk") <= nprobe)
         .select(query_id_col, F.col("cluster_id").alias("cid"))
     )
-    # bounded collect: <= max_query_rows x nprobe (query id, cluster id)
-    # pairs — the same driver-exchange contract as ivf_topk's signature
-    # collect; vectors themselves never leave the executors
-    pairs = probe_pairs.limit(max_query_rows * nprobe + 1).collect()
+    # bounded collect: <= max_query_rows x min(nprobe, n_centroids)
+    # (query id, cluster id) pairs — the same driver-exchange contract as
+    # ivf_topk's signature collect; vectors themselves never leave the
+    # executors. The per-query pair count is min(nprobe, n_centroids),
+    # NOT nprobe: when nprobe exceeds the index's centroid count (e.g.
+    # nprobe=12 against an 8-centroid index) each query contributes only
+    # n_centroids pairs, and a plain nprobe bound would let
+    # max_query_rows * nprobe / n_centroids queries slip past the
+    # documented query cap (r10 advisory #3).
+    eff_probe = min(nprobe, n_centroids)
+    pairs = probe_pairs.limit(max_query_rows * eff_probe + 1).collect()
     if not pairs:
         return _empty_result()
-    if len(pairs) > max_query_rows * nprobe:
+    if len(pairs) > max_query_rows * eff_probe:
         raise ValueError(
             f"ivf_centroid_topk probe set exceeds max_query_rows="
             f"{max_query_rows}; probe pairs are collected driver-side, so "
@@ -435,10 +453,23 @@ def ivf_centroid_topk(
         # bounded collect: <= max_query_rows x rerank (query id, vec id)
         # rows — the same driver-exchange contract as the probe pairs;
         # the ids become a LITERAL pushed filter on the exact tier so
-        # its id-sorted row groups prune below the partition level
-        short_rows = shortlist.collect()
+        # its id-sorted row groups prune below the partition level. The
+        # row_number filter already caps the shortlist at rerank rows per
+        # probed query, but the limit(N+1) + raise is the family-wide
+        # belt-and-braces contract (r10 verdict nit #1) — a refactor that
+        # loosened the window must fail loudly, not OOM the driver.
+        short_cap = max_query_rows * rerank
+        short_rows = shortlist.limit(short_cap + 1).collect()
         if not short_rows:
             return _empty_result()
+        if len(short_rows) > short_cap:
+            raise ValueError(
+                f"ivf_centroid_topk rerank shortlist exceeds "
+                f"max_query_rows={max_query_rows} x rerank={rerank}; "
+                "shortlist ids are collected driver-side, so batch the "
+                "queries or use the distributed lsh_topk path for "
+                "corpus-sized query sets"
+            )
         short_ids = sorted({r[id_col] for r in short_rows})
         exact_tier = spark.read.parquet(index_path).filter(
             F.col("cid").isin(probe_cids) & F.col(id_col).isin(short_ids)

@@ -114,7 +114,20 @@ def compact_partitioned_table(
     qpath = fs.makeQualified(jpath)
     if not fs.rename(qpath, backup):
         raise RuntimeError(f"could not move {path!r} aside for the swap")
-    if not fs.rename(staging, qpath):
+    # The second rename can fail BOTH ways: a False return (destination
+    # exists, generic refusal) and a thrown IOException (HDFS safemode,
+    # permissions, s3a transport errors — surfaced as Py4JJavaError).
+    # Either way the table is already moved aside to .pre_compact, so the
+    # original MUST be restored before propagating, or the table path is
+    # left empty (r10 advisory #2; the pre-Hadoop local implementation
+    # caught OSError and restored — this is the same contract through
+    # the FileSystem API).
+    try:
+        swapped = fs.rename(staging, qpath)
+    except Exception:
+        fs.rename(backup, qpath)  # restore the original table
+        raise
+    if not swapped:
         fs.rename(backup, qpath)  # restore the original table
         raise RuntimeError(
             f"could not move compacted table into place at {path!r}"

@@ -168,3 +168,64 @@ def test_centroid_ivf_day_zero_and_allnull(spark, tmp_path):
         k=3, nprobe=2,
     )
     assert out2.count() == 0
+
+
+def test_centroid_ivf_exact_tier_success_written_last(spark, tmp_path):
+    """Crash-consistency of the build-once gate (r10 advisory #1): callers
+    gate on <path>/_SUCCESS, so the exact tier must be the LAST artifact
+    written — its marker then implies the centroid table and coarse tier
+    already committed. Round 10 wrote the exact tier FIRST, so a build
+    interrupted mid-way left a complete-looking index whose probes
+    returned empty forever."""
+    import os
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    path = str(tmp_path / "order")
+    from hive_export_spark.operators.ivf import build_ivf_centroid_index
+
+    build_ivf_centroid_index(e, path, n_centroids=4, max_iter=2)
+    exact_m = os.path.getmtime(path + "/_SUCCESS")
+    coarse_m = os.path.getmtime(path + "_coarse/_SUCCESS")
+    # the centroid table write doesn't emit _SUCCESS commit markers the
+    # same way on every committer; its directory mtime bounds the write
+    cents_m = os.path.getmtime(path + "_centroids")
+    assert exact_m >= coarse_m
+    assert exact_m >= cents_m
+
+
+def test_centroid_ivf_probe_guard_uses_effective_nprobe(spark, tmp_path):
+    """nprobe larger than the index's centroid count must NOT relax the
+    max_query_rows cap (r10 advisory #3): each query contributes only
+    n_centroids probe pairs, so a plain nprobe bound would let
+    max_query_rows * nprobe / n_centroids queries slip past before the
+    guard fired."""
+    import pytest
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    path = str(tmp_path / "effprobe")
+    build_ivf_centroid_index(e, path, n_centroids=4, max_iter=2)
+    # 20 queries x <=4 centroids = <=80 pairs: under the OLD bound of
+    # max_query_rows * nprobe = 120, over the correct bound of
+    # max_query_rows * min(nprobe, n_centroids) <= 40
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        ivf_centroid_topk(
+            spark, path, queries, k=3, nprobe=12, max_query_rows=10
+        )
+    # and a within-cap batch still answers
+    ok = ivf_centroid_topk(
+        spark,
+        path,
+        queries.limit(5),
+        k=3,
+        nprobe=12,
+        max_query_rows=10,
+    )
+    assert ok.count() > 0

@@ -112,3 +112,97 @@ def test_compaction_stale_backup_raises(spark, sf_dir, tmp_path):
 
     with pytest.raises(RuntimeError, match="stale backup"):
         compact_partitioned_table(spark, path, ["event_type"])
+
+
+def test_compaction_swap_exception_restores_backup(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The second swap rename can THROW (HDFS safemode, permissions, s3a
+    transport errors via Py4J), not just return False — and at that point
+    the live table is already moved aside to .pre_compact. The exception
+    path must restore the original before propagating (r10 advisory #2);
+    round 10's code only restored on a False return."""
+    import pytest
+
+    import hive_export_spark.operators.maintenance as maint
+
+    ev = load_table(spark, "events", sf_dir).limit(50)
+    path = str(tmp_path / "swapfail")
+    ev.write.partitionBy("event_type").parquet(path)
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    real_fs_for = maint._fs_for
+
+    class ThrowOnSwapIn:
+        """Delegating FS proxy: the staging -> table rename raises, every
+        other call passes through to the real Hadoop FileSystem."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if src.toString().endswith(".compacting"):
+                raise RuntimeError("injected IOException during swap")
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, p):
+        fs, jp = real_fs_for(spark_, p)
+        return ThrowOnSwapIn(fs), jp
+
+    monkeypatch.setattr(maint, "_fs_for", patched)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_partitioned_table(spark, path, ["event_type"])
+    # the original table is back at its path, byte-for-byte readable,
+    # and the backup slot is free for the next attempt
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before_rows
+    assert not (tmp_path / "swapfail.pre_compact").exists()
+
+
+def test_compaction_partition_subtree_bounds_copy_window(spark, sf_dir, tmp_path):
+    """The documented object-store escape hatch (maintenance.py scale
+    notes): on rename-as-copy filesystems, compact ONE partition subtree
+    through the same swap machinery so the non-atomic copy window is
+    bounded to that partition, not the whole table. file:// stands in
+    for s3a — the call path (Hadoop FileSystem dispatch, staging write,
+    swap, backup delete) is scheme-agnostic (r10 verdict ask #4)."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(4))
+    )
+    path = str(tmp_path / "subtree")
+    (
+        ev.repartition(20)
+        .write.mode("overwrite")
+        .partitionBy("event_type", "bucket")
+        .parquet(path)
+    )
+    whole_before = {
+        tuple(r) for r in spark.read.parquet(path).collect()
+    }
+    # snapshot the OTHER partitions' physical files — they must not move
+    untouched = sorted(
+        str(p)
+        for p in (tmp_path / "subtree").rglob("*.parquet")
+        if "event_type=click" not in str(p)
+    )
+
+    stats = compact_partitioned_table(
+        spark, path + "/event_type=click", ["bucket"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+
+    # other partitions' files untouched: the copy window was bounded to
+    # the one subtree
+    assert (
+        sorted(
+            str(p)
+            for p in (tmp_path / "subtree").rglob("*.parquet")
+            if "event_type=click" not in str(p)
+        )
+        == untouched
+    )
+    # the WHOLE table still reads identically through partition discovery
+    whole_after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert whole_after == whole_before
