@@ -43,107 +43,19 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 10 rotation: EVIDENCE CLOSURE, part 3 of 3 (r9 verdict
-    # ask #1). This is byte-for-byte the ROUND10_HEAD the r9 rotation
-    # commit pinned and tests/test_registry_smoke.py machine-checked
-    # (length 50, all registered, disjoint from the r9 window, and a
-    # superset of the stale pool: every query whose newest green driver
-    # row was r4 or older). After this window lands green, no query's
-    # newest driver evidence predates r5. Composition, oldest first:
-    # r2-era deferrals:
-    "window_distribution",
-    "window_ntile_first_last",
-    # r3-era rows:
-    "fmt_roundtrip_orc",
-    "fmt_roundtrip_csv",
-    "fmt_roundtrip_json",
-    "source_formats_roundtrip",
-    "jdbc_roundtrip_derby",
-    "q7_volume_shipping",
-    "q15_top_supplier",
-    "fn_posexplode",
-    "fn_string_extra",
-    "agg_percentiles",
-    "agg_mode_deterministic",
-    "agg_collect_sorted",
-    "agg_approx_count_distinct",
-    "sql_frontend_q1",
-    "agg_approx_quantile_sketch",
-    "stream_sliding_window",
-    "llm_sample_stratified",
-    "cdc_upsert_current",
-    "scale_salted_agg",
-    "stream_stream_interval_join",
-    "scale_clustered_scan",
-    "llm_text_frequent_ngrams",
-    # r4-era rows:
-    "fmt_schema_evolution",
-    "subquery_correlated_exists",
-    "subquery_not_in_nulls",
-    "join_lateral_topk",
-    "window_range_frame",
-    "window_range_interval",
-    "fn_bitwise_family",
-    "agg_bitmap_distinct",
-    "agg_bool_family",
-    "stream_stream_left_outer_join",
-    "llm_dedup_minhash_oph",
-    "llm_decontaminate_ngram",
-    "llm_text_pii_redact",
-    "llm_sample_balanced",
-    "fn_url_family",
-    "cdc_scd2_history",
-    "scale_bucketed_join",
-    "scale_skew_join",
-    "cdc_asof_lookup",
-    "ts_gap_fill_locf",
-    "ts_funnel_three_stage",
-    "ts_sessionize_batch",
-    "ts_incremental_rollup",
-    # changed-code fills (round-9 documents DQ rules; round-9 day-one
-    # precision-budget fix; round-9 constant-series corr fix):
-    "scale_dq_checks",
-    "agg_skew_kurtosis",
-    "agg_corr_regression",
-)
-
-# ROUND-11 ROTATION HEAD (pinned NOW, per the standing r8 planning
-# discipline — exactly 50). After the r10 window lands, the residual
-# stale pool is exactly the 38 r5-era rows (newest driver row == r5,
-# computed from CORRECTNESS_r*.json by tools/evidence.py). Slot policy,
-# changed-code first: the round-9 ALL-NULL-PAYLOAD wave changed 16
-# queries that sat in neither the r9 window nor the r10 head (fixes
-# only differ on all-NULL input; all six fixture-generation sweeps
-# verified 262/262 at the same HEAD) — 6 of those 16 are themselves
-# r5-era rows, so the union is 48 names. The 2 fill slots go to
-# round-10 changed code: llm_sim_ivf_kmeans (NEW — the two-tier
-# centroid-IVF query, never driver-green, highest slot priority by the
-# standing invariant) and stats_gini_concentration (the combined-
-# adversity try_divide fix; r6 evidence, the oldest among this round's
-# changed rows).
-#
-# R12 POOL PRIORITY (head full; enumerate now so r12's rotation is
-# mechanical): the remaining round-10 changed-code rows —
-# llm_embedding_label_drift (combined-adversity try_divide fix, r6
-# evidence), the six variance-cancellation-class queries hardened
-# after the regenerated driver fixture crashed agg_stats_moments'
-# oracle (sqrt of a float-cancelled tiny-negative variance; all six
-# now zero-clamp under sqrt with NULL-preserving CASE on both
-# engines): agg_stats_moments (r7), stats_zscore_outliers (r7),
-# stats_welch_ttest (r8), stats_mann_whitney_u (r8),
-# ts_autocorrelation (r8), ts_rolling_corr (r8) — plus
-# scale_compaction (compaction rewritten FS-agnostic, r8) and
-# llm_dedup_incremental_banded (type-aware drift guard, r9) — then
-# the r6-era generation in registry order (fmt_compression_codecs,
-# agg_argmax_family first, displaced from this head's fills).
-#
-# Machine-checked by tests/test_registry_smoke.py (length 50, all
-# registered, disjoint from THIS round's window, superset of the
-# r5-era pool). NOT dead code: it is the r11 rotation's input,
-# consumed when DRIVER_WINDOW is rebuilt from it next round, then
-# deleted.
-ROUND11_HEAD: tuple[str, ...] = (
-    # all-NULL-payload-changed in r9 (16, incl. 6 that are also r5-era):
+    # --- round 11 rotation: byte-for-byte the ROUND11_HEAD the r10
+    # rotation commit pinned and tests/test_registry_smoke.py
+    # machine-checked (length 50, all registered, disjoint from the r10
+    # window, superset of the r5-era stale pool). Composition (slot
+    # policy, changed-code first): the 16 queries the round-9
+    # ALL-NULL-PAYLOAD wave changed that sat in neither the r9 window
+    # nor the r10 head, all 32 remaining r5-era rows, and two round-10
+    # changed-code fills — llm_sim_ivf_kmeans (the two-tier centroid-IVF
+    # query, never driver-green before this window; its probe guards
+    # also changed in r11 — advisory #3/nit #1 fixes) and
+    # stats_gini_concentration (combined-adversity try_divide fix).
+    # After this window lands green, no query's newest driver evidence
+    # predates r6.
     "llm_dedup_minhash_ml",
     "llm_dedup_components",
     "llm_dedup_keep_canonical",
@@ -160,7 +72,6 @@ ROUND11_HEAD: tuple[str, ...] = (
     "stream_stateful_totals",
     "stream_cdc_apply",
     "source_binary_files",
-    # remaining r5-era rows (32, registry order):
     "source_export_blocks",
     "fmt_roundtrip_xml",
     "parity_timestamp_format",
@@ -193,12 +104,91 @@ ROUND11_HEAD: tuple[str, ...] = (
     "graph_triangle_count",
     "graph_pagerank",
     "join_interval_overlap",
-    # round-10 changed-code fills (see slot policy above):
     "llm_sim_ivf_kmeans",
     "stats_gini_concentration",
 )
+
+# ROUND-12 ROTATION HEAD (pinned NOW, per the standing r8 planning
+# discipline — exactly 50). After the r11 window lands, the residual
+# stale pool is exactly the 25 r6-era rows (newest driver row == r6,
+# computed from CORRECTNESS_r*.json by tools/evidence.py). Slot policy,
+# changed-code first:
+# - the 9 rows whose code/oracle changed in round 10 or 11 without a
+#   fresher driver row: llm_embedding_label_drift (combined-adversity
+#   try_divide fix; also the 25th r6-era row), the six
+#   variance-cancellation sqrt-clamp queries (agg_stats_moments,
+#   stats_zscore_outliers, stats_welch_ttest, stats_mann_whitney_u,
+#   ts_autocorrelation, ts_rolling_corr), scale_compaction (FS-agnostic
+#   rewrite in r10; swap-exception restore in r11), and
+#   llm_dedup_incremental_banded (type-aware drift guard, r9);
+# - the other 24 r6-era rows, registry order (incl. the
+#   fmt_compression_codecs / agg_argmax_family pair displaced from the
+#   r11 head's fills);
+# - 17 fill slots to the OLDEST remaining evidence: r7-era rows in
+#   registry order.
+# Closure invariant after r12 lands green: nothing older than r7
+# (r10 verdict ask #2). Machine-checked by tests/test_registry_smoke.py
+# (length 50, all registered, disjoint from THIS round's window,
+# superset of the post-r11 r6-era pool). NOT dead code: it is the r12
+# rotation's input, consumed when DRIVER_WINDOW is rebuilt from it next
+# round, then deleted.
+ROUND12_HEAD: tuple[str, ...] = (
+    # round-10/11 changed-code rows (9):
+    "llm_embedding_label_drift",
+    "agg_stats_moments",
+    "stats_zscore_outliers",
+    "stats_welch_ttest",
+    "stats_mann_whitney_u",
+    "ts_autocorrelation",
+    "ts_rolling_corr",
+    "scale_compaction",
+    "llm_dedup_incremental_banded",
+    # remaining r6-era rows (24, registry order):
+    "fmt_compression_codecs",
+    "agg_argmax_family",
+    "agg_filter_clause",
+    "cdc_snapshot_diff",
+    "window_nth_value",
+    "fn_xpath_family",
+    "fn_csv_serde_family",
+    "stats_chi2_independence",
+    "stats_ks_drift",
+    "stats_benford_first_digit",
+    "stats_bootstrap_ci",
+    "stats_bootstrap_poisson",
+    "stats_qq_deciles",
+    "udf_scalar_iter_pandas",
+    "udf_window_pandas",
+    "llm_frame_sample_plan",
+    "llm_source_overlap_matrix",
+    "scale_shuffle_hash_hint",
+    "ts_flatline_runs",
+    "ts_markov_transitions",
+    "ts_rolling_median",
+    "graph_jaccard_linkpred",
+    "graph_bfs_hops",
+    "graph_kcore_peel",
+    # r7-era fills (17, registry order):
+    "fmt_roundtrip_text",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "agg_groupby",
+    "agg_rollup",
+    "sort_limit",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "join_theta_inequality",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "subquery_scalar_avg",
+    "unpivot_stack",
+    "q4_order_priority",
+)
 #
-# (Historical windows: the r5-r8 rotations and their slot-policy
+# (Historical windows: the r5-r10 rotations and their slot-policy
 # narratives live in git history and COVERAGE.md.)
 
 
