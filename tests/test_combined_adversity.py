@@ -59,6 +59,20 @@ PINNED = [
     "pareto_skyline",
     "join_nearest_value",
     "agg_corr_regression",
+    # streaming family (r10 verdict ask #5): before round 11 the
+    # watermark/session/stateful queries saw degenerate classes only in
+    # ISOLATION. The combined events table laces the interactions they
+    # are most exposed to: the constant-zero 'frozen' series CONTAINING
+    # the epoch-0/pre-epoch clock rows (watermark quarantine must drop
+    # the pre-epoch row while the zero values flow through the window
+    # sums), the all-NULL zero-timespan burst (a session/window bucket
+    # whose every measurement is NULL), and the anonymous
+    # measurement-less at-least-once duplicate (stateful totals keyed on
+    # a NULL user over a NULL value).
+    "stream_watermark_late_drop",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_dedup_keys",
 ]
 
 

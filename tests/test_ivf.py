@@ -229,3 +229,43 @@ def test_centroid_ivf_probe_guard_uses_effective_nprobe(spark, tmp_path):
         max_query_rows=10,
     )
     assert ok.count() > 0
+
+
+def test_centroid_ivf_derived_k_and_probe_frac(spark, tmp_path):
+    """Round-11 corpus-scaling rule end-to-end: n_centroids=None derives
+    k ~ sqrt(N) at build time (derive_n_centroids), and nprobe=None
+    derives ceil(probe_frac * persisted-centroid-count) at probe time —
+    the pair that keeps the read FRACTION constant as corpus and k grow
+    (receipts: tools/ann_probe.py ann_centroid_scaling leg)."""
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        derive_n_centroids,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    path = str(tmp_path / "civf_derived")
+    build_ivf_centroid_index(e, path, max_iter=5)
+    k_actual = spark.read.parquet(path + "_centroids").count()
+    # 500 vectors -> sqrt rule gives 22; Lloyd may shrink on empty
+    # clusters but the table must track the derived size, not 16
+    assert derive_n_centroids(500) == 22
+    assert 17 <= k_actual <= 22
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = brute_force_topk(e, queries, k=10)
+    a_sets, e_sets = {}, {}
+    for r in approx.collect():
+        a_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact.collect():
+        e_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(e_sets[q] & a_sets.get(q, set())) / len(e_sets[q]) for q in e_sets
+    ]
+    # derived k at the SAME probe fraction as the fixed-16 operating
+    # point: recall must hold the same floor
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert all(len(s) == 10 for s in a_sets.values())

@@ -295,6 +295,121 @@ def main() -> None:
             flush=True,
         )
 
+    # --- corpus-scaling rule receipt, round 11: with k derived as
+    # ~sqrt(N) at build time (derive_n_centroids) and nprobe a fixed
+    # FRACTION of k (probe_frac, the ivf_centroid_topk default), the
+    # probe's read fraction stays ~constant as the corpus and k grow
+    # while recall holds — the property that makes the layout transfer
+    # to 100 TB. Sweep: derived k at 1x/3x/10x, plus fixed k=16 and a
+    # 2x-derived k on the 10x corpus to isolate the k-axis.
+    import math
+
+    from hive_export_spark.operators.ivf import derive_n_centroids
+
+    PROBE_FRAC, RERANK2 = 0.75, 30
+    sweeps: list[tuple[int, int | None]] = [
+        (1, None), (3, None), (10, None), (10, 16), (10, 0),
+    ]
+    for k, n_cent in sweeps:
+        if k not in ks:
+            continue
+        path = replicated_vectors(spark, sf_dir, k, out_root)
+        corpus = spark.read.parquet(path)
+        n_vecs = corpus.count()
+        dim = len(corpus.select("embedding").first()[0])
+        if n_cent == 0:  # the 2x-derived leg
+            n_cent = 2 * derive_n_centroids(n_vecs)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(corpus, queries, k=K_NN).collect()
+        }
+        tag = "drv" if n_cent is None else str(n_cent)
+        idx_path = os.path.join(out_root, f"civf_scale_x{k}_c{tag}")
+        t0 = time.perf_counter()
+        build_ivf_centroid_index(corpus, idx_path, n_centroids=n_cent)
+        wall_build = round(time.perf_counter() - t0, 2)
+        cents = spark.read.parquet(idx_path + "_centroids")
+        k_actual = cents.count()
+        nprobe_eff = max(1, math.ceil(PROBE_FRAC * k_actual))
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_centroid_topk(
+                spark, idx_path, queries, k=K_NN,
+                probe_frac=PROBE_FRAC, rerank=RERANK2,
+            ).collect()
+        }
+        wall_probe = round(time.perf_counter() - t0, 2)
+        recall = round(len(exact & got) / len(exact), 3)
+
+        from hive_export_spark.operators.kmeans import _sq_l2
+        from pyspark.sql import Window as W
+
+        by_cid = {
+            r["cid"]: r["cnt"]
+            for r in spark.read.parquet(idx_path)
+            .groupBy("cid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        qv = queries.select(
+            "query_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "__qv"
+            ),
+        )
+        # bounded: cents is the k x dim trained centroid table
+        ranked = (
+            qv.crossJoin(F.broadcast(cents))
+            .select(
+                "query_id",
+                "cluster_id",
+                _sq_l2(
+                    F.col("__qv"),
+                    F.transform("centroid", lambda x: x.cast("double")),
+                ).alias("d2"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy("d2", "cluster_id")
+                ),
+            )
+            .filter(F.col("rk") <= nprobe_eff)
+            .collect()
+        )
+        per_q = {}
+        for r in ranked:
+            per_q.setdefault(r["query_id"], 0)
+            per_q[r["query_id"]] += by_cid.get(r["cluster_id"], 0)
+        coarse_rows = sum(per_q.values()) / len(per_q)
+        exact_rows = min(RERANK2, n_vecs)
+        bytes_read = coarse_rows * dim * 1 + exact_rows * dim * 8
+        print(
+            json.dumps(
+                {
+                    "probe": "ann_centroid_scaling",
+                    "replication": k,
+                    "n_centroids": k_actual,
+                    "derived": tag == "drv",
+                    "probe_frac": PROBE_FRAC,
+                    "nprobe_effective": nprobe_eff,
+                    "rerank": RERANK2,
+                    "vectors": n_vecs,
+                    "wall_civf_build_sec": wall_build,
+                    "wall_civf_probe_sec": wall_probe,
+                    "recall_at_10": recall,
+                    "coarse_rows_read_frac_per_query": round(
+                        coarse_rows / n_vecs, 3
+                    ),
+                    "bytes_read_frac_per_query": round(
+                        bytes_read / (n_vecs * dim * 8), 3
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
