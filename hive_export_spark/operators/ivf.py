@@ -348,6 +348,86 @@ def build_ivf_centroid_index(
     )
 
 
+def ivf_centroid_append(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into the persisted two-tier index: assign NEW
+    vectors to the EXISTING trained centroids (no retraining — the
+    production IVF pattern; FAISS `add` works the same way) and append
+    them to both tiers' cid partitions.
+
+    Cost is O(increment): one broadcast-assign pass over the new rows
+    plus two cid-routed appends — the corpus already in the index is
+    never read, let alone rewritten. The same property the banded
+    incremental-dedup store pins (operators/dedup.py): day-N ingest
+    work proportional to day-N data.
+
+    Contracts and caveats, stated honestly:
+    - the centroid table does NOT move: drift between the trained
+      centroids and an evolving distribution degrades recall gradually
+      (appended vectors still land in their nearest EXISTING partition,
+      so results stay correct — the probe just reads slightly
+      off-center partitions). The production answer is a periodic full
+      rebuild (build_ivf_centroid_index is an idempotent overwrite);
+      derive_n_centroids re-sizes k to the grown corpus at that point.
+    - appends are NOT transactional on plain parquet: a crashed append
+      can leave a partially-added increment (re-appending then
+      duplicates it). Route through a table format (Iceberg/Delta) when
+      exactly-once ingest matters — same caveat class as compaction's
+      object-store note (operators/maintenance.py).
+    - within-partition id-sort degrades for appended files (each append
+      is sorted internally, but files interleave id ranges), so the
+      rerank's vec_id IN (...) row-group pruning weakens until the next
+      compaction/rebuild. Probes stay CORRECT throughout.
+
+    Raises on a day-zero index (no trained centroids): there is nothing
+    to assign against — build first.
+    """
+    from hive_export_spark.operators.kmeans import assign_clusters
+
+    try:
+        cents = spark.read.parquet(_centroids_path(index_path))
+        has_centroids = bool(cents.take(1))
+    except Exception:  # noqa: BLE001 — store never built
+        has_centroids = False
+    if not has_centroids:
+        raise ValueError(
+            f"no trained centroid table at {_centroids_path(index_path)!r}"
+            " — build_ivf_centroid_index must run before appends"
+        )
+    assignment = assign_clusters(
+        vectors, cents, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cluster_id").alias("cid"))
+    indexed = vectors.select(id_col, vec_col).join(assignment, id_col)
+    v = _as_double(F.col(vec_col))
+    scale = F.try_divide(
+        F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
+    )
+    qvec = F.when(
+        scale.isNotNull(),
+        F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
+    )
+    (
+        indexed.select(id_col, qvec.alias("qvec"), "cid")
+        .repartition("cid")
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(_coarse_path(index_path))
+    )
+    (
+        indexed.repartition("cid")
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+
+
 def ivf_centroid_topk(
     spark: SparkSession,
     index_path: str,

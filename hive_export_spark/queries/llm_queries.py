@@ -838,6 +838,102 @@ def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_ok(ann, exact, queries, min_hits=7)
 
 
+def _ivf_centroid_incr_for(spark: SparkSession, sf_dir: str):
+    """Build-then-append centroid-IVF store: index the fixture-relative
+    bottom 80% of vec_ids (the 'historical' corpus), then
+    ivf_centroid_append the top 20% ('today's embedding job') against
+    the FROZEN trained centroids. Gated on a custom _APPEND_DONE marker
+    (fs_touch), NOT the writer's _SUCCESS: the exact tier's own marker
+    commits after the base build, so gating on it would read a
+    crashed-before-append store as complete — the same interrupted-
+    build class as r10 advisory #1, solved here with a
+    last-step-owned marker because the last step is an APPEND (no
+    fresh _SUCCESS of its own to order behind)."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_incr_v1", sf_dir), "idx"
+    )
+    marker = path + "/_APPEND_DONE"
+    if not fs_exists(spark, marker):
+        # fixture-relative split (the round-9 rule: min + ((max-min+1)*4)
+        # // 5 — a fixed constant silently inverts the workload shape on
+        # scaled fixtures); NULL vec_ids route to the BASE so the split
+        # is TOTAL (NULL >= split is NULL -> False under coalesce)
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        # appending needs trained centroids: an all-NULL or day-zero
+        # BASE trains none (empty centroid table) — skip the append and
+        # let the probe correctly find nothing, same convention as
+        # ivf_centroid_topk's day-zero path
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            ivf_centroid_append(spark, path, incr)
+        elif not has_cents and incr.take(1):
+            # day-one bootstrap: the 'historical' base is empty or
+            # untrainable (a one-row corpus puts its only vector in the
+            # increment; an all-NULL base trains nothing) — a real
+            # pipeline's first ingest BUILDS the store, it does not
+            # append to a store that does not exist. Idempotent
+            # overwrite; on an all-NULL corpus this still trains
+            # nothing and the probe correctly finds nothing.
+            build_ivf_centroid_index(e, path, max_iter=5)
+        fs_touch(spark, marker)
+    return e, path
+
+
+@register(
+    "llm_sim_ivf_incremental",
+    oracle=_RECALL_ORACLE,
+    doc="incremental ANN ingest — the operation a daily embedding "
+    "pipeline runs: the persisted centroid-IVF store indexes the "
+    "fixture-relative bottom 80% of vec_ids, then TODAY'S 20% is "
+    "appended via operators.ivf.ivf_centroid_append — one broadcast-"
+    "assign pass over the increment against the FROZEN trained "
+    "centroids plus two cid-routed appends; the historical corpus is "
+    "never re-read (O(increment) ingest, the same contract "
+    "llm_dedup_incremental_banded pins for dedup). The probe then "
+    "answers over base+increment in one partition-pruned read. "
+    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact "
+    "top-10 over the FULL corpus| >= 7 (deterministic k-means init and "
+    "assignment; appended vectors must be findable, or recall drops "
+    "against the full-corpus exact answer); the oracle lists the query "
+    "ids with literal TRUE.",
+)
+def llm_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, path = _ivf_centroid_incr_for(spark, sf_dir)
+    from hive_export_spark.operators.ivf import ivf_centroid_topk
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
 @register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",

@@ -75,3 +75,17 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file through the same Hadoop FileSystem
+    dispatch as fs_exists — for multi-step store builds whose LAST step
+    is not a Spark write (e.g. build-then-append sequences, where the
+    writer's own _SUCCESS commits after step 1 and would read as
+    'complete' to a gate even if the append never ran). An underscore-
+    prefixed marker inside a parquet directory is invisible to readers.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jpath, True).close()

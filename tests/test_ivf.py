@@ -269,3 +269,64 @@ def test_centroid_ivf_derived_k_and_probe_frac(spark, tmp_path):
     # point: recall must hold the same floor
     assert sum(recalls) / len(recalls) >= 0.9
     assert all(len(s) == 10 for s in a_sets.values())
+
+
+def test_centroid_ivf_append_incremental_ingest(spark, tmp_path):
+    """ivf_centroid_append: O(increment) ingest against FROZEN trained
+    centroids — appended vectors land in cid partitions on BOTH tiers
+    and are findable by the standard probe; a day-zero store (no
+    centroids) refuses the append loudly."""
+    import pytest
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    base = e.filter(F.col("vec_id") < 400)
+    incr = e.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    n_incr = incr.count()
+    path = str(tmp_path / "civf_app")
+    build_ivf_centroid_index(base, path, max_iter=3)
+    exact_before = spark.read.parquet(path).count()
+    coarse_before = spark.read.parquet(path + "_coarse").count()
+    cents_before = [
+        tuple(r) for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+
+    ivf_centroid_append(spark, path, incr)
+
+    assert spark.read.parquet(path).count() == exact_before + n_incr
+    assert (
+        spark.read.parquet(path + "_coarse").count()
+        == coarse_before + n_incr
+    )
+    # centroids are FROZEN by the append
+    cents_after = [
+        tuple(r) for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+    assert sorted(cents_before) == sorted(cents_after)
+    # appended rows live in cid partitions like everything else
+    assert all(
+        p.name.startswith(("cid=", "_", "."))
+        for p in (tmp_path / "civf_app").iterdir()
+    )
+    # an appended vector is findable: probing with it returns itself at
+    # rank 1, cosine ~1
+    q = incr.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qid = q.first()["query_id"]
+    top = (
+        ivf_centroid_topk(spark, path, q, k=3, rerank=10)
+        .filter(F.col("rank") == 1)
+        .first()
+    )
+    assert top["neighbor_id"] == qid
+    assert top["cosine"] > 0.999
+
+    # day-zero store: nothing trained, append must refuse
+    with pytest.raises(ValueError, match="build_ivf_centroid_index"):
+        ivf_centroid_append(spark, str(tmp_path / "never_built"), incr)
