@@ -55,6 +55,12 @@ HEADLINE = [
     # nprobe nearest centroids' partitions + exact rerank of the
     # shortlist) — the recall>=0.9-at-~11%-bytes ANN operating point
     "llm_sim_ivf_kmeans",
+    # round 11: incremental IVF ingest + probe over base+increment —
+    # the daily-embedding-job shape (warmup builds the 80% store and
+    # appends the 20% increment via the _APPEND_DONE-gated scratch;
+    # timed runs are the warm-store partition-pruned probe, same
+    # convention as llm_dedup_incremental_banded below)
+    "llm_sim_ivf_incremental",
     # round-5 structural analytics: degree-oriented triangle counting
     # (wedge-join heavy), two-phase skyline (local prune + sweep), and
     # the scatter-reduce EWMA kernel

@@ -511,13 +511,29 @@ def ivf_centroid_topk(
     # (k-means over an empty corpus persists zero centroids, and
     # partitionBy wrote no data files) probes nothing.
     try:
-        cents = spark.read.parquet(_centroids_path(index_path))
-        # bounded: the persisted centroid table is k x dim by construction
-        n_centroids = cents.count()
+        # bounded collect: the persisted centroid table is k x dim by
+        # construction (k ~ sqrt(N) even at 1e9 vectors is ~32k rows) —
+        # the module's documented driver exchange. ONE materialization
+        # serves the centroid count, the nprobe derivation, and the
+        # ranking crossJoin below (as a literal local relation — no
+        # second parquet scan, no separate count job; r11 probe-latency
+        # profile showed the eager pre-probe jobs dominating warm calls).
+        cent_rows = (
+            spark.read.parquet(_centroids_path(index_path))
+            .limit(100_001)
+            .collect()
+        )
+        n_centroids = len(cent_rows)
     except Exception:  # noqa: BLE001 — store never built / day-zero write
         n_centroids = 0
     if n_centroids == 0:
         return _empty_result()
+    if n_centroids > 100_000:
+        raise ValueError(
+            "centroid table exceeds 100k rows — not a plausible "
+            "sqrt(N)-sized index; refusing the driver-side exchange"
+        )
+    cents = spark.createDataFrame(cent_rows)
     if nprobe is None:
         import math
 

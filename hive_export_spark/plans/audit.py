@@ -100,6 +100,12 @@ def scan_scale_killers(package_root: str) -> list[str]:
     allowed: dict[tuple[str, str], str] = {
         ('operators/ivf.py', 'q_rows = q.select(query_id_col, "__qsig").limit(max_query_rows + 1).collect()'):
             "IVF query-side collect, bounded by max_query_rows+1 via limit()",
+        ('operators/ivf.py', '.collect()'):
+            "centroid-IVF: the k x dim centroid table, limit(100_001) + "
+            "over-guard raise — the module's documented bounded driver "
+            "exchange (k ~ sqrt(N) stays ~32k even at 1e9 vectors); one "
+            "materialization serves count, nprobe derivation, and the "
+            "ranking crossJoin as a literal relation",
         ('operators/ivf.py', 'pairs = probe_pairs.limit(max_query_rows * eff_probe + 1).collect()'):
             "centroid-IVF probe pairs: <= queries x min(nprobe, "
             "n_centroids) (query_id, cid) rows, bounded by the limit + "
