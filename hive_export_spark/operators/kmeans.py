@@ -56,10 +56,20 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment: (id_col, cluster_id, dist2).
 
-    Map-only at any corpus size: the centroid table is broadcast, each
-    vector scores k candidates and the argmin window partitions by the
-    vector id (k rows per partition — bounded). Ties break on the lowest
-    cluster id, making assignment deterministic.
+    Map-only at any corpus size: the centroid table is broadcast and
+    each vector scores k candidates; the argmin is a struct-MIN hash
+    aggregate over (dist2, cluster_id), so the n x k scored rows reduce
+    with MAP-SIDE PARTIALS and only n partial rows shuffle. (Round 11:
+    previously a row_number window partitioned by the vector id — that
+    shuffled AND sorted all n x k rows every assignment; at k ~ sqrt(N)
+    the window made Lloyd's per-pass cost n^1.5 log k of shuffle where
+    the aggregate pays n. Struct MIN is semantics-identical: ascending
+    struct comparison places a NULL dist2 first — exactly the window's
+    NULLS FIRST — and ties fall to the lowest cluster id via the second
+    field; probed both engines' agreement in round 11 before the swap.)
+    Ties break on the lowest cluster id, making assignment
+    deterministic; NULL-distance vectors (NULL/mismatched-dim
+    embeddings) deterministically take the first cluster.
     """
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
@@ -73,11 +83,16 @@ def assign_clusters(
         centroid_id_col,
         _sq_l2(F.col("__v"), F.col("__c")).alias("dist2"),
     )
-    w = Window.partitionBy(id_col).orderBy("dist2", centroid_id_col)
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+        scored.groupBy(id_col)
+        .agg(
+            F.min(F.struct("dist2", centroid_id_col)).alias("__m")
+        )
+        .select(
+            id_col,
+            F.col(f"__m.{centroid_id_col}").alias(centroid_id_col),
+            F.col("__m.dist2").alias("dist2"),
+        )
     )
 
 
