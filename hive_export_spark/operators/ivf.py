@@ -331,17 +331,24 @@ def build_ivf_centroid_index(
         scale.isNotNull(),
         F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
     )
+    # sort leads with cid ON PURPOSE: FileFormatWriter requires its
+    # input ordered by the partition columns and INSERTS ITS OWN (non-
+    # stable) sort when the incoming ordering does not lead with them —
+    # which would break the id-sort the rerank's row-group pruning
+    # depends on. (cid, id) satisfies the writer's required prefix, so
+    # no extra sort is added and files come out id-clustered by
+    # construction, not by sort-stability luck (probed round 11).
     (
         indexed.select(id_col, qvec.alias("qvec"), "cid")
         .repartition("cid")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions("cid", id_col)
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(_coarse_path(path))
     )
     (
         indexed.repartition("cid")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions("cid", id_col)
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
@@ -411,21 +418,67 @@ def ivf_centroid_append(
         scale.isNotNull(),
         F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
     )
+    # (cid, id) sort: satisfies the writer's required partition-column
+    # prefix so it adds no non-stable sort of its own — see the build's
+    # ordering note
     (
         indexed.select(id_col, qvec.alias("qvec"), "cid")
         .repartition("cid")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions("cid", id_col)
         .write.mode("append")
         .partitionBy("cid")
         .parquet(_coarse_path(index_path))
     )
     (
         indexed.repartition("cid")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions("cid", id_col)
         .write.mode("append")
         .partitionBy("cid")
         .parquet(index_path)
     )
+
+
+def compact_ivf_centroid_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict[str, int]]:
+    """Heal the documented append degradations in place: compact BOTH
+    tiers' cid partitions into size-targeted files, restoring the
+    within-partition id-sort that the rerank's ``vec_id IN (...)``
+    row-group pruning relies on (ivf_centroid_append interleaves id
+    ranges across appended files; probes stay correct but prune less).
+
+    Runs through the same swap machinery as any table compaction
+    (operators.maintenance.compact_partitioned_table — staging write,
+    backup rename, FS-agnostic), with ``sort_within=[id_col]`` so each
+    rewritten partition comes out id-clustered again. The centroid
+    table is a k x dim single write and never needs compaction.
+
+    Returns {'exact': {files_before, files_after},
+             'coarse': {files_before, files_after}}.
+    """
+    from hive_export_spark.operators.maintenance import (
+        compact_partitioned_table,
+    )
+
+    return {
+        "exact": compact_partitioned_table(
+            spark,
+            index_path,
+            ["cid"],
+            target_file_bytes=target_file_bytes,
+            sort_within=[id_col],
+        ),
+        "coarse": compact_partitioned_table(
+            spark,
+            _coarse_path(index_path),
+            ["cid"],
+            target_file_bytes=target_file_bytes,
+            sort_within=[id_col],
+        ),
+    }
 
 
 def ivf_centroid_topk(

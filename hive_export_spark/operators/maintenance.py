@@ -47,6 +47,7 @@ def compact_partitioned_table(
     partition_cols: list[str],
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    sort_within: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite a partitioned table with size-targeted files per partition.
 
@@ -100,8 +101,21 @@ def compact_partitioned_table(
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)
 
     staging_str = path.rstrip("/") + ".compacting"
+    routed = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_within:
+        # restore a within-partition clustering the table's readers rely
+        # on (e.g. the IVF exact tier's id-sort, which appends interleave
+        # across files until row-group pruning degrades): sorting inside
+        # the already-routed partitions costs no extra shuffle. The sort
+        # MUST lead with the partition columns: FileFormatWriter requires
+        # input ordered by them and inserts its own NON-STABLE sort when
+        # the incoming ordering does not lead with them — which would
+        # silently destroy sort_within (probed round 11).
+        routed = routed.sortWithinPartitions(
+            *[F.col(c) for c in (*partition_cols, *sort_within)]
+        )
     (
-        df.repartition(*[F.col(c) for c in partition_cols])
+        routed
         .write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_file)
         .partitionBy(*partition_cols)

@@ -330,3 +330,56 @@ def test_centroid_ivf_append_incremental_ingest(spark, tmp_path):
     # day-zero store: nothing trained, append must refuse
     with pytest.raises(ValueError, match="build_ivf_centroid_index"):
         ivf_centroid_append(spark, str(tmp_path / "never_built"), incr)
+
+
+def test_centroid_ivf_compaction_restores_sort_and_pruning(spark, tmp_path):
+    """After appends interleave the exact tier's id-sort across files,
+    compact_ivf_centroid_index rewrites both tiers through the standard
+    swap machinery with sort_within=[vec_id] — file counts drop, data
+    is byte-identical, probes still answer, and each rewritten file is
+    id-sorted again (row-group pruning's precondition)."""
+    import pyarrow.parquet as pq
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        compact_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    path = str(tmp_path / "civf_cmp")
+    build_ivf_centroid_index(
+        e.filter(F.col("vec_id") < 300), path, max_iter=3
+    )
+    # two appends: files accumulate per partition, id ranges interleave
+    ivf_centroid_append(
+        spark, path,
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+        .select("vec_id", "embedding"),
+    )
+    ivf_centroid_append(
+        spark, path,
+        e.filter(F.col("vec_id") >= 400).select("vec_id", "embedding"),
+    )
+    before_rows = {
+        (r["vec_id"],) for r in spark.read.parquet(path).collect()
+    }
+
+    stats = compact_ivf_centroid_index(spark, path)
+    assert stats["exact"]["files_after"] < stats["exact"]["files_before"]
+    assert stats["coarse"]["files_after"] < stats["coarse"]["files_before"]
+
+    after = spark.read.parquet(path)
+    assert {(r["vec_id"],) for r in after.collect()} == before_rows
+    # every rewritten exact-tier file is id-sorted (the property
+    # row-group pruning needs)
+    for f in (tmp_path / "civf_cmp").rglob("*.parquet"):
+        ids = pq.read_table(str(f), columns=["vec_id"])["vec_id"].to_pylist()
+        assert ids == sorted(ids), f
+    # probe still answers over the compacted store
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_centroid_topk(spark, path, q, k=5, rerank=10)
+    assert got.count() == 15
