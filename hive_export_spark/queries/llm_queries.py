@@ -935,6 +935,68 @@ def llm_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_compacted",
+    oracle=_RECALL_ORACLE,
+    doc="the full persisted-ANN lifecycle under the oracle gate: build "
+    "the centroid-IVF store on the fixture-relative bottom 80% of "
+    "vec_ids, APPEND the top 20% against the frozen centroids "
+    "(operators.ivf.ivf_centroid_append), then COMPACT both tiers "
+    "through the swap machinery with the (cid, vec_id)-leading sort "
+    "(operators.ivf.compact_ivf_centroid_index — restores the id-"
+    "clustering appends interleave, the precondition for the rerank's "
+    "row-group pruning), and probe over the compacted store. "
+    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact "
+    "top-10 over the FULL corpus| >= 7 — compaction must preserve "
+    "every appended vector or recall drops; the oracle lists the "
+    "query ids with literal TRUE.",
+)
+def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        compact_ivf_centroid_index,
+        ivf_centroid_topk,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e, src_path = _ivf_centroid_incr_for(spark, sf_dir)
+    # compact a COPY of the appended store (its own scratch name) so
+    # llm_sim_ivf_incremental keeps probing the genuinely-appended
+    # layout — each query pins a different lifecycle stage
+    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v1", sf_dir), "idx")
+    marker = path + "/_COMPACT_DONE"
+    if not fs_exists(spark, marker):
+        # FILE-level copy of the appended store (FileUtil.copy preserves
+        # the interleaved multi-file layout appends produced — a Spark
+        # rewrite would pre-coalesce and turn the compaction under test
+        # into a no-op). Test scaffolding, not a scale path: it exists
+        # only so this query and llm_sim_ivf_incremental pin different
+        # lifecycle stages of the same fixture-derived store without
+        # mutating each other; production compacts in place.
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for suffix in ("", "_coarse", "_centroids"):
+            srcp = jvm.org.apache.hadoop.fs.Path(src_path + suffix)
+            fs = srcp.getFileSystem(conf)
+            if fs.exists(srcp):
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, srcp,
+                    fs, jvm.org.apache.hadoop.fs.Path(path + suffix),
+                    False, True, conf,
+                )
+        if fs_exists(spark, path + "/_SUCCESS"):
+            compact_ivf_centroid_index(spark, path)
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
     doc="seeded Bernoulli sampling (df.sample): the first stage of every "

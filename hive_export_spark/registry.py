@@ -113,9 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stale pool is exactly the 25 r6-era rows (newest driver row == r6,
 # computed from CORRECTNESS_r*.json by tools/evidence.py). Slot policy,
 # changed-code first:
-# - the 10 rows whose code/oracle changed in round 10 or 11 without a
-#   fresher driver row: llm_sim_ivf_incremental (NEW in r11 — the
-#   append-ingest centroid-IVF query, never driver-green, highest slot
+# - the 11 rows whose code/oracle changed in round 10 or 11 without a
+#   fresher driver row: llm_sim_ivf_incremental and
+#   llm_sim_ivf_compacted (NEW in r11 — append-ingest and full-
+#   lifecycle centroid-IVF queries, never driver-green, highest slot
 #   priority), llm_embedding_label_drift (combined-adversity
 #   try_divide fix; also the 25th r6-era row), the six
 #   variance-cancellation sqrt-clamp queries (agg_stats_moments,
@@ -126,7 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # - the other 24 r6-era rows, registry order (incl. the
 #   fmt_compression_codecs / agg_argmax_family pair displaced from the
 #   r11 head's fills);
-# - 16 fill slots to the OLDEST remaining evidence: r7-era rows in
+# - 15 fill slots to the OLDEST remaining evidence: r7-era rows in
 #   registry order.
 # Closure invariant after r12 lands green: nothing older than r7
 # (r10 verdict ask #2). Machine-checked by tests/test_registry_smoke.py
@@ -135,8 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # rotation's input, consumed when DRIVER_WINDOW is rebuilt from it next
 # round, then deleted.
 ROUND12_HEAD: tuple[str, ...] = (
-    # round-10/11 changed-code rows (10):
+    # round-10/11 changed-code rows (11):
     "llm_sim_ivf_incremental",
+    "llm_sim_ivf_compacted",
     "llm_embedding_label_drift",
     "agg_stats_moments",
     "stats_zscore_outliers",
@@ -171,7 +173,7 @@ ROUND12_HEAD: tuple[str, ...] = (
     "graph_jaccard_linkpred",
     "graph_bfs_hops",
     "graph_kcore_peel",
-    # r7-era fills (16, registry order):
+    # r7-era fills (15, registry order):
     "fmt_roundtrip_text",
     "join_inner",
     "join_semi",
@@ -187,7 +189,6 @@ ROUND12_HEAD: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "subquery_scalar_avg",
-    "unpivot_stack",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy
