@@ -43,100 +43,19 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 11 rotation: byte-for-byte the ROUND11_HEAD the r10
+    # --- round 12 rotation: byte-for-byte the ROUND12_HEAD the r11
     # rotation commit pinned and tests/test_registry_smoke.py
-    # machine-checked (length 50, all registered, disjoint from the r10
-    # window, superset of the r5-era stale pool). Composition (slot
-    # policy, changed-code first): the 16 queries the round-9
-    # ALL-NULL-PAYLOAD wave changed that sat in neither the r9 window
-    # nor the r10 head, all 32 remaining r5-era rows, and two round-10
-    # changed-code fills — llm_sim_ivf_kmeans (the two-tier centroid-IVF
-    # query, never driver-green before this window; its probe guards
-    # also changed in r11 — advisory #3/nit #1 fixes) and
-    # stats_gini_concentration (combined-adversity try_divide fix).
-    # After this window lands green, no query's newest driver evidence
-    # predates r6.
-    "llm_dedup_minhash_ml",
-    "llm_dedup_components",
-    "llm_dedup_keep_canonical",
-    "llm_dedup_incremental",
-    "fn_struct_family",
-    "cdc_upsert",
-    "window_running_distinct",
-    "join_nearest_value",
-    "pareto_skyline",
-    "agg_approx_top_k",
-    "stream_session_window",
-    "stream_session_window_native",
-    "stream_window_topk",
-    "stream_stateful_totals",
-    "stream_cdc_apply",
-    "source_binary_files",
-    "source_export_blocks",
-    "fmt_roundtrip_xml",
-    "parity_timestamp_format",
-    "q3_shipping_priority",
-    "sql_recursive_cte",
-    "join_fuzzy_levenshtein",
-    "cdc_changelog_compact",
-    "join_null_safe_eq",
-    "window_running_sum",
-    "fn_higher_order_family",
-    "agg_listagg_strings",
-    "agg_histogram_equiwidth",
-    "agg_histogram_equidepth",
-    "stream_jdbc_sink_e2e",
-    "stream_static_enrich_join",
-    "udf_map_in_arrow",
-    "udtf_word_positions",
-    "llm_split_train_val_test",
-    "llm_global_shuffle",
-    "llm_kmeans_assign",
-    "llm_kmeans_iterate",
-    "llm_sample_weighted",
-    "llm_bpe_pair_counts",
-    "llm_embed_quantize",
-    "scale_runtime_bloom_join",
-    "scale_profile_columns",
-    "ts_downsample_m4",
-    "ts_cusum_changepoint",
-    "ts_attribution_last_touch",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "join_interval_overlap",
-    "llm_sim_ivf_kmeans",
-    "stats_gini_concentration",
-)
-
-# ROUND-12 ROTATION HEAD (pinned NOW, per the standing r8 planning
-# discipline — exactly 50). After the r11 window lands, the residual
-# stale pool is exactly the 25 r6-era rows (newest driver row == r6,
-# computed from CORRECTNESS_r*.json by tools/evidence.py). Slot policy,
-# changed-code first:
-# - the 11 rows whose code/oracle changed in round 10 or 11 without a
-#   fresher driver row: llm_sim_ivf_incremental and
-#   llm_sim_ivf_compacted (NEW in r11 — append-ingest and full-
-#   lifecycle centroid-IVF queries, never driver-green, highest slot
-#   priority), llm_embedding_label_drift (combined-adversity
-#   try_divide fix; also the 25th r6-era row), the six
-#   variance-cancellation sqrt-clamp queries (agg_stats_moments,
-#   stats_zscore_outliers, stats_welch_ttest, stats_mann_whitney_u,
-#   ts_autocorrelation, ts_rolling_corr), scale_compaction (FS-agnostic
-#   rewrite in r10; swap-exception restore in r11), and
-#   llm_dedup_incremental_banded (type-aware drift guard, r9);
-# - the other 24 r6-era rows, registry order (incl. the
-#   fmt_compression_codecs / agg_argmax_family pair displaced from the
-#   r11 head's fills);
-# - 15 fill slots to the OLDEST remaining evidence: r7-era rows in
-#   registry order.
-# Closure invariant after r12 lands green: nothing older than r7
-# (r10 verdict ask #2). Machine-checked by tests/test_registry_smoke.py
-# (length 50, all registered, disjoint from THIS round's window,
-# superset of the post-r11 r6-era pool). NOT dead code: it is the r12
-# rotation's input, consumed when DRIVER_WINDOW is rebuilt from it next
-# round, then deleted.
-ROUND12_HEAD: tuple[str, ...] = (
-    # round-10/11 changed-code rows (11):
+    # machine-checked (length 50, all registered, disjoint from the r11
+    # window, superset of the post-r11 r6-era stale pool). Composition
+    # (slot policy, changed-code first): the two never-driver-checked
+    # IVF lifecycle queries (llm_sim_ivf_incremental,
+    # llm_sim_ivf_compacted — both also changed THIS round: exactly-once
+    # append recovery + rerun-safe compaction scaffolding, so the r12
+    # driver row covers the new code), the nine other rows whose
+    # code/oracle changed in r10/r11 without a fresher driver row, all
+    # 24 remaining r6-era rows, and 15 r7-era fills. After this window
+    # lands green, no query's newest driver evidence predates r7
+    # (r10 verdict ask #2 closure).
     "llm_sim_ivf_incremental",
     "llm_sim_ivf_compacted",
     "llm_embedding_label_drift",
@@ -148,7 +67,6 @@ ROUND12_HEAD: tuple[str, ...] = (
     "ts_rolling_corr",
     "scale_compaction",
     "llm_dedup_incremental_banded",
-    # remaining r6-era rows (24, registry order):
     "fmt_compression_codecs",
     "agg_argmax_family",
     "agg_filter_clause",
@@ -173,7 +91,6 @@ ROUND12_HEAD: tuple[str, ...] = (
     "graph_jaccard_linkpred",
     "graph_bfs_hops",
     "graph_kcore_peel",
-    # r7-era fills (15, registry order):
     "fmt_roundtrip_text",
     "join_inner",
     "join_semi",
@@ -189,6 +106,82 @@ ROUND12_HEAD: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q18_large_volume_customer",
     "subquery_scalar_avg",
+)
+
+# ROUND-13 ROTATION HEAD (pinned NOW, per the standing r8 planning
+# discipline — exactly 50). After the r12 window lands, the residual
+# stale pool is exactly the 28 r7-era rows (newest driver row == r7,
+# computed from CORRECTNESS_r*.json by tools/evidence.py this round).
+# Slot policy, changed-code first:
+# - the 4 rows whose operator code changes in round 12 without a
+#   fresher driver row: llm_sim_ivf_kmeans and llm_sim_ivf_pruned
+#   (day-zero guard tightening — AnalysisException/path-missing only —
+#   and the rebuild crash-consistency fix, ADVICE r11 #1), and
+#   llm_kmeans_assign / llm_kmeans_iterate (k-means|| candidate-order
+#   canonicalization, ADVICE r11 #4);
+# - all 28 r7-era rows, registry order;
+# - 18 fill slots to the OLDEST remaining evidence: r8-era rows in
+#   registry order.
+# Closure invariant after r13 lands green: nothing older than r8.
+# Machine-checked by tests/test_registry_smoke.py (length 50, all
+# registered, disjoint from THIS round's window, superset of the
+# post-r12 r7-era pool). NOT dead code: it is the r13 rotation's input,
+# consumed when DRIVER_WINDOW is rebuilt from it next round, then
+# deleted.
+ROUND13_HEAD: tuple[str, ...] = (
+    # round-12 changed-code rows (4):
+    "llm_sim_ivf_kmeans",
+    "llm_sim_ivf_pruned",
+    "llm_kmeans_assign",
+    "llm_kmeans_iterate",
+    # r7-era rows (28, registry order):
+    "unpivot_stack",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "window_row_number",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_sliding_avg",
+    "window_ratio_to_report",
+    "fn_json_family",
+    "fn_try_family",
+    "fn_regexp_family",
+    "fn_printf_family",
+    "stats_mad_outliers",
+    "stats_winsorize",
+    "llm_sim_topk_bruteforce",
+    "llm_text_quality",
+    "llm_text_repetition",
+    "llm_text_langid",
+    "llm_multimodal_features",
+    "llm_intradoc_dedup",
+    "llm_text_normalize",
+    "llm_sample_mixture",
+    "ts_interpolate_linear",
+    "ts_bollinger_bands",
+    # r8-era fills (18, registry order):
+    "join_left",
+    "join_right",
+    "join_asof",
+    "agg_cube",
+    "setop_intersect_all",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "fn_date_family",
+    "fn_explode_outer",
+    "fn_interval_family",
+    "stats_ab_proportion_z",
+    "stream_watermark_late_drop",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy
