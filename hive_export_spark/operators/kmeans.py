@@ -214,8 +214,22 @@ def _parallel_init_rows(
         # bounded: exactly <= 2k rows per round via the limit above
         for r in new_vecs.collect():
             cand[tuple(r[vec_col])] = None
-    # weight candidates by attraction: one assign pass, k*rounds groups
-    cand_list = list(cand)
+    # Canonicalize BEFORE enumeration (r11 advisory #4): candidate
+    # insertion order comes from collect() after a shuffle join — an
+    # order Spark does not guarantee stable across plan/AQE changes —
+    # and the enumeration index feeds the weight lookup, the lexsort/
+    # argmax tie-breaks, and ultimately the cluster_id labels. Sorting
+    # by the vector tuple makes indices (and labels) a function of the
+    # candidate SET alone. NaN elements map to the (True, 0.0) key — a
+    # canonical sentinel sorting after every finite value at that
+    # position (a raw NaN in the key would poison tuple comparison:
+    # nan == nan is False, so Python would stop at the NaN element and
+    # report both orders as not-less) — so even degenerate embeddings
+    # get a total, plan-independent order.
+    cand_list = sorted(
+        cand,
+        key=lambda c: tuple((x != x, 0.0 if x != x else x) for x in c),
+    )
     cand_df = spark.createDataFrame(
         [(i + 1, list(c)) for i, c in enumerate(cand_list)],
         "cluster_id long, centroid array<double>",

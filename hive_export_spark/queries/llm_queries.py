@@ -792,11 +792,12 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
     from hive_export_spark.sources.files import fs_exists
 
     e = load_table(spark, "embeddings", sf_dir)
-    # _v2: round 11 switched the build from fixed n_centroids=16 to the
-    # corpus-derived k ~ sqrt(N) rule (operators.ivf.derive_n_centroids)
-    # — write-logic changes bump the scratch name (round-9 convention)
+    # _v3: round 12 added the build's dispersion-stats tier and the
+    # rebuild-safe _SUCCESS pre-delete (r11 advisory #1) — write-logic
+    # changes bump the scratch name (round-9 convention; _v2 was the
+    # r11 corpus-derived k ~ sqrt(N) switch)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_index_v2", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_index_v3", sf_dir), "idx"
     )
     if not fs_exists(spark, path + "/_SUCCESS"):
         build_ivf_centroid_index(e, path, max_iter=5)
@@ -859,8 +860,12 @@ def _ivf_centroid_incr_for(spark: SparkSession, sf_dir: str):
     from hive_export_spark.sources.files import fs_exists, fs_touch
 
     e = load_table(spark, "embeddings", sf_dir)
+    # _v2: round 12 replaced the plain parquet append with the staged,
+    # content-addressed exactly-once commit protocol (prefixed data
+    # files + _append_stats commit marker + drift metric) — write-logic
+    # changes bump the scratch name (round-9 convention)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_incr_v1", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_incr_v2", sf_dir), "idx"
     )
     marker = path + "/_APPEND_DONE"
     if not fs_exists(spark, marker):
@@ -964,7 +969,10 @@ def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact a COPY of the appended store (its own scratch name) so
     # llm_sim_ivf_incremental keeps probing the genuinely-appended
     # layout — each query pins a different lifecycle stage
-    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v1", sf_dir), "idx")
+    # _v2: round 12 — upstream incr store moved to the exactly-once
+    # append layout, and this block's copy scaffolding became
+    # rerun-safe (r11 advisory #3)
+    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v2", sf_dir), "idx")
     marker = path + "/_COMPACT_DONE"
     if not fs_exists(spark, marker):
         # FILE-level copy of the appended store (FileUtil.copy preserves
@@ -979,6 +987,19 @@ def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         for suffix in ("", "_coarse", "_centroids"):
             srcp = jvm.org.apache.hadoop.fs.Path(src_path + suffix)
             fs = srcp.getFileSystem(conf)
+            # rerun safety (r11 advisory #3): a crash after a partial
+            # copy — or after compaction but before the _COMPACT_DONE
+            # touch — leaves the destination dir (and possibly a
+            # .pre_compact backup) behind; FileUtil.copy's checkDest
+            # would then nest the re-copy at dst/<srcName> and the
+            # _SUCCESS gate below would compact/probe a mixed layout
+            # (or compaction would refuse on the stale backup). Marker
+            # absent means this copy never committed: clear both and
+            # start clean.
+            for stale in (path + suffix, path + suffix + ".pre_compact"):
+                stalep = jvm.org.apache.hadoop.fs.Path(stale)
+                if fs.exists(stalep):
+                    fs.delete(stalep, True)
             if fs.exists(srcp):
                 jvm.org.apache.hadoop.fs.FileUtil.copy(
                     fs, srcp,

@@ -383,3 +383,255 @@ def test_centroid_ivf_compaction_restores_sort_and_pruning(spark, tmp_path):
     )
     got = ivf_centroid_topk(spark, path, q, k=5, rerank=10)
     assert got.count() == 15
+
+
+# --- round 12: exactly-once append, rebuild safety, drift, loud errors ----
+
+
+def _mini_corpus(spark, n_per=20, drifted=False, id_base=0):
+    """Two tight synthetic clusters around e1 and e2 (or one far-out
+    cluster when drifted=True) — deterministic, no RNG state."""
+    rows = []
+    for i in range(n_per):
+        eps = (i % 7) * 0.01
+        if drifted:
+            rows.append((id_base + i, [10.0 + eps, 10.0 - eps, 10.0]))
+        else:
+            center = ([1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0])
+            rows.append(
+                (id_base + i, [c + eps * 0.1 for c in center])
+            )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_centroid_ivf_append_exactly_once_recovery(spark, tmp_path):
+    """The r12 commit protocol (r11 verdict ask #3): an append that dies
+    at ANY protocol step converges to exactly-once when re-run —
+    including a mid-move crash injected into the protocol itself — and
+    a COMPLETED append's re-run is a no-op returning the persisted
+    receipt."""
+    import pytest
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    base = e.filter(F.col("vec_id") < 400)
+    incr = e.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    n_incr = incr.count()
+    path = str(tmp_path / "eo")
+    build_ivf_centroid_index(base, path, max_iter=3)
+    exact_base = spark.read.parquet(path).count()
+    coarse_base = spark.read.parquet(path + "_coarse").count()
+    want_exact = exact_base + n_incr
+    want_coarse = coarse_base + n_incr
+
+    # --- injected crash: die during the SECOND tier's file-moves, the
+    # worst intermediate state (coarse fully moved, exact untouched)
+    real_move = ivf_mod._move_staged_files
+    calls = {"n": 0}
+
+    def exploding_move(spark_, staging, live, prefix):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-append")
+        return real_move(spark_, staging, live, prefix)
+
+    ivf_mod._move_staged_files = exploding_move
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ivf_centroid_append(spark, path, incr, append_id="day1")
+    finally:
+        ivf_mod._move_staged_files = real_move
+    # torn state: coarse has the increment, exact does not, no marker
+    assert spark.read.parquet(path + "_coarse").count() == want_coarse
+    assert spark.read.parquet(path).count() == exact_base
+    import os
+
+    assert not os.path.exists(
+        path + "_append_stats/append-day1/_SUCCESS"
+    )
+
+    # re-run converges: recovery deletes the torn half, redo lands both
+    stats = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert stats["n_rows"] == n_incr
+    assert spark.read.parquet(path).count() == want_exact
+    assert spark.read.parquet(path + "_coarse").count() == want_coarse
+
+    # --- crash AFTER the moves but BEFORE the commit marker: simulate
+    # by deleting the marker dir; the re-run must deduplicate, not
+    # double-append
+    import shutil
+
+    shutil.rmtree(path + "_append_stats/append-day1")
+    stats2 = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert stats2["n_rows"] == n_incr
+    assert spark.read.parquet(path).count() == want_exact
+    assert spark.read.parquet(path + "_coarse").count() == want_coarse
+
+    # --- committed re-run: pure no-op, returns the persisted receipt
+    before = sorted(
+        p.name for p in (tmp_path / "eo").rglob("*") if p.is_file()
+    )
+    stats3 = ivf_centroid_append(spark, path, incr, append_id="day1")
+    after = sorted(
+        p.name for p in (tmp_path / "eo").rglob("*") if p.is_file()
+    )
+    assert before == after
+    assert stats3["append_id"] == "day1"
+    assert stats3["n_rows"] == n_incr
+
+    # content-addressed default id: a retry WITHOUT an explicit id maps
+    # to the same append and is also exactly-once
+    auto = ivf_centroid_append(spark, path, incr)
+    auto2 = ivf_centroid_append(spark, path, incr)
+    assert auto["append_id"] == auto2["append_id"]
+    assert (
+        spark.read.parquet(path).count() == want_exact + n_incr
+    )  # the auto-id append landed once, not twice
+
+    # probes still answer over the converged store
+    q = incr.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = (
+        ivf_centroid_topk(spark, path, q, k=3, rerank=10)
+        .filter(F.col("rank") == 1)
+        .first()
+    )
+    assert top["neighbor_id"] == q.first()["query_id"]
+
+
+def test_centroid_ivf_rebuild_crash_leaves_no_stale_success(spark, tmp_path):
+    """r11 advisory #1: on an in-place REBUILD, the old exact tier's
+    _SUCCESS used to survive until the final overwrite — a crash after
+    the centroid-table overwrite left a stale marker over
+    mixed-generation tiers that _SUCCESS-gated callers read as complete
+    forever. The build now deletes the marker FIRST, so the injected
+    crash leaves the gate open and the next caller rebuilds."""
+    import os
+
+    import pytest
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import build_ivf_centroid_index
+
+    corpus = _mini_corpus(spark, n_per=20)
+    path = str(tmp_path / "rebuild")
+    build_ivf_centroid_index(corpus, path, n_centroids=2, max_iter=2)
+    assert os.path.exists(path + "/_SUCCESS")
+
+    # rebuild that dies right after the centroid-table overwrite (the
+    # stats write is the next step — poison it)
+    real_stats_path = ivf_mod._stats_path
+
+    def exploding_stats_path(p):
+        raise RuntimeError("injected rebuild crash")
+
+    ivf_mod._stats_path = exploding_stats_path
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            build_ivf_centroid_index(
+                corpus, path, n_centroids=2, max_iter=2
+            )
+    finally:
+        ivf_mod._stats_path = real_stats_path
+    # the stale marker is GONE: gates re-enter the (idempotent) build
+    assert not os.path.exists(path + "/_SUCCESS")
+    build_ivf_centroid_index(corpus, path, n_centroids=2, max_iter=2)
+    assert os.path.exists(path + "/_SUCCESS")
+
+
+def test_centroid_ivf_build_persists_dispersion_stats(spark, tmp_path):
+    """The build writes the per-cluster dispersion yardstick
+    (<path>_stats: cid, n_members, mean_dist2) BEFORE the exact tier,
+    so the _SUCCESS gate implies it committed (r11 verdict ask #5)."""
+    from hive_export_spark.operators.ivf import build_ivf_centroid_index
+
+    corpus = _mini_corpus(spark, n_per=20)
+    path = str(tmp_path / "stats")
+    build_ivf_centroid_index(corpus, path, n_centroids=2, max_iter=3)
+    stats = spark.read.parquet(path + "_stats")
+    assert set(stats.columns) == {"cid", "n_members", "mean_dist2"}
+    rows = stats.collect()
+    assert sum(r["n_members"] for r in rows) == 20
+    assert all(r["mean_dist2"] is not None for r in rows)
+
+
+def test_centroid_ivf_append_drift_signal(spark, tmp_path):
+    """r11 verdict ask #5: the append measures the increment's dispersion
+    against the build-time yardstick. An in-distribution increment
+    reports drift_ratio ~ 1 and no rebuild flag; an out-of-distribution
+    increment (every vector far from every trained centroid) trips
+    rebuild_recommended, and the stats row persists beside the store."""
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "drift")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+
+    indist = _mini_corpus(spark, n_per=10, id_base=1000)
+    s1 = ivf_centroid_append(spark, path, indist, append_id="ok")
+    assert s1["drift_ratio"] is not None
+    assert s1["drift_ratio"] < 1.5
+    assert s1["rebuild_recommended"] is False
+
+    drifted = _mini_corpus(spark, n_per=10, drifted=True, id_base=2000)
+    s2 = ivf_centroid_append(spark, path, drifted, append_id="bad")
+    assert s2["drift_ratio"] is not None
+    assert s2["drift_ratio"] > 1.5
+    assert s2["rebuild_recommended"] is True
+
+    # the receipt is PERSISTED beside the centroid table, not just
+    # returned: a scheduler can poll the store itself
+    persisted = spark.read.parquet(
+        path + "_append_stats/append-bad"
+    ).first()
+    assert persisted["rebuild_recommended"] is True
+    assert persisted["append_id"] == "bad"
+
+
+def test_centroid_ivf_corrupt_store_fails_loudly(spark, tmp_path):
+    """r11 verdict nit #2: only AnalysisException (PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA) means 'empty index'. A store whose centroid
+    table is CORRUPT — the stand-in for transient FS/transport errors,
+    which surface the same way (non-Analysis JVM error) — must raise,
+    not silently return zero neighbors; a genuinely missing store still
+    probes empty."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+    )
+
+    corpus = _mini_corpus(spark, n_per=20)
+    path = str(tmp_path / "corrupt")
+    build_ivf_centroid_index(corpus, path, n_centroids=2, max_iter=2)
+    # corrupt the centroid table: garbage bytes where a footer should be
+    for p in (tmp_path / "corrupt_centroids").glob("*.parquet"):
+        p.write_bytes(b"not a parquet file")
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Py4JJavaError):
+        ivf_centroid_topk(spark, path, queries, k=3, nprobe=2).collect()
+    with pytest.raises(Py4JJavaError):
+        ivf_centroid_append(
+            spark, path, corpus.select("vec_id", "embedding"),
+            append_id="x",
+        )
+    # a missing store is still the quiet day-zero path
+    out = ivf_centroid_topk(
+        spark, str(tmp_path / "never_existed"), queries, k=3, nprobe=2
+    )
+    assert out.count() == 0
