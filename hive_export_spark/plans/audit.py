@@ -92,6 +92,16 @@ def scan_scale_killers(package_root: str) -> list[str]:
       data scale (``# bounded:``) / why a data-sized broadcast is the
       point (``# oracle-twin:``). A plain ``.join(X)`` is not policed —
       AQE decides there.
+    - collect/toPandas/rdd allowlisting is STATEMENT-ANCHORED (round 12,
+      r11 advisory #2): a single-line key must be distinctive (the
+      scanner REJECTS keys that are just the bare policed call, e.g.
+      ``.collect()`` — such a key silently sanctioned every future
+      multi-line chain ending in that line); a multi-line chain is
+      allowlisted by its EXACT flattened statement (strings blanked,
+      spaces removed, comments dropped) in ``allowed_stmt`` below, so a
+      new collect in the same file fails the audit instead of
+      inheriting the waiver, and any edit to an allowlisted statement
+      forces re-review here.
     """
     import os
 
@@ -100,12 +110,6 @@ def scan_scale_killers(package_root: str) -> list[str]:
     allowed: dict[tuple[str, str], str] = {
         ('operators/ivf.py', 'q_rows = q.select(query_id_col, "__qsig").limit(max_query_rows + 1).collect()'):
             "IVF query-side collect, bounded by max_query_rows+1 via limit()",
-        ('operators/ivf.py', '.collect()'):
-            "centroid-IVF: the k x dim centroid table, limit(100_001) + "
-            "over-guard raise — the module's documented bounded driver "
-            "exchange (k ~ sqrt(N) stays ~32k even at 1e9 vectors); one "
-            "materialization serves count, nprobe derivation, and the "
-            "ranking crossJoin as a literal relation",
         ('operators/ivf.py', 'pairs = probe_pairs.limit(max_query_rows * eff_probe + 1).collect()'):
             "centroid-IVF probe pairs: <= queries x min(nprobe, "
             "n_centroids) (query_id, cid) rows, bounded by the limit + "
@@ -117,18 +121,12 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "vec_id) rows, bounded by the limit + over-guard raise (r10 "
             "verdict nit #1); becomes the literal vec_id IN (...) pushed "
             "filter that prunes the exact tier's row groups",
-        ('operators/cdc.py', '.collect()'):
-            "tiny distinct key set (CDC dims), O(#partitions) rows",
         ('operators/scale.py', 'rows = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()'):
             "DESCRIBE EXTENDED catalog metadata, dozens of rows",
         ('sources/jdbc.py', 'row = bounds_df.collect()[0]'):
             "1-row min/max bounds for JDBC range partitioning",
         ('operators/kmeans.py', '(r["cluster_id"], list(r["centroid"])) for r in init_df.collect()'):
             "k-means init: k x dim centroid matrix, the documented bounded driver exchange of Lloyd's",
-        ('operators/kmeans.py', '.collect()'):
-            "k-means|| init driver exchanges: the limit(1) seed draw and "
-            "the candidate-weights groupBy over <= 1 + 2k*rounds "
-            "candidate ids — both O(k), never corpus-sized",
         ('operators/kmeans.py', 'for r in new_vecs.collect():'):
             "k-means|| oversampling round: exactly <= 2k rows via the "
             "Efraimidis-Spirakis top-(2k) limit in the same statement",
@@ -140,12 +138,60 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "partition-count metadata probe, not a data materialization",
         ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
             "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
-        ('operators/ml_lsh.py', '.collect()'):
+    }
+    # (relpath, EXACT flattened statement) -> justification, for
+    # multi-line chains whose policed call sits on a bare continuation
+    # line like ``.collect()``. Keys are the full statement — strings
+    # blanked, spaces removed, comments dropped — so ANY other chain in
+    # the same file fails the audit instead of inheriting the waiver
+    # (r11 advisory #2: the old per-file '.collect()' keys sanctioned
+    # every future bare-tail collect in those files). An unallowlisted
+    # chain's violation message prints its computed key, so adding a
+    # reviewed entry is copy-paste.
+    allowed_stmt: dict[tuple[str, str], str] = {
+        ('operators/ivf.py',
+         'cent_rows=(spark.read.parquet(_centroids_path(index_path))'
+         '.limit(100_001).collect())'):
+            "centroid-IVF: the k x dim centroid table, limit(100_001) + "
+            "over-guard raise — the module's documented bounded driver "
+            "exchange (k ~ sqrt(N) stays ~32k even at 1e9 vectors); one "
+            "materialization serves count, nprobe derivation, and the "
+            "ranking crossJoin as a literal relation",
+        ('operators/cdc.py',
+         'dup=(updates.groupBy(key).count().filter(F.col("")>1)'
+         '.limit(1).collect())'):
+            "duplicate-key precondition probe: limit(1) frame, at most "
+            "one row",
+        ('operators/kmeans.py',
+         'seed_rows=[(1,list(r[vec_col]))forrinv.withColumn("",'
+         'F.md5(F.col(id_col).cast(""))).orderBy("",id_col)'
+         '.limit(1).collect()]'):
+            "k-means|| init: the limit(1) md5-ordered seed draw — one "
+            "row by construction",
+        ('operators/kmeans.py',
+         'weights={r[""]:r[""]forrinassign_clusters(v,cand_df,'
+         'id_col=id_col,vec_col=vec_col).groupBy("")'
+         '.agg(F.count(F.lit(1)).alias("")).collect()}'):
+            "k-means|| candidate weights: groupBy over candidate "
+            "cluster ids — <= 1 + 2k*rounds groups, never corpus-sized",
+        ('operators/ml_lsh.py',
+         'hist=(vectors.select(F.coalesce(F.size(_as_double('
+         'F.col(vec_col))),F.lit(-1)).alias("")).groupBy("")'
+         '.agg(F.count(F.lit(1)).alias("")).collect())'):
             "modal embedding-dimension probe: size histogram over one "
             "pruned column — O(#distinct sizes) rows, also feeds the "
             "last_dim_probe dropped-row report (r7 verdict ask #5)",
     }
-    for key, why in allowed.items():
+    # a single-line key that is nothing but the bare policed call is a
+    # generic waiver — exactly the gap allowed_stmt closes; reject it
+    _generic = {".collect()", ".toPandas()", ".rdd"}
+    for _rel, line in allowed:
+        if line in _generic:
+            raise ValueError(
+                f"generic allowlist key {line!r} for {_rel!r}: use an "
+                "allowed_stmt entry keyed on the full flattened statement"
+            )
+    for key, why in list(allowed.items()) + list(allowed_stmt.items()):
         if not (isinstance(why, str) and why.strip()):
             raise ValueError(f"allowlist entry without justification: {key}")
     patterns = (
@@ -229,8 +275,32 @@ def scan_scale_killers(package_root: str) -> list[str]:
             arg = paren_arg(arg, len("F.broadcast"))
         return any(m in arg for m in _BOUNDED_MARKS)
 
+    import ast
+
+    def stmt_key(lines: list[str], spans: list[tuple[int, int]], lineno: int) -> str:
+        """The EXACT flattened statement containing ``lineno`` (1-based):
+        the smallest ast.stmt span covering the line, its lines joined
+        with comments dropped, string contents blanked, spaces removed —
+        the allowed_stmt key format. ast (not paren counting) so
+        docstrings with prose brackets cannot skew statement bounds."""
+        best: tuple[int, int, int] | None = None
+        for a, b in spans:
+            if a <= lineno <= b:
+                d = b - a
+                if best is None or d < best[0]:
+                    best = (d, a, b)
+        a, b = (best[1], best[2]) if best else (lineno, lineno)
+        out: list[str] = []
+        for ln in lines[a - 1 : b]:
+            s = ln.strip()
+            if s.startswith("#"):
+                continue
+            out.append(_strip_strings_and_comment(s).replace(" ", ""))
+        return "".join(out)
+
     violations: list[str] = []
     used: set[tuple[str, str]] = set()
+    used_stmt: set[tuple[str, str]] = set()
     for dirpath, _dirnames, filenames in os.walk(package_root):
         for fn in sorted(filenames):
             if not fn.endswith(".py"):
@@ -241,6 +311,14 @@ def scan_scale_killers(package_root: str) -> list[str]:
                 continue
             with open(path, encoding="utf-8") as fh:
                 lines = fh.readlines()
+            try:
+                spans = [
+                    (n.lineno, n.end_lineno or n.lineno)
+                    for n in ast.walk(ast.parse("".join(lines)))
+                    if isinstance(n, ast.stmt)
+                ]
+            except SyntaxError:
+                spans = []
             prev = ""
             for lineno, line in enumerate(lines, 1):
                 stripped = line.strip()
@@ -284,12 +362,25 @@ def scan_scale_killers(package_root: str) -> list[str]:
                     if (rel, stripped) in allowed:
                         used.add((rel, stripped))
                         continue
-                    violations.append(f"{rel}:{lineno}: {stripped}")
+                    skey = (rel, stmt_key(lines, spans, lineno))
+                    if skey in allowed_stmt:
+                        used_stmt.add(skey)
+                        continue
+                    violations.append(
+                        f"{rel}:{lineno}: {stripped} "
+                        f"(statement key: {skey[1]!r})"
+                    )
                 prev = stripped
     stale = set(allowed) - used
     violations.extend(
         f"STALE allowlist entry (matches no source line, remove it): {k}"
         for k in sorted(stale)
+    )
+    stale_stmt = set(allowed_stmt) - used_stmt
+    violations.extend(
+        f"STALE allowed_stmt entry (matches no current statement, "
+        f"remove or re-key it): {k}"
+        for k in sorted(stale_stmt)
     )
     return violations
 

@@ -185,6 +185,39 @@ def test_fuzzy_join_blocks_to_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_audit_statement_anchors_bare_collect_tails(tmp_path):
+    """r11 advisory #2: a per-file '.collect()' allowlist key silently
+    sanctioned EVERY future multi-line chain ending in a bare
+    .collect() line. Collect waivers are now anchored to the EXACT
+    flattened statement: an unreviewed chain in the same file is
+    flagged (with its computed statement key in the message, so adding
+    a reviewed entry is copy-paste), and allowed_stmt entries that
+    match no current statement are reported stale."""
+    from hive_export_spark.plans.audit import scan_scale_killers
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "sneaky.py").write_text(
+        # exactly the r11-flagged shape: a NEW unbounded multi-line
+        # chain whose tail line is the bare policed call — under the
+        # old generic ('file', '.collect()') keys this inherited the
+        # waiver; now it must fail with the statement key printed
+        "rows = (\n"
+        "    corpus.groupBy('doc_id')\n"
+        "    .agg(F.collect_list('token'))\n"
+        "    .collect()\n"
+        ")\n"
+    )
+    vs = scan_scale_killers(str(pkg))
+    flagged = [v for v in vs if "sneaky.py:4" in v]
+    assert flagged, vs
+    # the violation carries the computed statement key for copy-paste
+    assert "statement key:" in flagged[0]
+    assert "corpus.groupBy" in flagged[0]
+    # the repo's allowed_stmt entries match nothing in this temp pkg
+    assert any("STALE allowed_stmt entry" in v for v in vs)
+
+
 def test_global_shuffle_windows_are_bucketed(spark, sf_dir):
     """llm_global_shuffle's corpus-sized window must partition by the
     bucket key; the only unpartitioned window runs over the tiny
