@@ -92,6 +92,36 @@ HEADLINE = [
 ]
 
 
+def _calibration_wall(spark) -> float:
+    """Fixed-work CPU+shuffle yardstick (r11 verdict ask #4): a
+    deterministic ``spark.range`` hash aggregate whose cost is
+    INDEPENDENT of sf — 64M xxhash64 rows reduced through a 1024-bucket
+    shuffle with map-side partials. Run at leg start AND end and
+    recorded in the artifact, so cross-round per-query deltas can be
+    normalized for ambient box drift (r11's uniform ±12–33 % drift on
+    untouched queries had no in-band yardstick and made absolute
+    comparison meaningless). Min-of-3, same noise convention as the
+    timed queries. max(), not sum(): an ANSI sum of 64M full-range
+    hashes overflows long."""
+    from pyspark.sql import functions as F
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 128_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy(F.pmod(F.col("h"), F.lit(1024)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    _run()  # warmup: absorb THIS plan's codegen (probed: first run +40%)
+    return round(min(_run() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -138,6 +168,8 @@ def main() -> None:
     # JVM/codegen warmup on a trivial query so the first timed query does
     # not absorb one-time startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    calibration_start = _calibration_wall(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -194,6 +226,8 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+    calibration_end = _calibration_wall(spark)
+
     load_end = os.getloadavg()
     print(
         json.dumps(
@@ -204,6 +238,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "aux": aux,
+                # fixed-work drift yardstick, leg start/end (ask #4):
+                # compare across rounds/legs to classify per-query
+                # deltas as ambient drift vs real regression
+                "calibration_start_sec": calibration_start,
+                "calibration_end_sec": calibration_end,
                 "load_pre_startup": round(load_pre_startup, 2),
                 "load_1m_start": round(load_start[0], 2),
                 "load_5m_start": round(load_start[1], 2),
