@@ -722,6 +722,108 @@ def ivf_centroid_append(
     return stats
 
 
+def _swap_tier(spark: SparkSession, live: str, staging: str) -> None:
+    """Move a freshly-built staging tier into place: live → .pre_rebuild
+    backup, staging → live, delete backup. Restore-on-failure mirrors
+    compact_partitioned_table's swap (both rename failure modes:
+    False return and thrown IOException)."""
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    jvm = spark._jvm
+    fs, jlive = _fs_for(spark, live)
+    qlive = fs.makeQualified(jlive)
+    qstage = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(staging))
+    backup = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(live.rstrip("/") + ".pre_rebuild")
+    )
+    had_live = fs.exists(qlive)
+    if had_live and not fs.rename(qlive, backup):
+        raise RuntimeError(f"could not move {live!r} aside for the swap")
+    try:
+        swapped = fs.rename(qstage, qlive)
+    except Exception:
+        if had_live:
+            fs.rename(backup, qlive)
+        raise
+    if not swapped:
+        if had_live:
+            fs.rename(backup, qlive)
+        raise RuntimeError(f"could not move rebuilt tier into {live!r}")
+    if had_live:
+        fs.delete(backup, True)
+
+
+def rebuild_ivf_centroid_index(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    max_iter: int = 5,
+    train_rows_per_centroid: int = 256,
+) -> None:
+    """Full index rebuild WITHOUT a serving gap — the remedy the append's
+    ``rebuild_recommended`` drift flag points at, engineered end to end
+    (r11 advisory #1's staging-swap alternative):
+
+    - the whole four-tier store (centroids, dispersion stats, coarse,
+      exact) is built against SIBLING staging paths first. The live
+      store keeps serving probes, gates keep reading _SUCCESS-complete,
+      for the entire (long, corpus-sized) build.
+    - then each tier swaps in via backup-rename (_swap_tier — the same
+      machinery as compact_partitioned_table), exact tier LAST, with
+      the live exact tier's _SUCCESS deleted first: the swap window is
+      seconds of renames instead of the build's corpus-scan minutes,
+      and inside it the build-once gate reads INCOMPLETE rather than
+      mixed-generation-complete.
+    - ``derive_n_centroids`` re-sizes k to the GROWN corpus (the append
+      path freezes centroids; the rebuild is where k catches up).
+
+    Crash convergence: stale staging tiers and .pre_rebuild backups
+    from a crashed prior rebuild are cleaned first, so a re-run always
+    converges (the index is DERIVED data — ``vectors`` remains the
+    source of truth; a crash inside the swap window leaves the gate
+    open and the re-run completes the generation). Pinned by the
+    injected-crash tests in tests/test_ivf.py: a crash during the
+    staged build leaves the live store untouched and fully served; a
+    crash mid-swap leaves no stale-complete marker.
+    """
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    staging_root = index_path.rstrip("/") + ".rebuilding"
+    suffixes = ("_centroids", "_stats", "_coarse", "")
+    for suffix in suffixes:
+        for stale in (
+            staging_root + suffix,
+            index_path.rstrip("/") + suffix + ".pre_rebuild",
+        ):
+            fs, jstale = _fs_for(spark, stale)
+            if fs.exists(jstale):
+                fs.delete(jstale, True)
+    build_ivf_centroid_index(
+        vectors,
+        staging_root,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        max_iter=max_iter,
+        train_rows_per_centroid=train_rows_per_centroid,
+    )
+    # gate OPEN before the first live mutation (same contract as the
+    # in-place build): any crash inside the swap window reads as
+    # incomplete, never as stale-complete
+    fs, success = _fs_for(spark, index_path.rstrip("/") + "/_SUCCESS")
+    if fs.exists(success):
+        fs.delete(success, False)
+    for suffix in suffixes:
+        _swap_tier(
+            spark,
+            index_path.rstrip("/") + suffix,
+            staging_root + suffix,
+        )
+
+
 def compact_ivf_centroid_index(
     spark: SparkSession,
     index_path: str,

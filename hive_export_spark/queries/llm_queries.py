@@ -1018,6 +1018,77 @@ def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_rebuilt",
+    oracle=_RECALL_ORACLE,
+    doc="the drift loop closed end to end: build the centroid-IVF store "
+    "on the fixture-relative bottom 80% of vec_ids, APPEND the top 20% "
+    "against the frozen centroids (exactly-once protocol, drift "
+    "measured against the build-time dispersion yardstick), then run "
+    "the drift flag's documented remedy — "
+    "operators.ivf.rebuild_ivf_centroid_index: the full corpus is "
+    "rebuilt against SIBLING staging paths while the live store keeps "
+    "serving, k re-derived for the grown corpus "
+    "(derive_n_centroids), then each tier swaps in via backup-rename "
+    "with the _SUCCESS gate opened first (seconds of swap window "
+    "instead of minutes of mixed-generation exposure — r11 advisory "
+    "#1's staging alternative). Probe over the rebuilt store. "
+    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact "
+    "top-10 over the FULL corpus| >= 7 — the rebuild must carry every "
+    "base AND appended vector into the new generation; the oracle "
+    "lists the query ids with literal TRUE.",
+)
+def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+        rebuild_ivf_centroid_index,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_reb_v1", sf_dir), "idx"
+    )
+    marker = path + "/_REBUILD_DONE"
+    if not fs_exists(spark, marker):
+        # same fixture-relative 80/20 split as the incremental store
+        # (round-9 rule; NULL vec_ids route to the base)
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            # the drift receipt lands beside the store; whatever it
+            # says, this lifecycle exercises the remedy next
+            ivf_centroid_append(spark, path, incr, append_id="pre-rebuild")
+        rebuild_ivf_centroid_index(spark, path, e, max_iter=5)
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
     doc="seeded Bernoulli sampling (df.sample): the first stage of every "

@@ -635,3 +635,95 @@ def test_centroid_ivf_corrupt_store_fails_loudly(spark, tmp_path):
         spark, str(tmp_path / "never_existed"), queries, k=3, nprobe=2
     )
     assert out.count() == 0
+
+
+def test_centroid_ivf_staged_rebuild_lifecycle(spark, tmp_path):
+    """rebuild_ivf_centroid_index (r11 advisory #1's staging-swap
+    alternative, engineered): the drift remedy rebuilds the whole store
+    against sibling staging paths and swaps in — a crash during the
+    (long) staged build leaves the LIVE store untouched and still
+    serving; a crash mid-swap leaves the gate OPEN (no stale-complete
+    marker); the completed rebuild re-derives k for the grown corpus
+    and carries every base and appended vector."""
+    import os
+
+    import pytest
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+        rebuild_ivf_centroid_index,
+    )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    base = e.filter(F.col("vec_id") < 400)
+    incr = e.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    n_all = e.count()
+    path = str(tmp_path / "reb")
+    build_ivf_centroid_index(base, path, max_iter=3)
+    ivf_centroid_append(spark, path, incr, append_id="d1")
+    k_before = spark.read.parquet(path + "_centroids").count()
+
+    # --- crash DURING the staged build: live store untouched, still
+    # gate-complete and serving
+    real_build = ivf_mod.build_ivf_centroid_index
+
+    def exploding_build(*a, **kw):
+        raise RuntimeError("injected staged-build crash")
+
+    ivf_mod.build_ivf_centroid_index = exploding_build
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            rebuild_ivf_centroid_index(spark, path, e, max_iter=3)
+    finally:
+        ivf_mod.build_ivf_centroid_index = real_build
+    assert os.path.exists(path + "/_SUCCESS")
+    assert spark.read.parquet(path + "_centroids").count() == k_before
+    assert spark.read.parquet(path).count() == n_all
+
+    # --- crash MID-SWAP: gate must read incomplete, never
+    # mixed-generation-complete
+    real_swap = ivf_mod._swap_tier
+    calls = {"n": 0}
+
+    def exploding_swap(spark_, live, staging):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-swap crash")
+        return real_swap(spark_, live, staging)
+
+    ivf_mod._swap_tier = exploding_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            rebuild_ivf_centroid_index(spark, path, e, max_iter=3)
+    finally:
+        ivf_mod._swap_tier = real_swap
+    assert not os.path.exists(path + "/_SUCCESS")
+
+    # --- re-run converges: complete generation, k re-derived for the
+    # grown corpus, every vector present, probes answer
+    rebuild_ivf_centroid_index(spark, path, e, max_iter=3)
+    assert os.path.exists(path + "/_SUCCESS")
+    k_after = spark.read.parquet(path + "_centroids").count()
+    assert k_after > k_before  # sqrt(500) > sqrt(400)-derived table
+    assert spark.read.parquet(path).count() == n_all
+    assert spark.read.parquet(path + "_coarse").count() == n_all
+    # dispersion yardstick regenerated for the new generation
+    stats = spark.read.parquet(path + "_stats")
+    assert stats.count() == k_after or stats.count() <= k_after
+    q = incr.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = (
+        ivf_centroid_topk(spark, path, q, k=3, rerank=10)
+        .filter(F.col("rank") == 1)
+        .first()
+    )
+    assert top["neighbor_id"] == q.first()["query_id"]
+    # no staging or backup residue after a clean rebuild
+    residue = [
+        p.name
+        for p in (tmp_path).iterdir()
+        if ".rebuilding" in p.name or ".pre_rebuild" in p.name
+    ]
+    assert residue == []
