@@ -541,6 +541,11 @@ def ivf_centroid_append(
     - per-file renames are atomic on HDFS/local but copy-backed on s3a;
       the recovery pass makes a torn move CONVERGENT there too, at
       O(increment) copy cost.
+    - CONCURRENT appends of different increments compose (distinct
+      append ids -> distinct staging dirs, file prefixes, recovery
+      scopes, and stats dirs); two racing attempts of the SAME
+      append id are not coordinated — serialize retries of one
+      increment (the normal scheduler contract) or land last-wins.
 
     Raises on a day-zero index (no trained centroids): there is nothing
     to assign against — build first. A transient FS error reading the
@@ -788,6 +793,13 @@ def rebuild_ivf_centroid_index(
     injected-crash tests in tests/test_ivf.py: a crash during the
     staged build leaves the live store untouched and fully served; a
     crash mid-swap leaves no stale-complete marker.
+
+    Append history (``<path>_append_stats``) survives rebuilds ON
+    PURPOSE: a rebuild's ``vectors`` is expected to supersede every
+    committed append, so a blind retry of an already-ingested increment
+    still no-ops afterwards. Rebuilding from a source that EXCLUDES a
+    committed append is a lineage reset — clear ``<path>_append_stats``
+    then, or the excluded increment's retry will be silently skipped.
     """
     from hive_export_spark.operators.maintenance import _fs_for
 
