@@ -565,17 +565,21 @@ def ivf_centroid_append(
             " — build_ivf_centroid_index must run before appends"
         )
     inc = vectors.select(id_col, vec_col)
-    ident = inc.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("xr"),
-    ).first()
-    n_rows = int(ident["n"])
+    n_rows: int | None = None
     if append_id is None:
         # content-addressed: same id set -> same append id, so a blind
         # retry of the same ingest job is idempotent BY DEFAULT; two
         # genuinely different increments that share every id are the
         # same append for dedup purposes (that is re-ingest, and
-        # exactly-once is the point)
+        # exactly-once is the point). An EXPLICIT append_id (batch id,
+        # calendar key) skips this aggregate entirely — a committed
+        # re-run then answers from the marker without scanning the
+        # increment at all (the streaming-sink replay path).
+        ident = inc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("xr"),
+        ).first()
+        n_rows = int(ident["n"])
         append_id = f"{n_rows}x{(ident['xr'] or 0) & (2**64 - 1):016x}"
     stats_dir = _append_stats_dir(index_path, append_id)
 
@@ -595,6 +599,8 @@ def ivf_centroid_append(
         # already committed: exactly-once means a re-run returns the
         # persisted receipt and touches no tier
         return _stats_row_to_dict(spark.read.parquet(stats_dir).first())
+    if n_rows is None:
+        n_rows = inc.count()
     if n_rows == 0:
         # empty increment: nothing to stage, nothing to commit — and no
         # marker either, so a later non-empty "same" append is not

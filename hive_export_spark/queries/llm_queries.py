@@ -1089,6 +1089,105 @@ def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_stream_ingest",
+    oracle=_RECALL_ORACLE,
+    doc="exactly-once STREAMING vector ingest: the persisted centroid-IVF "
+    "store indexes the fixture-relative bottom 80% of vec_ids, then the "
+    "top 20% arrives as a Structured Streaming file stream (multiple "
+    "parquet files, maxFilesPerTrigger=1 -> multiple micro-batches) "
+    "whose foreachBatch sink commits each batch via "
+    "operators.ivf.ivf_centroid_append with append_id = 'batch-<id>' — "
+    "the canonical idempotent-foreachBatch pattern: Structured "
+    "Streaming redelivers micro-batches AT-LEAST-ONCE after recovery "
+    "(the checkpoint pins each batch's content), and the batch-id-keyed "
+    "exactly-once append dedupes the redelivery, composing to "
+    "end-to-end exactly-once index ingest (double-invocation pinned in "
+    "tests/test_ivf.py). The probe then answers over base+streamed "
+    "increments in one partition-pruned read. Oracle-able formulation: "
+    "per-query recall_ok = |IVF ∩ exact top-10 over the FULL corpus| "
+    ">= 7 — every streamed vector must be findable exactly once; the "
+    "oracle lists the query ids with literal TRUE.",
+)
+def llm_sim_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    root = sf_scratch_dir("ivf_stream_ingest_v1", sf_dir)
+    path = os.path.join(root, "idx")
+    marker = path + "/_STREAM_DONE"
+    if not fs_exists(spark, marker):
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            # stage the increment as SEVERAL files so the file stream
+            # genuinely delivers multiple micro-batches
+            inbox = os.path.join(root, "inbox")
+            ckpt = os.path.join(root, "ckpt")
+            shutil.rmtree(inbox, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            incr.repartition(4).write.parquet(inbox)
+            stream = (
+                spark.readStream.schema(incr.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(inbox)
+            )
+
+            def ivf_sink(batch_df: DataFrame, batch_id: int) -> None:
+                # batch-id-keyed exactly-once: a post-recovery replay of
+                # this batch (same checkpoint -> same content, same id)
+                # hits the append's commit marker and no-ops
+                ivf_centroid_append(
+                    spark,
+                    path,
+                    batch_df.select("vec_id", "embedding"),
+                    append_id=f"batch-{batch_id}",
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(ivf_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        elif not has_cents and incr.take(1):
+            # day-one bootstrap, same convention as the batch-append
+            # store: a first ingest BUILDS, it does not append
+            build_ivf_centroid_index(e, path, max_iter=5)
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sample_fraction",
     oracle="SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM documents",
     doc="seeded Bernoulli sampling (df.sample): the first stage of every "

@@ -113,8 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stale pool is exactly the 28 r7-era rows (newest driver row == r7,
 # computed from CORRECTNESS_r*.json by tools/evidence.py this round).
 # Slot policy, changed-code first:
-# - llm_sim_ivf_rebuilt (NEW in r12 — the drift-triggered staged-swap
-#   rebuild lifecycle, never driver-checked: highest slot priority);
+# - llm_sim_ivf_rebuilt and llm_sim_ivf_stream_ingest (NEW in r12 —
+#   the drift-triggered staged-swap rebuild lifecycle and the
+#   exactly-once streaming-ingest composition, never driver-checked:
+#   highest slot priority);
 # - the 4 rows whose operator code changes in round 12 without a
 #   fresher driver row: llm_sim_ivf_kmeans and llm_sim_ivf_pruned
 #   (day-zero guard tightening — AnalysisException/path-missing only —
@@ -122,7 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   llm_kmeans_assign / llm_kmeans_iterate (k-means|| candidate-order
 #   canonicalization, ADVICE r11 #4);
 # - all 28 r7-era rows, registry order;
-# - 17 fill slots to the OLDEST remaining evidence: r8-era rows in
+# - 16 fill slots to the OLDEST remaining evidence: r8-era rows in
 #   registry order.
 # Closure invariant after r13 lands green: nothing older than r8.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -131,8 +133,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND13_HEAD: tuple[str, ...] = (
-    # never-driver-checked r12 lifecycle query (1):
+    # never-driver-checked r12 lifecycle queries (2):
     "llm_sim_ivf_rebuilt",
+    "llm_sim_ivf_stream_ingest",
     # round-12 changed-code rows (4):
     "llm_sim_ivf_kmeans",
     "llm_sim_ivf_pruned",
@@ -167,7 +170,7 @@ ROUND13_HEAD: tuple[str, ...] = (
     "llm_sample_mixture",
     "ts_interpolate_linear",
     "ts_bollinger_bands",
-    # r8-era fills (18, registry order):
+    # r8-era fills (16, registry order):
     "join_left",
     "join_right",
     "join_asof",
@@ -184,7 +187,6 @@ ROUND13_HEAD: tuple[str, ...] = (
     "fn_date_family",
     "fn_explode_outer",
     "fn_interval_family",
-    "stats_ab_proportion_z",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy
