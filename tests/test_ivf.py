@@ -787,3 +787,31 @@ def test_centroid_ivf_streaming_ingest_exactly_once(spark, tmp_path):
     assert stats["append_id"] == f"batch-{replay_id}"
     assert stats["n_rows"] == seen[-1][1]
     assert spark.read.parquet(path).count() == want
+
+
+def test_centroid_ivf_rebuild_on_missing_store_is_first_build(spark, tmp_path):
+    """rebuild_ivf_centroid_index against a path that was never built:
+    the swap's had_live=False branch moves each staged tier straight
+    in — a scheduler can point the rebuild job at a fresh path without
+    special-casing day one — and committed append markers from a PRIOR
+    lineage do not exist, so a follow-up append lands normally."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        ivf_centroid_append,
+        ivf_centroid_topk,
+        rebuild_ivf_centroid_index,
+    )
+
+    corpus = _mini_corpus(spark, n_per=20)
+    path = str(tmp_path / "fresh")
+    rebuild_ivf_centroid_index(spark, path, corpus, n_centroids=2, max_iter=2)
+    assert os.path.exists(path + "/_SUCCESS")
+    assert spark.read.parquet(path).count() == 20
+    # the new lineage accepts appends
+    incr = _mini_corpus(spark, n_per=5, id_base=500)
+    stats = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert stats["n_rows"] == 5
+    assert spark.read.parquet(path).count() == 25
+    q = corpus.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert ivf_centroid_topk(spark, path, q, k=3, nprobe=2).count() > 0
