@@ -43,105 +43,27 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 12 rotation: byte-for-byte the ROUND12_HEAD the r11
+    # --- round 13 rotation: byte-for-byte the ROUND13_HEAD the r12
     # rotation commit pinned and tests/test_registry_smoke.py
-    # machine-checked (length 50, all registered, disjoint from the r11
-    # window, superset of the post-r11 r6-era stale pool). Composition
+    # machine-checked (length 50, all registered, disjoint from the r12
+    # window, superset of the post-r12 r7-era stale pool). Composition
     # (slot policy, changed-code first): the two never-driver-checked
-    # IVF lifecycle queries (llm_sim_ivf_incremental,
-    # llm_sim_ivf_compacted — both also changed THIS round: exactly-once
-    # append recovery + rerun-safe compaction scaffolding, so the r12
-    # driver row covers the new code), the nine other rows whose
-    # code/oracle changed in r10/r11 without a fresher driver row, all
-    # 24 remaining r6-era rows, and 15 r7-era fills. After this window
-    # lands green, no query's newest driver evidence predates r7
-    # (r10 verdict ask #2 closure).
-    "llm_sim_ivf_incremental",
-    "llm_sim_ivf_compacted",
-    "llm_embedding_label_drift",
-    "agg_stats_moments",
-    "stats_zscore_outliers",
-    "stats_welch_ttest",
-    "stats_mann_whitney_u",
-    "ts_autocorrelation",
-    "ts_rolling_corr",
-    "scale_compaction",
-    "llm_dedup_incremental_banded",
-    "fmt_compression_codecs",
-    "agg_argmax_family",
-    "agg_filter_clause",
-    "cdc_snapshot_diff",
-    "window_nth_value",
-    "fn_xpath_family",
-    "fn_csv_serde_family",
-    "stats_chi2_independence",
-    "stats_ks_drift",
-    "stats_benford_first_digit",
-    "stats_bootstrap_ci",
-    "stats_bootstrap_poisson",
-    "stats_qq_deciles",
-    "udf_scalar_iter_pandas",
-    "udf_window_pandas",
-    "llm_frame_sample_plan",
-    "llm_source_overlap_matrix",
-    "scale_shuffle_hash_hint",
-    "ts_flatline_runs",
-    "ts_markov_transitions",
-    "ts_rolling_median",
-    "graph_jaccard_linkpred",
-    "graph_bfs_hops",
-    "graph_kcore_peel",
-    "fmt_roundtrip_text",
-    "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "agg_groupby",
-    "agg_rollup",
-    "sort_limit",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "join_theta_inequality",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "subquery_scalar_avg",
-)
-
-# ROUND-13 ROTATION HEAD (pinned NOW, per the standing r8 planning
-# discipline — exactly 50). After the r12 window lands, the residual
-# stale pool is exactly the 28 r7-era rows (newest driver row == r7,
-# computed from CORRECTNESS_r*.json by tools/evidence.py this round).
-# Slot policy, changed-code first:
-# - llm_sim_ivf_rebuilt and llm_sim_ivf_stream_ingest (NEW in r12 —
-#   the drift-triggered staged-swap rebuild lifecycle and the
-#   exactly-once streaming-ingest composition, never driver-checked:
-#   highest slot priority);
-# - the 4 rows whose operator code changes in round 12 without a
-#   fresher driver row: llm_sim_ivf_kmeans and llm_sim_ivf_pruned
-#   (day-zero guard tightening — AnalysisException/path-missing only —
-#   and the rebuild crash-consistency fix, ADVICE r11 #1), and
-#   llm_kmeans_assign / llm_kmeans_iterate (k-means|| candidate-order
-#   canonicalization, ADVICE r11 #4);
-# - all 28 r7-era rows, registry order;
-# - 16 fill slots to the OLDEST remaining evidence: r8-era rows in
-#   registry order.
-# Closure invariant after r13 lands green: nothing older than r8.
-# Machine-checked by tests/test_registry_smoke.py (length 50, all
-# registered, disjoint from THIS round's window, superset of the
-# post-r12 r7-era pool). NOT dead code: it is the r13 rotation's input,
-# consumed when DRIVER_WINDOW is rebuilt from it next round, then
-# deleted.
-ROUND13_HEAD: tuple[str, ...] = (
-    # never-driver-checked r12 lifecycle queries (2):
+    # r12 lifecycle queries (llm_sim_ivf_rebuilt,
+    # llm_sim_ivf_stream_ingest — the drift-triggered staged-swap
+    # rebuild and the exactly-once streaming-ingest composition), the
+    # 4 rows whose operator code changed in r12 without a fresher
+    # driver row (llm_sim_ivf_kmeans / llm_sim_ivf_pruned day-zero
+    # guard + rebuild crash-consistency; llm_kmeans_assign /
+    # llm_kmeans_iterate k-means|| canonicalization), all 28 r7-era
+    # rows, and 16 r8-era fills. After this window lands green, no
+    # query's newest driver evidence predates r8 (r12 verdict ask #1
+    # closure).
     "llm_sim_ivf_rebuilt",
     "llm_sim_ivf_stream_ingest",
-    # round-12 changed-code rows (4):
     "llm_sim_ivf_kmeans",
     "llm_sim_ivf_pruned",
     "llm_kmeans_assign",
     "llm_kmeans_iterate",
-    # r7-era rows (28, registry order):
     "unpivot_stack",
     "q4_order_priority",
     "q10_returned_items",
@@ -170,7 +92,6 @@ ROUND13_HEAD: tuple[str, ...] = (
     "llm_sample_mixture",
     "ts_interpolate_linear",
     "ts_bollinger_bands",
-    # r8-era fills (16, registry order):
     "join_left",
     "join_right",
     "join_asof",
@@ -187,6 +108,84 @@ ROUND13_HEAD: tuple[str, ...] = (
     "fn_date_family",
     "fn_explode_outer",
     "fn_interval_family",
+)
+
+# ROUND-14 ROTATION HEAD (pinned NOW, per the standing r8 planning
+# discipline — exactly 50). After the r13 window lands, the residual
+# stale pool is exactly the 22 r8-era rows (newest driver row == r8 and
+# not in the r13 window, computed from CORRECTNESS_r*.json by
+# tools/evidence.py this round: 38 r8-era rows minus the 16 fills the
+# r13 window carries). Slot policy, changed-code first:
+# - the rows whose operator code changes in round 13 without a fresher
+#   driver row: llm_sim_ivf_incremental and llm_sim_ivf_compacted
+#   (ivf.py append-protocol hardening this round — unambiguous
+#   `append-<id>.` file manifest token, append-id validation,
+#   same-append-id lease, append-stats lineage reset on in-place
+#   rebuild; the other ivf.py consumers sit in THIS round's window and
+#   get r13 rows covering the new code);
+# - all 22 residual r8-era rows, registry order;
+# - 26 fill slots to the OLDEST remaining evidence: r9-era rows in
+#   registry order.
+# Closure invariant after r14 lands green: nothing older than r9.
+# Machine-checked by tests/test_registry_smoke.py (length 50, all
+# registered, disjoint from THIS round's window, superset of the
+# post-r13 r8-era pool). NOT dead code: it is the r14 rotation's input,
+# consumed when DRIVER_WINDOW is rebuilt from it next round, then
+# deleted.
+ROUND14_HEAD: tuple[str, ...] = (
+    # round-13 changed-code rows (2):
+    "llm_sim_ivf_incremental",
+    "llm_sim_ivf_compacted",
+    # residual r8-era rows (22, registry order):
+    "stats_ab_proportion_z",
+    "stream_watermark_late_drop",
+    "stream_union_sources",
+    "llm_dedup_simhash",
+    "llm_text_token_stats",
+    "llm_corpus_curation",
+    "llm_text_fingerprint",
+    "llm_text_tfidf",
+    "llm_chunking",
+    "llm_pack_sequences",
+    "llm_text_perplexity",
+    "llm_span_corruption",
+    "llm_boilerplate_chunk_dedup",
+    "llm_vocab_coverage",
+    "llm_quality_classifier",
+    "ts_rollup_two_level",
+    "ts_retention_cohorts",
+    "ts_ewma_window",
+    "ts_seasonal_profile",
+    "ts_delta_rate",
+    "ts_linear_forecast",
+    "ts_decompose_additive",
+    # r9-era fills (26, registry order):
+    "source_partition_discovery",
+    "parity_skip_internal_fields",
+    "parity_base64_encode",
+    "parity_partition_token",
+    "parity_json_encode",
+    "parity_partition_routing",
+    "parity_partitioned_write",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "join_full",
+    "join_range_band",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "topk_per_group",
+    "setop_except_all",
+    "union_by_name_missing",
+    "q12_shipmode_priority",
+    "agg_grouping_id",
+    "fn_string_family",
+    "fn_math_family",
+    "fn_array_family",
+    "fn_conditional_family",
+    "fn_explode_unnest",
+    "fn_hash_family",
+    "fn_map_family",
+    "fn_variant_family",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

@@ -75,32 +75,32 @@ def test_driver_window_contract():
     ][:5]
 
 
-def test_round13_head_is_valid():
+def test_round14_head_is_valid():
     """The pinned next-round rotation head must be typo-free NOW — a
-    misspelled name would burn a driver slot when the r13 window is
+    misspelled name would burn a driver slot when the r14 window is
     rebuilt from it (round-8 planning discipline, r9 verdict ask #2)."""
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND13_HEAD
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND14_HEAD
 
     qs = all_queries()
-    assert len(ROUND13_HEAD) == 50
-    assert len(set(ROUND13_HEAD)) == 50
-    assert [n for n in ROUND13_HEAD if n not in qs] == []
+    assert len(ROUND14_HEAD) == 50
+    assert len(set(ROUND14_HEAD)) == 50
+    assert [n for n in ROUND14_HEAD if n not in qs] == []
     # a name already earning fresh evidence this round wastes a slot
-    assert set(ROUND13_HEAD) & set(DRIVER_WINDOW) == set()
+    assert set(ROUND14_HEAD) & set(DRIVER_WINDOW) == set()
 
 
-def test_round13_head_closes_the_stale_pool():
-    """After r12+r13 land green, no query's newest driver row may predate
-    r8 — the r13 head must therefore contain EVERY query whose newest
-    green CORRECTNESS row is r7 or older and which is not already in
+def test_round14_head_closes_the_stale_pool():
+    """After r13+r14 land green, no query's newest driver row may predate
+    r9 — the r14 head must therefore contain EVERY query whose newest
+    green CORRECTNESS row is r8 or older and which is not already in
     this round's window (evidence-closure invariant, r8 verdict ask #2,
-    extended per the r10/r11 verdict ask #2)."""
+    extended per the r10-r12 verdict ask #1/#2)."""
     import glob
     import json
     import os
     import re
 
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND13_HEAD
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND14_HEAD
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
@@ -118,6 +118,6 @@ def test_round13_head_closes_the_stale_pool():
     pool = {
         n
         for n in all_queries()
-        if newest.get(n, 0) <= 7 and n not in set(DRIVER_WINDOW)
+        if newest.get(n, 0) <= 8 and n not in set(DRIVER_WINDOW)
     }
-    assert pool <= set(ROUND13_HEAD), sorted(pool - set(ROUND13_HEAD))
+    assert pool <= set(ROUND14_HEAD), sorted(pool - set(ROUND14_HEAD))
