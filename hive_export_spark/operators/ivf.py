@@ -218,6 +218,55 @@ def _append_stats_dir(index_path: str, append_id: str) -> str:
     return index_path.rstrip("/") + f"_append_stats/append-{append_id}"
 
 
+import re as _re
+
+_APPEND_ID_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,199}$")
+
+
+def _validate_append_id(append_id: str) -> None:
+    """Reject append ids that would break the append protocol's path
+    layout or its file-name manifest (r12 advisory #2):
+
+    - ``/`` (or any path separator) would nest the stats dir and the
+      staging-dir names;
+    - a leading ``_`` or ``.`` would make the moved data files invisible
+      to Spark's scans AND to ``_move_staged_files``'s underscore/dot
+      skip (the appended rows would silently vanish from every probe);
+    - whitespace/control characters break Hadoop Path parsing;
+    - ``.`` anywhere would break the manifest-token unambiguity argument
+      (files are named ``append-<id>.<orig>`` and recovery matches the
+      full ``append-<id>.`` token — see ``_manifest_prefix``).
+
+    The allowed charset (alnum plus ``-`` ``_``, alnum first, <= 200
+    chars) covers the intended id shapes: content-addressed
+    ``<n>x<hex>``, calendar keys (``2026-08-16``), and streaming batch
+    ids (``batch-7``).
+    """
+    if not _APPEND_ID_RE.match(append_id):
+        raise ValueError(
+            f"invalid append_id {append_id!r}: must match "
+            "[A-Za-z0-9][A-Za-z0-9_-]{0,199} — alphanumerics, '-' and "
+            "'_' only, starting alphanumeric (path separators, dots, "
+            "whitespace and leading '_'/'.' break the append protocol's "
+            "stats-dir layout and file-name manifest)"
+        )
+
+
+def _manifest_prefix(append_id: str) -> str:
+    """The file-name manifest token for one append: moved data files are
+    named ``append-<id>.<orig>`` and recovery deletes exactly the files
+    whose name starts with ``append-<id>.``.
+
+    The trailing ``.`` is load-bearing (r12 advisory #2): ids cannot
+    contain ``.`` (enforced by ``_validate_append_id``), so
+    ``append-<idA>.`` can only prefix ``append-<idB>.<orig>`` when
+    idA == idB — with the old ``append-<id>-`` convention, an
+    uncommitted ``2026-08`` append's recovery deleted every committed
+    ``2026-08-DD`` append's data files from both live tiers.
+    """
+    return f"append-{append_id}."
+
+
 def derive_n_centroids(
     n_vectors: int, min_rows_per_centroid: int = 8
 ) -> int:
@@ -497,17 +546,26 @@ def ivf_centroid_append(
        content-addressed id from the increment's ids (count + bit_xor of
        xxhash64 — order-independent, one O(increment) aggregate), so a
        RETRY of the same ingest maps to the same id; calendar-keyed
-       pipelines pass an explicit id (e.g. ``"2026-08-16"``).
+       pipelines pass an explicit id (e.g. ``"2026-08-16"``). Explicit
+       ids are validated against a safe charset (alnum/-/_, alnum
+       first — ``_validate_append_id``): path separators, dots,
+       whitespace or a leading ``_``/``.`` would break the stats-dir
+       layout, the staged-write dot-file skip, or the manifest-token
+       unambiguity below (r12 advisory #2).
     2. committed check: if this append's stats directory carries its
        writer-committed ``_SUCCESS`` (the protocol's LAST step), the
        append already happened — return the persisted stats, touch
        nothing (idempotent re-run).
-    3. recovery: delete any ``append-<id>-``-prefixed files a crashed
-       prior attempt moved into either live tier.
+    3. recovery: delete any ``append-<id>.``-prefixed files a crashed
+       prior attempt moved into either live tier. The trailing dot
+       makes the token unambiguous across ids (ids cannot contain
+       ``.``), so recovery for id ``2026-08`` can never match id
+       ``2026-08-15``'s committed files (r12 advisory #2 — the old
+       ``append-<id>-`` convention destroyed them).
     4. stage: write both tiers' increments to sibling staging dirs
        (idempotent overwrites), (cid, id)-sorted like the build.
     5. move: rename each staged data file into its live ``cid=``
-       partition under the ``append-<id>-`` name prefix — the prefix is
+       partition under the ``append-<id>.`` name prefix — the prefix is
        the manifest (step 3 can always identify this append's files).
     6. commit: write the drift-stats row to
        ``<path>_append_stats/append-<id>/``; its ``_SUCCESS`` is the
@@ -554,6 +612,8 @@ def ivf_centroid_append(
     """
     from hive_export_spark.operators.kmeans import assign_clusters
 
+    if append_id is not None:
+        _validate_append_id(append_id)
     try:
         cents = spark.read.parquet(_centroids_path(index_path))
         has_centroids = bool(cents.take(1))
@@ -614,7 +674,7 @@ def ivf_centroid_append(
             "rebuild_recommended": False,
         }
 
-    prefix = f"append-{append_id}-"
+    prefix = _manifest_prefix(append_id)
     coarse_live = _coarse_path(index_path)
     # recovery: a crashed prior attempt may have moved SOME files in —
     # remove exactly this append's files so the redo cannot duplicate
@@ -632,8 +692,8 @@ def ivf_centroid_append(
         scale.isNotNull(),
         F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
     )
-    stage_exact = index_path.rstrip("/") + f".staging-{prefix.rstrip('-')}"
-    stage_coarse = coarse_live.rstrip("/") + f".staging-{prefix.rstrip('-')}"
+    stage_exact = index_path.rstrip("/") + f".staging-append-{append_id}"
+    stage_coarse = coarse_live.rstrip("/") + f".staging-append-{append_id}"
     # (cid, id) sort: satisfies the writer's required partition-column
     # prefix so it adds no non-stable sort of its own — see the build's
     # ordering note

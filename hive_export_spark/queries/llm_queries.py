@@ -792,12 +792,15 @@ def _ivf_centroid_index_for(spark: SparkSession, sf_dir: str):
     from hive_export_spark.sources.files import fs_exists
 
     e = load_table(spark, "embeddings", sf_dir)
+    # _v4: round 13 — the in-place build became a lineage reset (it
+    # clears <path>_append_stats alongside the _SUCCESS pre-delete, r12
+    # advisory #1); write-logic changes bump the scratch name.
     # _v3: round 12 added the build's dispersion-stats tier and the
     # rebuild-safe _SUCCESS pre-delete (r11 advisory #1) — write-logic
     # changes bump the scratch name (round-9 convention; _v2 was the
     # r11 corpus-derived k ~ sqrt(N) switch)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_index_v3", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_index_v4", sf_dir), "idx"
     )
     if not fs_exists(spark, path + "/_SUCCESS"):
         build_ivf_centroid_index(e, path, max_iter=5)
@@ -865,9 +868,13 @@ def _ivf_centroid_incr_for(spark: SparkSession, sf_dir: str):
     # files + _append_stats commit marker + drift metric) — write-logic
     # changes bump the scratch name (round-9 convention)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_incr_v2", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_incr_v3", sf_dir), "idx"
     )
     marker = path + "/_APPEND_DONE"
+    # _v3: round 13 — append-protocol hardening: the unambiguous
+    # ``append-<id>.`` file-manifest token + append-id validation (r12
+    # advisory #2) and the same-append-id lease; write-logic changes
+    # bump the scratch name (round-9 convention)
     if not fs_exists(spark, marker):
         # fixture-relative split (the round-9 rule: min + ((max-min+1)*4)
         # // 5 — a fixed constant silently inverts the workload shape on
@@ -969,10 +976,12 @@ def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact a COPY of the appended store (its own scratch name) so
     # llm_sim_ivf_incremental keeps probing the genuinely-appended
     # layout — each query pins a different lifecycle stage
+    # _v3: round 13 — upstream append protocol hardened (manifest
+    # token / id validation / lease; r12 advisory #2)
     # _v2: round 12 — upstream incr store moved to the exactly-once
     # append layout, and this block's copy scaffolding became
     # rerun-safe (r11 advisory #3)
-    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v2", sf_dir), "idx")
+    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v3", sf_dir), "idx")
     marker = path + "/_COMPACT_DONE"
     if not fs_exists(spark, marker):
         # FILE-level copy of the appended store (FileUtil.copy preserves
@@ -1050,8 +1059,10 @@ def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.sources.files import fs_exists, fs_touch
 
     e = load_table(spark, "embeddings", sf_dir)
+    # _v2: round 13 — append protocol hardened + in-place build lineage
+    # reset (r12 advisories #1/#2); write-logic changes bump the name
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_reb_v1", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_reb_v2", sf_dir), "idx"
     )
     marker = path + "/_REBUILD_DONE"
     if not fs_exists(spark, marker):
@@ -1110,7 +1121,6 @@ def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_sim_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from hive_export_spark.operators.ivf import (
         build_ivf_centroid_index,
@@ -1118,10 +1128,12 @@ def llm_sim_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroid_topk,
     )
     from hive_export_spark.queries.connector_queries import sf_scratch_dir
-    from hive_export_spark.sources.files import fs_exists, fs_touch
+    from hive_export_spark.sources.files import fs_delete, fs_exists, fs_touch
 
     e = load_table(spark, "embeddings", sf_dir)
-    root = sf_scratch_dir("ivf_stream_ingest_v1", sf_dir)
+    # _v2: round 13 — append protocol hardened (r12 advisory #2) and
+    # the inbox/checkpoint scratch routed through Hadoop FS deletes
+    root = sf_scratch_dir("ivf_stream_ingest_v2", sf_dir)
     path = os.path.join(root, "idx")
     marker = path + "/_STREAM_DONE"
     if not fs_exists(spark, marker):
@@ -1147,8 +1159,12 @@ def llm_sim_ivf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # genuinely delivers multiple micro-batches
             inbox = os.path.join(root, "inbox")
             ckpt = os.path.join(root, "ckpt")
-            shutil.rmtree(inbox, ignore_errors=True)
-            shutil.rmtree(ckpt, ignore_errors=True)
+            # Hadoop-FS deletes, same dispatch as every other scratch
+            # path in this module (r12 verdict nit #1: shutil.rmtree
+            # silently no-ops on a non-local scratch root, leaving a
+            # stale checkpoint that would skip-replay the new inbox)
+            fs_delete(spark, inbox)
+            fs_delete(spark, ckpt)
             incr.repartition(4).write.parquet(inbox)
             stream = (
                 spark.readStream.schema(incr.schema)

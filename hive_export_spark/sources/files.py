@@ -77,6 +77,20 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete a path through the same Hadoop FileSystem
+    dispatch as fs_exists (no-op returning False when absent) — scratch
+    cleanup must go through the FS Spark writes through, or it silently
+    skips every s3a://hdfs:// path (r12 verdict nit #1: the stream-ingest
+    query's ``shutil.rmtree`` assumed a local scratch root)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
 def fs_touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file through the same Hadoop FileSystem
     dispatch as fs_exists — for multi-step store builds whose LAST step

@@ -506,6 +506,91 @@ def test_centroid_ivf_append_exactly_once_recovery(spark, tmp_path):
     assert top["neighbor_id"] == q.first()["query_id"]
 
 
+def test_centroid_ivf_append_id_prefix_ids_cannot_cross_recover(spark, tmp_path):
+    """r12 advisory #2: with the old ``append-<id>-`` file manifest, a
+    crashed ``2026-08`` append's recovery deleted every committed
+    ``2026-08-15`` append's data files (the ids are '-'-prefix-related).
+    The manifest token is now ``append-<id>.`` and ids cannot contain
+    '.', so recovery scopes to exactly its own append."""
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "prefix")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    base_n = spark.read.parquet(path).count()
+
+    # committed daily append whose id the monthly id '-'-prefixes
+    daily = _mini_corpus(spark, n_per=10, id_base=1000)
+    ivf_centroid_append(spark, path, daily, append_id="2026-08-15")
+    assert spark.read.parquet(path).count() == base_n + 10
+
+    # monthly append that CRASHES mid-move, then re-runs: its recovery
+    # pass must delete only append-2026-08.* files, never the committed
+    # append-2026-08-15.* ones
+    monthly = _mini_corpus(spark, n_per=10, id_base=2000)
+    real_move = ivf_mod._move_staged_files
+    calls = {"n": 0}
+
+    def exploding_move(spark_, staging, live, prefix):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-append")
+        return real_move(spark_, staging, live, prefix)
+
+    ivf_mod._move_staged_files = exploding_move
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ivf_centroid_append(spark, path, monthly, append_id="2026-08")
+    finally:
+        ivf_mod._move_staged_files = real_move
+    # the daily append's rows survived the monthly recovery
+    assert spark.read.parquet(path).filter(
+        (F.col("vec_id") >= 1000) & (F.col("vec_id") < 2000)
+    ).count() == 10
+    stats = ivf_centroid_append(spark, path, monthly, append_id="2026-08")
+    assert stats["n_rows"] == 10
+    assert spark.read.parquet(path).count() == base_n + 20
+    # and the converged store holds each increment exactly once
+    assert spark.read.parquet(path).filter(
+        F.col("vec_id") >= 1000
+    ).count() == 20
+
+
+def test_centroid_ivf_append_id_validation(spark, tmp_path):
+    """r12 advisory #2: unvalidated append ids broke the stats-dir
+    layout ('/'), the staged-write dot-file skip (leading '_'/'.'), or
+    the manifest-token unambiguity ('.'). Hostile ids are rejected
+    before any read or write; the documented shapes pass."""
+    from hive_export_spark.operators.ivf import (
+        _validate_append_id,
+        ivf_centroid_append,
+    )
+
+    for bad in (
+        "a/b", "/abs", "..", "a.b", "_lead", ".lead", "-lead",
+        "sp ace", "tab\tid", "", "nl\nid", "x" * 201,
+    ):
+        with pytest.raises(ValueError, match="invalid append_id"):
+            _validate_append_id(bad)
+    for good in ("2026-08-16", "batch-7", "42xdeadbeef00000000", "a_b-c"):
+        _validate_append_id(good)
+
+    # the append rejects a hostile id up front — nothing is staged,
+    # no stats dir appears (no store needed: validation runs first)
+    with pytest.raises(ValueError, match="invalid append_id"):
+        ivf_centroid_append(
+            spark,
+            str(tmp_path / "nostore"),
+            _mini_corpus(spark, n_per=2),
+            append_id="../escape",
+        )
+    assert not (tmp_path / "nostore_append_stats").exists()
+
+
 def test_centroid_ivf_rebuild_crash_leaves_no_stale_success(spark, tmp_path):
     """r11 advisory #1: on an in-place REBUILD, the old exact tier's
     _SUCCESS used to survive until the final overwrite — a crash after
