@@ -331,7 +331,13 @@ def build_ivf_centroid_index(
     train_rows_per_centroid: int = 256,
 ) -> None:
     """Materialize the two-tier k-means-trained IVF layout. Idempotent
-    overwrite.
+    overwrite, and a LINEAGE RESET: committed append markers under
+    ``<path>_append_stats`` are cleared alongside the ``_SUCCESS``
+    pre-delete, because the overwrite destroys the appended rows
+    themselves — a marker that outlives its data silently no-ops the
+    increment's redelivery (r12 advisory #1). Use
+    ``rebuild_ivf_centroid_index`` for the history-preserving staged
+    rebuild.
 
     Three artifacts, all cid-partitioned or tiny:
     - ``<path>``: the EXACT tier — full-precision vectors partitioned by
@@ -429,6 +435,21 @@ def build_ivf_centroid_index(
     fs, success = _fs_for(spark, path.rstrip("/") + "/_SUCCESS")
     if fs.exists(success):
         fs.delete(success, False)
+    # An in-place build is a LINEAGE RESET (r12 advisory #1): it
+    # overwrites both data tiers, destroying every previously appended
+    # row — so the committed append markers under <path>_append_stats
+    # must go with them. Leaving them made a crash-rerun of a
+    # build-then-append gate silently lossy: the gate rebuilt the base,
+    # the re-delivered append hit its stale commit marker and no-opped,
+    # and the gate's done-marker then sealed a base-only store that
+    # REPORTED the increment as ingested. The staged
+    # rebuild_ivf_centroid_index keeps history ON PURPOSE (its corpus
+    # supersedes the appends; markers there dedupe blind retries) — it
+    # builds against sibling staging paths, so this delete never sees
+    # its live stats dir.
+    fs_stats, jstats = _fs_for(spark, path.rstrip("/") + "_append_stats")
+    if fs_stats.exists(jstats):
+        fs_stats.delete(jstats, True)
     cents.write.mode("overwrite").parquet(_centroids_path(path))
     # per-cluster dispersion over the FULL corpus assignment (one extra
     # map-side-partial aggregate on rows already being scanned for the
@@ -951,6 +972,21 @@ def rebuild_ivf_centroid_index(
       seconds of renames instead of the build's corpus-scan minutes,
       and inside it the build-once gate reads INCOMPLETE rather than
       mixed-generation-complete.
+
+      The no-serving-gap guarantee is scoped to _SUCCESS-GATED callers
+      (r12 advisory #4): a direct ivf_centroid_topk probe that skips
+      the gate can land inside the swap window and read MIXED
+      generations — e.g. new centroids ranking old coarse/exact
+      partitions — returning degraded (never wrong-valued: candidates
+      are always exact-rescored) results for those seconds. The tier
+      order cannot fix this: the exact tier must swap LAST, because its
+      directory carries the fresh _SUCCESS, and the gate contract is
+      that the marker's arrival implies every other tier already
+      swapped — swapping exact/coarse earlier would re-open the
+      stale-complete crash window r11 advisory #1 closed (pinned by
+      test_centroid_ivf_rebuild_crash_leaves_no_stale_success).
+      Ungated probes that cannot tolerate a seconds-long recall dip
+      should check the gate like everyone else.
     - ``derive_n_centroids`` re-sizes k to the GROWN corpus (the append
       path freezes centroids; the rebuild is where k catches up).
 

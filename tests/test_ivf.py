@@ -724,6 +724,60 @@ def test_centroid_ivf_append_id_validation(spark, tmp_path):
     assert not (tmp_path / "nostore_append_stats").exists()
 
 
+def test_centroid_ivf_inplace_build_resets_append_lineage(spark, tmp_path):
+    """r12 advisory #1: a build-then-append gate that crashes BETWEEN the
+    append's commit marker and the gate's own done-marker re-enters the
+    whole block — the in-place base build must clear
+    <path>_append_stats alongside its _SUCCESS pre-delete, or the
+    re-delivered append hits its stale commit marker, no-ops, and the
+    done-marker seals a base-only store that REPORTED the increment as
+    ingested (silent recall loss)."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    incr = _mini_corpus(spark, n_per=10, id_base=1000)
+    path = str(tmp_path / "lineage")
+
+    # gate attempt #1: base build + committed append... then "crash"
+    # before the gate's done-marker (simulated by simply not writing it)
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    s1 = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert s1["n_rows"] == 10
+    assert os.path.exists(path + "_append_stats/append-day1/_SUCCESS")
+
+    # gate attempt #2 (rerun): the in-place base build resets lineage —
+    # stale markers gone with the data they described...
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    assert not os.path.exists(path + "_append_stats")
+    base_n = spark.read.parquet(path).count()
+    # ...so the re-delivered append APPLIES (old behavior: no-op against
+    # the stale marker, receipt claiming 10 rows over a base-only store)
+    s2 = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert s2["n_rows"] == 10
+    assert spark.read.parquet(path).count() == base_n + 10
+    assert spark.read.parquet(path).filter(
+        F.col("vec_id") >= 1000
+    ).count() == 10
+
+    # the STAGED rebuild keeps history on purpose (its corpus supersedes
+    # the appends): a blind retry of the ingested increment still no-ops
+    from hive_export_spark.operators.ivf import rebuild_ivf_centroid_index
+
+    full = base.unionAll(incr)
+    rebuild_ivf_centroid_index(spark, path, full, n_centroids=2, max_iter=3)
+    assert os.path.exists(path + "_append_stats/append-day1/_SUCCESS")
+    rebuilt_n = spark.read.parquet(path).count()
+    assert rebuilt_n == 50
+    retry = ivf_centroid_append(spark, path, incr, append_id="day1")
+    assert retry["n_rows"] == 10  # the persisted receipt
+    assert spark.read.parquet(path).count() == rebuilt_n  # no duplicate
+
+
 def test_centroid_ivf_rebuild_crash_leaves_no_stale_success(spark, tmp_path):
     """r11 advisory #1: on an in-place REBUILD, the old exact tier's
     _SUCCESS used to survive until the final overwrite — a crash after
