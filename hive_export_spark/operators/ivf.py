@@ -1041,6 +1041,91 @@ def rebuild_ivf_centroid_index(
         )
 
 
+def ivf_maintain(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    max_iter: int = 5,
+    train_rows_per_centroid: int = 256,
+) -> dict:
+    """Close the drift loop (r12 verdict ask #4): READ the persisted
+    ``rebuild_recommended`` flags and ACT on them.
+
+    ``ivf_centroid_append`` measures drift and persists the flag;
+    ``rebuild_ivf_centroid_index`` is the remedy — but until this entry
+    nothing connected them. A scheduler calls ``ivf_maintain`` on
+    whatever cadence it likes (it is cheap when healthy):
+
+    1. scan ``<path>_append_stats`` for COMMITTED appends (dirs with a
+       ``_SUCCESS``; ``.lease`` files and torn dirs are skipped) that
+       are not yet marked ``_REMEDIED``;
+    2. if none of them flagged drift: no-op (the scan is a listing plus
+       one tiny parquet read per committed append — k-independent,
+       corpus-independent);
+    3. else: run the staged-swap ``rebuild_ivf_centroid_index`` over
+       ``vectors`` (the source of truth, expected to supersede every
+       committed append — the same contract the rebuild documents), then
+       mark EVERY scanned committed append ``_REMEDIED``: the rebuild
+       re-trained the yardstick, so pre-rebuild drift measurements are
+       against a dead generation, not evidence for rebuilding again.
+
+    Exactly-once remediation per drift signal: the ``_REMEDIED`` marker
+    (an underscore file inside the append's stats dir — invisible to
+    the parquet reader and to the append's own ``_SUCCESS`` gate) is
+    written AFTER the rebuild commits, so a crash between them re-runs
+    the (idempotent, still-serving) rebuild rather than losing the
+    signal; once marked, subsequent ``ivf_maintain`` calls no-op until
+    a NEW append flags drift against the new yardstick. The store
+    serves probes throughout — the rebuild is the staged-swap variant.
+
+    Returns {"scanned": n_committed, "flagged": [append ids],
+    "rebuilt": bool}.
+    """
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    stats_root = index_path.rstrip("/") + "_append_stats"
+    fs, jroot = _fs_for(spark, stats_root)
+    scanned: list[str] = []
+    flagged: list[str] = []
+    if fs.exists(jroot):
+        jvm = spark._jvm
+        for status in fs.listStatus(jroot):
+            if not status.isDirectory():
+                continue  # .lease files live beside the stats dirs
+            name = status.getPath().getName()
+            if not name.startswith("append-"):
+                continue
+            d = status.getPath()
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_SUCCESS")):
+                continue  # torn append: not committed, nothing to remedy
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_REMEDIED")):
+                continue  # already remedied by an earlier maintenance run
+            scanned.append(name)
+            row = spark.read.parquet(d.toString()).first()
+            if row is not None and row["rebuild_recommended"]:
+                flagged.append(row["append_id"])
+    if not flagged:
+        return {"scanned": len(scanned), "flagged": [], "rebuilt": False}
+    rebuild_ivf_centroid_index(
+        spark,
+        index_path,
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        max_iter=max_iter,
+        train_rows_per_centroid=train_rows_per_centroid,
+    )
+    from hive_export_spark.sources.files import fs_touch
+
+    for name in scanned:
+        fs_touch(spark, f"{stats_root}/{name}/_REMEDIED")
+    return {"scanned": len(scanned), "flagged": flagged, "rebuilt": True}
+
+
 def compact_ivf_centroid_index(
     spark: SparkSession,
     index_path: str,

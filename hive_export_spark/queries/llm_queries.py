@@ -1100,6 +1100,89 @@ def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_maintained",
+    oracle=_RECALL_ORACLE,
+    doc="the drift loop AUTOMATED end to end (r12 verdict ask #4): build "
+    "the centroid-IVF store on the fixture-relative bottom 80% of "
+    "vec_ids, APPEND the top 20% with drift_threshold=0 so the "
+    "exactly-once append PERSISTS a rebuild_recommended flag for any "
+    "measured drift, then run operators.ivf.ivf_maintain — the "
+    "maintenance entry that READS the persisted flags and ACTS: it "
+    "scans <path>_append_stats for committed, un-remedied appends, "
+    "no-ops when none flagged, and otherwise runs the staged-swap "
+    "rebuild_ivf_centroid_index over the full corpus (store serves "
+    "throughout, k re-derived) and marks the scanned appends _REMEDIED "
+    "so the next maintenance call no-ops (exactly-one-rebuild per "
+    "drift signal, pinned in tests/test_ivf.py). Probe over the "
+    "maintained store. Oracle-able formulation: per-query recall_ok = "
+    "|IVF ∩ exact top-10 over the FULL corpus| >= 7 — maintenance "
+    "must carry every base AND appended vector into the new "
+    "generation; the oracle lists the query ids with literal TRUE.",
+)
+def llm_sim_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+        ivf_maintain,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_maint_v1", sf_dir), "idx"
+    )
+    marker = path + "/_MAINT_DONE"
+    if not fs_exists(spark, marker):
+        # same fixture-relative 80/20 split as the incremental store
+        # (round-9 rule; NULL vec_ids route to the base)
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            # threshold 0: ANY measured drift persists the flag — the
+            # fixture increment is in-distribution, so this is how the
+            # lifecycle query makes the flag fire deterministically
+            ivf_centroid_append(
+                spark, path, incr,
+                append_id="daily", drift_threshold=0.0,
+            )
+            # the automated loop: reads the persisted flag, rebuilds
+            # (staged swap, serving throughout) or no-ops (an appended
+            # store whose drift was unmeasurable — NULL ratio — simply
+            # keeps serving the appended generation)
+            ivf_maintain(spark, path, e, max_iter=5)
+        elif not has_cents and incr.take(1):
+            # day-one bootstrap, same convention as the batch-append
+            # store: a first ingest BUILDS, it does not append
+            build_ivf_centroid_index(e, path, max_iter=5)
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    exact = similarity.brute_force_topk(e, queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sim_ivf_stream_ingest",
     oracle=_RECALL_ORACLE,
     doc="exactly-once STREAMING vector ingest: the persisted centroid-IVF "

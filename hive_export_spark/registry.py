@@ -116,6 +116,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # not in the r13 window, computed from CORRECTNESS_r*.json by
 # tools/evidence.py this round: 38 r8-era rows minus the 16 fills the
 # r13 window carries). Slot policy, changed-code first:
+# - llm_sim_ivf_maintained (NEW in r13 — the automated drift-to-rebuild
+#   maintenance lifecycle, never driver-checked: highest slot
+#   priority);
 # - the rows whose operator code changes in round 13 without a fresher
 #   driver row: llm_sim_ivf_incremental and llm_sim_ivf_compacted
 #   (ivf.py append-protocol hardening this round — unambiguous
@@ -124,7 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   rebuild; the other ivf.py consumers sit in THIS round's window and
 #   get r13 rows covering the new code);
 # - all 22 residual r8-era rows, registry order;
-# - 26 fill slots to the OLDEST remaining evidence: r9-era rows in
+# - 25 fill slots to the OLDEST remaining evidence: r9-era rows in
 #   registry order.
 # Closure invariant after r14 lands green: nothing older than r9.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -133,6 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND14_HEAD: tuple[str, ...] = (
+    # never-driver-checked r13 lifecycle query (1):
+    "llm_sim_ivf_maintained",
     # round-13 changed-code rows (2):
     "llm_sim_ivf_incremental",
     "llm_sim_ivf_compacted",
@@ -185,7 +190,6 @@ ROUND14_HEAD: tuple[str, ...] = (
     "fn_explode_unnest",
     "fn_hash_family",
     "fn_map_family",
-    "fn_variant_family",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

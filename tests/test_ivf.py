@@ -870,6 +870,103 @@ def test_centroid_ivf_append_drift_signal(spark, tmp_path):
     assert persisted["append_id"] == "bad"
 
 
+def test_centroid_ivf_maintain_drift_to_rebuild(spark, tmp_path):
+    """r12 verdict ask #4: ivf_maintain READS the persisted
+    rebuild_recommended flags and ACTS — a drifted append triggers
+    exactly ONE staged-swap rebuild (the store serves probes during the
+    rebuild's long build phase), the scanned appends are marked
+    _REMEDIED, and subsequent maintenance calls no-op until a NEW
+    append flags drift against the new yardstick."""
+    import os
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_topk,
+        ivf_maintain,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "maint")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+
+    # healthy store, no appends: no-op
+    r0 = ivf_maintain(spark, path, base, n_centroids=2, max_iter=3)
+    assert r0 == {"scanned": 0, "flagged": [], "rebuilt": False}
+
+    # in-distribution append: committed but unflagged -> still no-op
+    indist = _mini_corpus(spark, n_per=10, id_base=1000)
+    s_ok = ivf_centroid_append(spark, path, indist, append_id="ok")
+    assert s_ok["rebuild_recommended"] is False
+    corpus1 = base.unionAll(indist)
+    r1 = ivf_maintain(spark, path, corpus1, n_centroids=2, max_iter=3)
+    assert r1 == {"scanned": 1, "flagged": [], "rebuilt": False}
+    assert not os.path.exists(path + "_append_stats/append-ok/_REMEDIED")
+
+    # drifted append: flag persists -> maintenance rebuilds EXACTLY ONCE,
+    # and the live store keeps serving during the staged build
+    drifted = _mini_corpus(spark, n_per=10, drifted=True, id_base=2000)
+    s_bad = ivf_centroid_append(spark, path, drifted, append_id="bad")
+    assert s_bad["rebuild_recommended"] is True
+    corpus2 = corpus1.unionAll(drifted)
+
+    real_rebuild = ivf_mod.rebuild_ivf_centroid_index
+    real_build = ivf_mod.build_ivf_centroid_index
+    counts = {"rebuilds": 0, "served": 0}
+    probe_q = base.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def counting_rebuild(spark_, index_path_, vectors_, **kw):
+        counts["rebuilds"] += 1
+        return real_rebuild(spark_, index_path_, vectors_, **kw)
+
+    def probing_build(vectors_, path_, **kw):
+        # fires during the rebuild's staged build: the LIVE store must
+        # still answer probes (no serving gap)
+        top = ivf_centroid_topk(spark, path, probe_q, k=3).collect()
+        assert top, "live store stopped serving during the staged build"
+        counts["served"] += 1
+        return real_build(vectors_, path_, **kw)
+
+    ivf_mod.rebuild_ivf_centroid_index = counting_rebuild
+    ivf_mod.build_ivf_centroid_index = probing_build
+    try:
+        r2 = ivf_maintain(spark, path, corpus2, n_centroids=2, max_iter=3)
+    finally:
+        ivf_mod.rebuild_ivf_centroid_index = real_rebuild
+        ivf_mod.build_ivf_centroid_index = real_build
+    assert r2["rebuilt"] is True
+    assert r2["flagged"] == ["bad"]
+    assert r2["scanned"] == 2  # 'ok' and 'bad' both committed, unremedied
+    assert counts == {"rebuilds": 1, "served": 1}
+    # every scanned append is marked remedied (the rebuild re-trained
+    # the yardstick — pre-rebuild drift is against a dead generation)
+    assert os.path.exists(path + "_append_stats/append-bad/_REMEDIED")
+    assert os.path.exists(path + "_append_stats/append-ok/_REMEDIED")
+    # the rebuilt store carries the full corpus and serves
+    assert spark.read.parquet(path).count() == 60
+    assert os.path.exists(path + "/_SUCCESS")
+
+    # exactly once: the next maintenance call no-ops
+    r3 = ivf_maintain(spark, path, corpus2, n_centroids=2, max_iter=3)
+    assert r3 == {"scanned": 0, "flagged": [], "rebuilt": False}
+
+    # a NEW drifted append against the NEW yardstick re-arms the loop
+    drifted2 = spark.createDataFrame(
+        [(3000 + i, [-50.0, 40.0 + (i % 5) * 0.01, -60.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    s_bad2 = ivf_centroid_append(spark, path, drifted2, append_id="bad2")
+    assert s_bad2["rebuild_recommended"] is True
+    r4 = ivf_maintain(
+        spark, path, corpus2.unionAll(drifted2), n_centroids=2, max_iter=3
+    )
+    assert r4["rebuilt"] is True
+    assert r4["flagged"] == ["bad2"]
+
+
 def test_centroid_ivf_corrupt_store_fails_loudly(spark, tmp_path):
     """r11 verdict nit #2: only AnalysisException (PATH_NOT_FOUND /
     UNABLE_TO_INFER_SCHEMA) means 'empty index'. A store whose centroid
