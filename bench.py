@@ -95,8 +95,9 @@ HEADLINE = [
 def _calibration_wall(spark) -> float:
     """Fixed-work CPU+shuffle yardstick (r11 verdict ask #4): a
     deterministic ``spark.range`` hash aggregate whose cost is
-    INDEPENDENT of sf — 64M xxhash64 rows reduced through a 1024-bucket
-    shuffle with map-side partials. Run at leg start AND end and
+    INDEPENDENT of sf — 128M xxhash64 rows (the range below; r12
+    advisory #3 fixed this prose, which used to say 64M) reduced
+    through a 1024-bucket shuffle with map-side partials. Run at leg start AND end and
     recorded in the artifact, so cross-round per-query deltas can be
     normalized for ambient box drift (r11's uniform ±12–33 % drift on
     untouched queries had no in-band yardstick and made absolute
@@ -243,6 +244,12 @@ def main() -> None:
                 # deltas as ambient drift vs real regression
                 "calibration_start_sec": calibration_start,
                 "calibration_end_sec": calibration_end,
+                # the cross-round comparison point (r12 verdict ask #7):
+                # min of the two endpoint probes — in-leg interference
+                # only ever INFLATES the fixed-work wall (r12's leg
+                # drifted 0.49 -> 0.392 between endpoints), so the min
+                # is the leg's cleanest estimate of box speed
+                "calibration_sec": min(calibration_start, calibration_end),
                 "load_pre_startup": round(load_pre_startup, 2),
                 "load_1m_start": round(load_start[0], 2),
                 "load_5m_start": round(load_start[1], 2),
