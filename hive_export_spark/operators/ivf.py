@@ -569,7 +569,59 @@ class ConcurrentAppendError(RuntimeError):
     """Two attempts of the SAME append id raced (see _append_lease)."""
 
 
+class ConcurrentRebuildError(RuntimeError):
+    """Two rebuilds (or drift-maintenance runs) of one store raced —
+    see _exclusive_lease's callers in rebuild_ivf_centroid_index and
+    ivf_maintain."""
+
+
 @contextmanager
+def _exclusive_lease(
+    spark: SparkSession,
+    lease: str,
+    timeout_sec: float,
+    what: str,
+    exc: type[RuntimeError],
+):
+    """Marker-file mutual exclusion for one store-mutating protocol.
+
+    The lease is claimed with ``FileSystem.createNewFile``
+    (create-no-overwrite — atomic on HDFS/local; best-effort on s3a,
+    same caveat as the protocols' renames). A second attempt while the
+    lease is live REFUSES with the serialization contract spelled out.
+    A lease older than ``timeout_sec`` is presumed abandoned by a
+    hard-killed holder (a Python-level crash releases via the finally
+    below) and is reclaimed — so a kill -9'd holder delays the retry by
+    at most the timeout, it never wedges the protocol forever.
+    """
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    fs, jlease = _fs_for(spark, lease)
+    jvm = spark._jvm
+    if fs.exists(jlease):
+        age_ms = jvm.System.currentTimeMillis() - fs.getFileStatus(
+            jlease
+        ).getModificationTime()
+        if age_ms < timeout_sec * 1000:
+            raise exc(
+                f"{what} is already in flight (lease {lease!r}, "
+                f"{age_ms / 1000:.0f}s old < timeout {timeout_sec:.0f}s): "
+                "concurrent attempts must be serialized; wait for the "
+                "holder (or the timeout)"
+            )
+        fs.delete(jlease, False)
+    if not fs.createNewFile(jlease):
+        # lost the creation race to a concurrent attempt
+        raise exc(
+            f"{what} lease {lease!r} was claimed concurrently: "
+            "concurrent attempts must be serialized"
+        )
+    try:
+        yield
+    finally:
+        fs.delete(jlease, False)
+
+
 def _append_lease(
     spark: SparkSession, index_path: str, append_id: str, timeout_sec: float
 ):
@@ -579,49 +631,18 @@ def _append_lease(
     attempts of the same id running CONCURRENTLY can interleave recovery
     and file-moves (attempt B's recovery deletes files attempt A just
     moved, then both move their own staged copies — duplicates).
-    Distinct ids compose fine; only same-id races need coordination.
-
-    The lease is a marker file beside the append's stats dir
-    (``<path>_append_stats/append-<id>.lease``), claimed with
-    ``FileSystem.createNewFile`` (create-no-overwrite — atomic on
-    HDFS/local; best-effort on s3a, same caveat as the protocol's
-    renames). A second attempt while the lease is live REFUSES with the
-    serialization contract spelled out. A lease older than
-    ``timeout_sec`` is presumed abandoned by a hard-killed holder
-    (a Python-level crash releases via the finally below) and is
-    reclaimed — so a kill -9'd append delays its retry by at most the
-    timeout, it never wedges the id forever.
+    Distinct ids compose fine; only same-id races need coordination. The
+    lease file lives beside the append's stats dir
+    (``<path>_append_stats/append-<id>.lease``); mechanics in
+    _exclusive_lease.
     """
-    from hive_export_spark.operators.maintenance import _fs_for
-
-    lease = (
-        index_path.rstrip("/") + f"_append_stats/append-{append_id}.lease"
+    return _exclusive_lease(
+        spark,
+        index_path.rstrip("/") + f"_append_stats/append-{append_id}.lease",
+        timeout_sec,
+        f"append {append_id!r}",
+        ConcurrentAppendError,
     )
-    fs, jlease = _fs_for(spark, lease)
-    jvm = spark._jvm
-    if fs.exists(jlease):
-        age_ms = jvm.System.currentTimeMillis() - fs.getFileStatus(
-            jlease
-        ).getModificationTime()
-        if age_ms < timeout_sec * 1000:
-            raise ConcurrentAppendError(
-                f"append {append_id!r} is already in flight (lease "
-                f"{lease!r}, {age_ms / 1000:.0f}s old < timeout "
-                f"{timeout_sec:.0f}s): retries of one append id must be "
-                "serialized; wait for the holder (or the timeout) — "
-                "distinct append ids compose without coordination"
-            )
-        fs.delete(jlease, False)
-    if not fs.createNewFile(jlease):
-        # lost the creation race to a concurrent attempt
-        raise ConcurrentAppendError(
-            f"append {append_id!r} lease {lease!r} was claimed "
-            "concurrently: retries of one append id must be serialized"
-        )
-    try:
-        yield
-    finally:
-        fs.delete(jlease, False)
 
 
 def ivf_centroid_append(
@@ -957,6 +978,7 @@ def rebuild_ivf_centroid_index(
     n_centroids: int | None = None,
     max_iter: int = 5,
     train_rows_per_centroid: int = 256,
+    lease_timeout_sec: float = 21600.0,
 ) -> None:
     """Full index rebuild WITHOUT a serving gap — the remedy the append's
     ``rebuild_recommended`` drift flag points at, engineered end to end
@@ -1005,40 +1027,57 @@ def rebuild_ivf_centroid_index(
     still no-ops afterwards. Rebuilding from a source that EXCLUDES a
     committed append is a lineage reset — clear ``<path>_append_stats``
     then, or the excluded increment's retry will be silently skipped.
+
+    CONCURRENT rebuilds of one store are refused (r13): the stale-
+    staging cleanup below would delete a racing rebuild's in-progress
+    staging tiers, and two swap sequences would interleave backups —
+    the whole protocol runs under ``<path>.rebuild.lease``
+    (ConcurrentRebuildError; mechanics in _exclusive_lease). The
+    default timeout is generous (6 h) because the lease mtime is set
+    once at claim time and a rebuild is corpus-sized — a timeout
+    shorter than the build would let a second attempt reclaim a LIVE
+    holder's lease mid-build.
     """
     from hive_export_spark.operators.maintenance import _fs_for
 
-    staging_root = index_path.rstrip("/") + ".rebuilding"
-    suffixes = ("_centroids", "_stats", "_coarse", "")
-    for suffix in suffixes:
-        for stale in (
-            staging_root + suffix,
-            index_path.rstrip("/") + suffix + ".pre_rebuild",
-        ):
-            fs, jstale = _fs_for(spark, stale)
-            if fs.exists(jstale):
-                fs.delete(jstale, True)
-    build_ivf_centroid_index(
-        vectors,
-        staging_root,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_centroids=n_centroids,
-        max_iter=max_iter,
-        train_rows_per_centroid=train_rows_per_centroid,
-    )
-    # gate OPEN before the first live mutation (same contract as the
-    # in-place build): any crash inside the swap window reads as
-    # incomplete, never as stale-complete
-    fs, success = _fs_for(spark, index_path.rstrip("/") + "/_SUCCESS")
-    if fs.exists(success):
-        fs.delete(success, False)
-    for suffix in suffixes:
-        _swap_tier(
-            spark,
-            index_path.rstrip("/") + suffix,
-            staging_root + suffix,
+    with _exclusive_lease(
+        spark,
+        index_path.rstrip("/") + ".rebuild.lease",
+        lease_timeout_sec,
+        f"rebuild of {index_path!r}",
+        ConcurrentRebuildError,
+    ):
+        staging_root = index_path.rstrip("/") + ".rebuilding"
+        suffixes = ("_centroids", "_stats", "_coarse", "")
+        for suffix in suffixes:
+            for stale in (
+                staging_root + suffix,
+                index_path.rstrip("/") + suffix + ".pre_rebuild",
+            ):
+                fs, jstale = _fs_for(spark, stale)
+                if fs.exists(jstale):
+                    fs.delete(jstale, True)
+        build_ivf_centroid_index(
+            vectors,
+            staging_root,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            max_iter=max_iter,
+            train_rows_per_centroid=train_rows_per_centroid,
         )
+        # gate OPEN before the first live mutation (same contract as the
+        # in-place build): any crash inside the swap window reads as
+        # incomplete, never as stale-complete
+        fs, success = _fs_for(spark, index_path.rstrip("/") + "/_SUCCESS")
+        if fs.exists(success):
+            fs.delete(success, False)
+        for suffix in suffixes:
+            _swap_tier(
+                spark,
+                index_path.rstrip("/") + suffix,
+                staging_root + suffix,
+            )
 
 
 def ivf_maintain(
@@ -1050,6 +1089,7 @@ def ivf_maintain(
     n_centroids: int | None = None,
     max_iter: int = 5,
     train_rows_per_centroid: int = 256,
+    lease_timeout_sec: float = 21600.0,
 ) -> dict:
     """Close the drift loop (r12 verdict ask #4): READ the persisted
     ``rebuild_recommended`` flags and ACT on them.
@@ -1083,47 +1123,67 @@ def ivf_maintain(
 
     Returns {"scanned": n_committed, "flagged": [append ids],
     "rebuilt": bool}.
+
+    CONCURRENT maintenance runs of one store are refused (r13): the
+    whole scan-decide-act sequence holds ``<path>.maintain.lease``
+    (ConcurrentRebuildError; mechanics in _exclusive_lease), so two
+    schedulers cannot both read the same flag and rebuild twice — and
+    the scan-to-mark window cannot interleave with another run's marks.
+    The nested rebuild additionally holds its own ``.rebuild.lease``
+    (distinct file, no self-deadlock), which also serializes a
+    maintenance rebuild against a DIRECT rebuild call.
     """
     from hive_export_spark.operators.maintenance import _fs_for
 
-    stats_root = index_path.rstrip("/") + "_append_stats"
-    fs, jroot = _fs_for(spark, stats_root)
-    scanned: list[str] = []
-    flagged: list[str] = []
-    if fs.exists(jroot):
-        jvm = spark._jvm
-        for status in fs.listStatus(jroot):
-            if not status.isDirectory():
-                continue  # .lease files live beside the stats dirs
-            name = status.getPath().getName()
-            if not name.startswith("append-"):
-                continue
-            d = status.getPath()
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_SUCCESS")):
-                continue  # torn append: not committed, nothing to remedy
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_REMEDIED")):
-                continue  # already remedied by an earlier maintenance run
-            scanned.append(name)
-            row = spark.read.parquet(d.toString()).first()
-            if row is not None and row["rebuild_recommended"]:
-                flagged.append(row["append_id"])
-    if not flagged:
-        return {"scanned": len(scanned), "flagged": [], "rebuilt": False}
-    rebuild_ivf_centroid_index(
+    with _exclusive_lease(
         spark,
-        index_path,
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_centroids=n_centroids,
-        max_iter=max_iter,
-        train_rows_per_centroid=train_rows_per_centroid,
-    )
-    from hive_export_spark.sources.files import fs_touch
+        index_path.rstrip("/") + ".maintain.lease",
+        lease_timeout_sec,
+        f"maintenance of {index_path!r}",
+        ConcurrentRebuildError,
+    ):
+        stats_root = index_path.rstrip("/") + "_append_stats"
+        fs, jroot = _fs_for(spark, stats_root)
+        scanned: list[str] = []
+        flagged: list[str] = []
+        if fs.exists(jroot):
+            jvm = spark._jvm
+            for status in fs.listStatus(jroot):
+                if not status.isDirectory():
+                    continue  # .lease files live beside the stats dirs
+                name = status.getPath().getName()
+                if not name.startswith("append-"):
+                    continue
+                d = status.getPath()
+                if not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(d, "_SUCCESS")
+                ):
+                    continue  # torn append: not committed, nothing to remedy
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(d, "_REMEDIED")
+                ):
+                    continue  # already remedied by an earlier run
+                scanned.append(name)
+                row = spark.read.parquet(d.toString()).first()
+                if row is not None and row["rebuild_recommended"]:
+                    flagged.append(row["append_id"])
+        if not flagged:
+            return {"scanned": len(scanned), "flagged": [], "rebuilt": False}
+        rebuild_ivf_centroid_index(
+            spark,
+            index_path,
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            max_iter=max_iter,
+            train_rows_per_centroid=train_rows_per_centroid,
+        )
+        from hive_export_spark.sources.files import fs_touch
 
-    for name in scanned:
-        fs_touch(spark, f"{stats_root}/{name}/_REMEDIED")
-    return {"scanned": len(scanned), "flagged": flagged, "rebuilt": True}
+        for name in scanned:
+            fs_touch(spark, f"{stats_root}/{name}/_REMEDIED")
+        return {"scanned": len(scanned), "flagged": flagged, "rebuilt": True}
 
 
 def compact_ivf_centroid_index(

@@ -967,6 +967,98 @@ def test_centroid_ivf_maintain_drift_to_rebuild(spark, tmp_path):
     assert r4["flagged"] == ["bad2"]
 
 
+def test_centroid_ivf_concurrent_rebuild_and_maintain_refused(spark, tmp_path):
+    """r13: automating the drift trigger makes RACING rebuilds plausible
+    (two schedulers calling ivf_maintain) — and a racer's stale-staging
+    cleanup would delete the in-progress staging build of the first.
+    Both rebuild_ivf_centroid_index and ivf_maintain now hold exclusive
+    leases: the second concurrent attempt refuses with
+    ConcurrentRebuildError, a failed attempt releases immediately, and
+    a direct rebuild is also serialized against a maintenance rebuild."""
+    import os
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        ConcurrentRebuildError,
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_maintain,
+        rebuild_ivf_centroid_index,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "rr")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+
+    # --- a second rebuild launched while the first is mid-build refuses
+    real_build = ivf_mod.build_ivf_centroid_index
+    raced: dict = {}
+
+    def racing_build(vectors_, path_, **kw):
+        if "err" not in raced:
+            raced["err"] = None
+            try:
+                rebuild_ivf_centroid_index(
+                    spark, path, base, n_centroids=2, max_iter=2
+                )
+            except ConcurrentRebuildError as e:
+                raced["err"] = e
+        return real_build(vectors_, path_, **kw)
+
+    ivf_mod.build_ivf_centroid_index = racing_build
+    try:
+        rebuild_ivf_centroid_index(spark, path, base, n_centroids=2, max_iter=2)
+    finally:
+        ivf_mod.build_ivf_centroid_index = real_build
+    assert isinstance(raced.get("err"), ConcurrentRebuildError)
+    assert "rebuild" in str(raced["err"])
+    # the winning rebuild completed and released its lease
+    assert os.path.exists(path + "/_SUCCESS")
+    assert not os.path.exists(path + ".rebuild.lease")
+
+    # --- a crashed rebuild releases the lease immediately (finally)
+    def exploding_build(vectors_, path_, **kw):
+        raise RuntimeError("injected rebuild crash")
+
+    ivf_mod.build_ivf_centroid_index = exploding_build
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            rebuild_ivf_centroid_index(spark, path, base, n_centroids=2)
+    finally:
+        ivf_mod.build_ivf_centroid_index = real_build
+    assert not os.path.exists(path + ".rebuild.lease")
+    rebuild_ivf_centroid_index(spark, path, base, n_centroids=2, max_iter=2)
+
+    # --- two maintenance runs racing: the drifted flag rebuilds once,
+    # the racer refuses instead of double-rebuilding
+    drifted = _mini_corpus(spark, n_per=10, drifted=True, id_base=2000)
+    ivf_centroid_append(spark, path, drifted, append_id="bad")
+    corpus = base.unionAll(drifted)
+    real_rebuild = ivf_mod.rebuild_ivf_centroid_index
+
+    def racing_rebuild(spark_, index_path_, vectors_, **kw):
+        if "m_err" not in raced:
+            raced["m_err"] = None
+            try:
+                ivf_maintain(spark_, path, corpus, n_centroids=2, max_iter=2)
+            except ConcurrentRebuildError as e:
+                raced["m_err"] = e
+        return real_rebuild(spark_, index_path_, vectors_, **kw)
+
+    ivf_mod.rebuild_ivf_centroid_index = racing_rebuild
+    try:
+        r = ivf_maintain(spark, path, corpus, n_centroids=2, max_iter=2)
+    finally:
+        ivf_mod.rebuild_ivf_centroid_index = real_rebuild
+    assert r["rebuilt"] is True
+    assert isinstance(raced.get("m_err"), ConcurrentRebuildError)
+    assert "maintenance" in str(raced["m_err"])
+    assert not os.path.exists(path + ".maintain.lease")
+    # exactly one rebuild happened: the flag is remedied, next call no-ops
+    r2 = ivf_maintain(spark, path, corpus, n_centroids=2, max_iter=2)
+    assert r2 == {"scanned": 0, "flagged": [], "rebuilt": False}
+
+
 def test_centroid_ivf_corrupt_store_fails_loudly(spark, tmp_path):
     """r11 verdict nit #2: only AnalysisException (PATH_NOT_FOUND /
     UNABLE_TO_INFER_SCHEMA) means 'empty index'. A store whose centroid
