@@ -218,12 +218,24 @@ def _append_stats_dir(index_path: str, append_id: str) -> str:
     return index_path.rstrip("/") + f"_append_stats/append-{append_id}"
 
 
+def _deletes_path(index_path: str) -> str:
+    """The tombstone tier: one ``delete-<id>/`` parquet dir per
+    committed delete batch, probe-side anti-joined (see
+    ivf_centroid_delete). Lives OUTSIDE both data tiers so compaction's
+    whole-directory swaps cannot erase takedowns."""
+    return index_path.rstrip("/") + "_deletes"
+
+
+def _delete_batch_dir(index_path: str, delete_id: str) -> str:
+    return _deletes_path(index_path) + f"/delete-{delete_id}"
+
+
 import re as _re
 
 _APPEND_ID_RE = _re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,199}$")
 
 
-def _validate_append_id(append_id: str) -> None:
+def _validate_append_id(append_id: str, kind: str = "append_id") -> None:
     """Reject append ids that would break the append protocol's path
     layout or its file-name manifest (r12 advisory #2):
 
@@ -244,11 +256,11 @@ def _validate_append_id(append_id: str) -> None:
     """
     if not _APPEND_ID_RE.match(append_id):
         raise ValueError(
-            f"invalid append_id {append_id!r}: must match "
+            f"invalid {kind} {append_id!r}: must match "
             "[A-Za-z0-9][A-Za-z0-9_-]{0,199} — alphanumerics, '-' and "
             "'_' only, starting alphanumeric (path separators, dots, "
-            "whitespace and leading '_'/'.' break the append protocol's "
-            "stats-dir layout and file-name manifest)"
+            "whitespace and leading '_'/'.' break the protocol's "
+            "directory layout and file-name manifest)"
         )
 
 
@@ -450,6 +462,13 @@ def build_ivf_centroid_index(
     fs_stats, jstats = _fs_for(spark, path.rstrip("/") + "_append_stats")
     if fs_stats.exists(jstats):
         fs_stats.delete(jstats, True)
+    # ...and the tombstone tier with them: the overwrite regenerates the
+    # store from ``vectors`` (the source of truth — deleted rows must
+    # already be absent from it), and a stale tombstone would silently
+    # mask a legitimately re-added id (see ivf_centroid_delete).
+    fs_del, jdel = _fs_for(spark, _deletes_path(path))
+    if fs_del.exists(jdel):
+        fs_del.delete(jdel, True)
     cents.write.mode("overwrite").parquet(_centroids_path(path))
     # per-cluster dispersion over the FULL corpus assignment (one extra
     # map-side-partial aggregate on rows already being scanned for the
@@ -938,6 +957,148 @@ def ivf_centroid_append(
         return stats
 
 
+class ConcurrentDeleteError(RuntimeError):
+    """Two attempts of the SAME delete id raced (see ivf_centroid_delete)."""
+
+
+def ivf_centroid_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    delete_id: str | None = None,
+    lease_timeout_sec: float = 900.0,
+) -> dict:
+    """Tombstone-delete vectors from the persisted two-tier index —
+    takedowns, dedup purges, and right-to-be-forgotten removal are
+    routine in a training-data pipeline, and until this entry the store
+    could only grow (r13; FAISS ``remove_ids`` is the shape parity).
+
+    Cost is O(deletes): the id set is written as ONE parquet batch under
+    the tombstone tier ``<path>_deletes/delete-<id>/`` — neither data
+    tier is read or touched. Probes (``ivf_centroid_topk``) anti-join
+    their candidates against the (broadcast — tombstones are small by
+    nature) union of committed tombstone batches BEFORE shortlist/rank,
+    so deleted vectors neither appear in results nor crowd out live
+    candidates. Tombstoning an id the store never held is inert.
+
+    Commit protocol (simpler than the append's — there are no per-file
+    moves to recover): the batch dir is ONE idempotent overwrite whose
+    writer-committed ``_SUCCESS`` is the commit marker, executed under
+    a per-id lease (``<path>_deletes/_delete-<id>.lease`` —
+    underscore-prefixed so tombstone readers ignore it;
+    ConcurrentDeleteError on contention, same mechanics as the append
+    lease). ``delete_id=None`` derives the same content-addressed id
+    shape as appends (count + bit_xor(xxhash64) — blind retries
+    idempotent); explicit ids are validated against the same safe
+    charset. An EMPTY id set with an explicit id commits its marker
+    (first-commit-wins, mirroring the append's r13 semantics); the
+    content-addressed empty path writes nothing. A committed re-run
+    returns the persisted receipt and touches nothing.
+
+    Lifecycle composition:
+    - tombstones MASK rows; they are applied physically only when the
+      store is regenerated. ``rebuild_ivf_centroid_index`` CLEARS the
+      tombstone tier after its swaps (its ``vectors`` is the source of
+      truth and must already exclude deleted rows — keeping stale
+      tombstones would silently mask a legitimately re-added id); a
+      crash between swap and clear fails SAFE for takedowns
+      (over-hiding until the rebuild re-runs). The in-place build's
+      lineage reset clears it for the same reason.
+    - compaction rewrites data files and leaves the tombstone tier
+      alone (it lives outside both tiers); physically applying
+      tombstones at compaction time is deliberate future work — probes
+      are already exact without it.
+    - RE-ADDING a tombstoned id via append does NOT resurrect it: the
+      tombstone wins until the next rebuild. Takedown-then-readd
+      pipelines must rebuild between the two.
+
+    Raises on a store with no trained centroid table (same day-zero
+    contract as the append): accepting a takedown against a store that
+    does not exist would be silently dropped by the next build's
+    lineage reset — fail loudly instead.
+
+    Returns {"delete_id": ..., "n_ids": ...}.
+    """
+    try:
+        cents = spark.read.parquet(_centroids_path(index_path))
+        has_centroids = bool(cents.take(1))
+    except AnalysisException:  # PATH_NOT_FOUND / no data files ONLY
+        has_centroids = False
+    if not has_centroids:
+        raise ValueError(
+            f"no trained centroid table at {_centroids_path(index_path)!r}"
+            " — there is no store to delete from (a tombstone accepted "
+            "here would be silently dropped by the next build's lineage "
+            "reset); build_ivf_centroid_index first"
+        )
+    explicit_id = delete_id is not None
+    if explicit_id:
+        _validate_append_id(delete_id, kind="delete_id")
+    dels = ids.select(id_col)
+    n_ids: int | None = None
+    if delete_id is None:
+        ident = dels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("xr"),
+        ).first()
+        n_ids = int(ident["n"])
+        delete_id = f"{n_ids}x{(ident['xr'] or 0) & (2**64 - 1):016x}"
+    batch_dir = _delete_batch_dir(index_path, delete_id)
+
+    from hive_export_spark.sources.files import fs_exists
+
+    if fs_exists(spark, batch_dir + "/_SUCCESS"):
+        # committed re-run: return the persisted receipt, touch nothing
+        return {
+            "delete_id": delete_id,
+            "n_ids": spark.read.parquet(batch_dir).count(),
+        }
+    with _exclusive_lease(
+        spark,
+        _deletes_path(index_path) + f"/_delete-{delete_id}.lease",
+        lease_timeout_sec,
+        f"delete {delete_id!r}",
+        ConcurrentDeleteError,
+    ):
+        if n_ids is None:
+            n_ids = dels.count()
+        if n_ids == 0 and not explicit_id:
+            # content-addressed empty delete: nothing a marker would
+            # dedupe (the empty id set always derives the same id)
+            return {"delete_id": delete_id, "n_ids": 0}
+        # ONE idempotent overwrite; its _SUCCESS is the commit marker.
+        # distinct() keeps re-submitted id lists from growing the
+        # tombstone scan; tombstone batches are O(deletes) by contract.
+        (
+            dels.distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(batch_dir)
+        )
+        return {"delete_id": delete_id, "n_ids": n_ids}
+
+
+def _read_tombstones(
+    spark: SparkSession, index_path: str, id_col: str
+) -> DataFrame | None:
+    """The union of committed tombstone batches, or None when the store
+    has none. recursiveFileLookup reads every ``delete-<id>/`` batch in
+    one scan (underscore-prefixed lease/marker files are invisible to
+    the reader); a torn batch write can only surface a PREFIX of its
+    ids — over- or early-hiding is impossible (the files hold exactly
+    the requested ids) and the re-run completes it."""
+    try:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(_deletes_path(index_path))
+            .select(id_col)
+            .distinct()
+        )
+    except AnalysisException:  # no tombstone tier / no data files
+        return None
+
+
 def _swap_tier(spark: SparkSession, live: str, staging: str) -> None:
     """Move a freshly-built staging tier into place: live → .pre_rebuild
     backup, staging → live, delete backup. Restore-on-failure mirrors
@@ -1027,6 +1188,12 @@ def rebuild_ivf_centroid_index(
     still no-ops afterwards. Rebuilding from a source that EXCLUDES a
     committed append is a lineage reset — clear ``<path>_append_stats``
     then, or the excluded increment's retry will be silently skipped.
+    The TOMBSTONE tier (``<path>_deletes``) is CLEARED after the swaps,
+    by the opposite logic: the new generation's rows come from
+    ``vectors`` (which must already exclude deleted ids), so committed
+    tombstones become stale masks that would hide a legitimately
+    re-added id; the clear runs LAST so a crash fails safe (over-hides)
+    for takedowns.
 
     CONCURRENT rebuilds of one store are refused (r13): the stale-
     staging cleanup below would delete a racing rebuild's in-progress
@@ -1078,6 +1245,15 @@ def rebuild_ivf_centroid_index(
                 index_path.rstrip("/") + suffix,
                 staging_root + suffix,
             )
+        # the new generation was built from ``vectors`` (which must
+        # already exclude deleted rows), so committed tombstones are
+        # now stale masks — clear them LAST: a crash between the swaps
+        # and this delete fails SAFE for takedowns (over-hiding until
+        # the rebuild re-runs), never the other direction (see
+        # ivf_centroid_delete's lifecycle notes).
+        fs_del, jdel = _fs_for(spark, _deletes_path(index_path))
+        if fs_del.exists(jdel):
+            fs_del.delete(jdel, True)
 
 
 def ivf_maintain(
@@ -1395,10 +1571,20 @@ def ivf_centroid_topk(
         q.join(bucket_map.select(query_id_col).distinct(), query_id_col)
     )
 
+    # tombstoned ids (ivf_centroid_delete) are excluded AT THE SCAN, not
+    # after ranking — a deleted vector must neither appear in results
+    # nor crowd a live candidate out of the rerank shortlist. The
+    # anti-join side is the union of committed delete batches,
+    # O(deletes) by contract and broadcast like the centroid table.
+    tombstones = _read_tombstones(spark, index_path, id_col)
+
     if rerank is None:
         index = spark.read.parquet(index_path).filter(
             F.col("cid").isin(probe_cids)
         )
+        if tombstones is not None:
+            # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
+            index = index.join(F.broadcast(tombstones), id_col, "left_anti")
         # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
         candidates = index.join(F.broadcast(bucket_map), "cid").join(
             q_probed, query_id_col
@@ -1407,6 +1593,11 @@ def ivf_centroid_topk(
         coarse = spark.read.parquet(_coarse_path(index_path)).filter(
             F.col("cid").isin(probe_cids)
         )
+        if tombstones is not None:
+            # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
+            coarse = coarse.join(
+                F.broadcast(tombstones), id_col, "left_anti"
+            )
         approx = (
             # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
             coarse.join(F.broadcast(bucket_map), "cid")

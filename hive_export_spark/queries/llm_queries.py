@@ -1183,6 +1183,98 @@ def llm_sim_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_deleted",
+    oracle=_RECALL_ORACLE,
+    doc="takedown/purge on the persisted ANN store (r13 — the lifecycle "
+    "op a training-data pipeline needs for removals and "
+    "right-to-be-forgotten): build the centroid-IVF store on the "
+    "fixture-relative bottom 80% of vec_ids, APPEND the top 20% "
+    "(exactly-once protocol), then TOMBSTONE-delete the fixture-"
+    "relative pmod(vec_id,5)==3 slice spanning BOTH tiers via "
+    "operators.ivf.ivf_centroid_delete — one O(deletes) parquet batch "
+    "under <path>_deletes, neither data tier read or rewritten; probes "
+    "anti-join the broadcast tombstone union AT THE SCAN so deleted "
+    "vectors neither surface nor crowd the rerank shortlist. "
+    "Oracle-able formulation: per-query recall_ok = |IVF ∩ exact "
+    "top-10 over the corpus MINUS the deleted slice| >= 7 — a "
+    "tombstoned vector appearing (or a live one masked) drops recall; "
+    "the oracle lists the query ids with literal TRUE.",
+)
+def llm_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    # the takedown slice is fixture-relative and NULL-total: NULL ids
+    # are not deleted (they are unfindable by id anyway), pmod keeps
+    # the slice stable across scaled fixtures
+    is_del = F.coalesce(
+        F.pmod(F.col("vec_id"), F.lit(5)) == F.lit(3), F.lit(False)
+    )
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_del_v1", sf_dir), "idx"
+    )
+    marker = path + "/_DEL_DONE"
+    if not fs_exists(spark, marker):
+        # same fixture-relative 80/20 split as the incremental store
+        # (round-9 rule; NULL vec_ids route to the base)
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            ivf_centroid_append(spark, path, incr, append_id="daily")
+        elif not has_cents and incr.take(1):
+            # day-one bootstrap, same convention as the batch-append
+            # store: a first ingest BUILDS, it does not append
+            build_ivf_centroid_index(e, path, max_iter=5)
+        # the takedown: only when the store holds something to hide —
+        # ivf_centroid_delete correctly REFUSES a tombstone against a
+        # store with no trained centroids (it would be silently dropped
+        # by the next build's lineage reset)
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        del_ids = e.filter(is_del).select("vec_id")
+        if has_cents and del_ids.take(1):
+            ivf_centroid_delete(
+                spark, path, del_ids, delete_id="takedown-1"
+            )
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    # the exact bar is the LIVE corpus: deleted vectors are not
+    # achievable targets on either side
+    exact = similarity.brute_force_topk(e.filter(~is_del), queries, k=10)
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sim_ivf_stream_ingest",
     oracle=_RECALL_ORACLE,
     doc="exactly-once STREAMING vector ingest: the persisted centroid-IVF "

@@ -116,9 +116,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # not in the r13 window, computed from CORRECTNESS_r*.json by
 # tools/evidence.py this round: 38 r8-era rows minus the 16 fills the
 # r13 window carries). Slot policy, changed-code first:
-# - llm_sim_ivf_maintained (NEW in r13 — the automated drift-to-rebuild
-#   maintenance lifecycle, never driver-checked: highest slot
-#   priority);
+# - llm_sim_ivf_maintained and llm_sim_ivf_deleted (NEW in r13 — the
+#   automated drift-to-rebuild maintenance lifecycle and the
+#   tombstone-delete takedown lifecycle, never driver-checked: highest
+#   slot priority);
 # - the rows whose operator code changes in round 13 without a fresher
 #   driver row: llm_sim_ivf_incremental and llm_sim_ivf_compacted
 #   (ivf.py append-protocol hardening this round — unambiguous
@@ -127,7 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   rebuild; the other ivf.py consumers sit in THIS round's window and
 #   get r13 rows covering the new code);
 # - all 22 residual r8-era rows, registry order;
-# - 25 fill slots to the OLDEST remaining evidence: r9-era rows in
+# - 24 fill slots to the OLDEST remaining evidence: r9-era rows in
 #   registry order.
 # Closure invariant after r14 lands green: nothing older than r9.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -136,8 +137,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND14_HEAD: tuple[str, ...] = (
-    # never-driver-checked r13 lifecycle query (1):
+    # never-driver-checked r13 lifecycle queries (2):
     "llm_sim_ivf_maintained",
+    "llm_sim_ivf_deleted",
     # round-13 changed-code rows (2):
     "llm_sim_ivf_incremental",
     "llm_sim_ivf_compacted",
@@ -189,7 +191,6 @@ ROUND14_HEAD: tuple[str, ...] = (
     "fn_conditional_family",
     "fn_explode_unnest",
     "fn_hash_family",
-    "fn_map_family",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

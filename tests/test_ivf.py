@@ -1059,6 +1059,120 @@ def test_centroid_ivf_concurrent_rebuild_and_maintain_refused(spark, tmp_path):
     assert r2 == {"scanned": 0, "flagged": [], "rebuilt": False}
 
 
+def test_centroid_ivf_tombstone_delete_lifecycle(spark, tmp_path):
+    """r13: tombstone deletes — O(deletes) takedown on the persisted
+    store. Deleted ids vanish from BOTH probe paths (direct and
+    two-tier rerank) without crowding live candidates; committed
+    re-runs no-op; content-addressed retries are idempotent; hostile
+    ids are rejected; day-zero deletes refuse; the rebuild clears the
+    tombstone tier (vectors supersede) and the in-place build's
+    lineage reset does too."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        ConcurrentDeleteError,
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+        rebuild_ivf_centroid_index,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    incr = _mini_corpus(spark, n_per=10, id_base=1000)
+    path = str(tmp_path / "del")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    ivf_centroid_append(spark, path, incr, append_id="day1")
+
+    # day-zero contract: no store -> refuse (the tombstone would be
+    # silently dropped by the next build's lineage reset)
+    with pytest.raises(ValueError, match="no store to delete from"):
+        ivf_centroid_delete(
+            spark, str(tmp_path / "nostore"), incr.select("vec_id")
+        )
+    # hostile id rejected before any write
+    with pytest.raises(ValueError, match="invalid delete_id"):
+        ivf_centroid_delete(
+            spark, path, incr.select("vec_id"), delete_id="../esc"
+        )
+
+    # tombstone ids from BOTH tiers (base evens 0..18, appended 1000..1004)
+    # plus an id the store never held (inert)
+    doomed = spark.createDataFrame(
+        [(i,) for i in range(0, 20, 2)]
+        + [(1000 + i,) for i in range(5)]
+        + [(999_999,)],
+        "vec_id long",
+    )
+    receipt = ivf_centroid_delete(spark, path, doomed, delete_id="take1")
+    assert receipt == {"delete_id": "take1", "n_ids": 16}
+
+    queries = base.unionAll(incr).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for rr in (None, 30):  # direct path AND two-tier rerank path
+        res = ivf_centroid_topk(spark, path, queries, k=50, rerank=rr)
+        got = {r["neighbor_id"] for r in res.collect()}
+        assert not any(
+            v in got for v in list(range(0, 20, 2)) + list(range(1000, 1005))
+        ), f"deleted ids surfaced (rerank={rr})"
+        # live vectors still found: the store serves everything else
+        assert {i for i in range(1, 20, 2)} <= got
+
+    # deleted ids do not CROWD the shortlist: a tiny rerank budget still
+    # returns live neighbors for a query nearest to a deleted vector
+    q0 = base.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_centroid_topk(spark, path, q0, k=3, rerank=3).collect()
+    # query 0's cluster is the even ids; evens 0-18 are tombstoned, so
+    # a shortlist of 3 must be filled by the LIVE evens (20-38) — a
+    # post-rank filter would have returned deleted ids or nothing
+    assert top and all(
+        r["neighbor_id"] >= 20 and r["neighbor_id"] % 2 == 0 for r in top
+    )
+
+    # committed re-run: pure no-op returning the persisted receipt
+    again = ivf_centroid_delete(
+        spark, path, doomed.limit(0), delete_id="take1"
+    )
+    assert again == {"delete_id": "take1", "n_ids": 16}
+    # content-addressed retry: same id, one tombstone batch
+    a1 = ivf_centroid_delete(spark, path, doomed)
+    a2 = ivf_centroid_delete(spark, path, doomed)
+    assert a1["delete_id"] == a2["delete_id"]
+    # explicit-id EMPTY delete commits (first-commit-wins)
+    e0 = ivf_centroid_delete(
+        spark, path, doomed.limit(0), delete_id="empty1"
+    )
+    assert e0 == {"delete_id": "empty1", "n_ids": 0}
+    assert os.path.exists(path + "_deletes/delete-empty1/_SUCCESS")
+    # a racing same-id delete refuses while the lease is held
+    lease = path + "_deletes/_delete-held.lease"
+    open(lease, "w").close()
+    with pytest.raises(ConcurrentDeleteError, match="in flight"):
+        ivf_centroid_delete(spark, path, doomed, delete_id="held")
+    os.remove(lease)
+
+    # REBUILD clears the tombstone tier: the new generation's corpus is
+    # the source of truth (here it re-adds id 0), so the mask must go
+    live = base.unionAll(incr).filter(
+        ~F.col("vec_id").isin([i for i in range(2, 20, 2)] + list(range(1001, 1005)))
+    )
+    rebuild_ivf_centroid_index(spark, path, live, n_centroids=2, max_iter=3)
+    assert not os.path.exists(path + "_deletes")
+    res = ivf_centroid_topk(spark, path, queries, k=60, rerank=30)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert 0 in got  # re-added by the rebuild, no stale mask
+    assert 2 not in got  # physically absent from the new generation
+
+    # the IN-PLACE build's lineage reset clears tombstones too
+    ivf_centroid_delete(spark, path, doomed, delete_id="take2")
+    assert os.path.exists(path + "_deletes/delete-take2/_SUCCESS")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    assert not os.path.exists(path + "_deletes")
+
+
 def test_centroid_ivf_corrupt_store_fails_loudly(spark, tmp_path):
     """r11 verdict nit #2: only AnalysisException (PATH_NOT_FOUND /
     UNABLE_TO_INFER_SCHEMA) means 'empty index'. A store whose centroid
