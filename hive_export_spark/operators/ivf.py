@@ -1594,8 +1594,8 @@ def ivf_centroid_topk(
             F.col("cid").isin(probe_cids)
         )
         if tombstones is not None:
-            # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
             coarse = coarse.join(
+                # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
                 F.broadcast(tombstones), id_col, "left_anti"
             )
         approx = (
