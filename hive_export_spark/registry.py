@@ -43,107 +43,23 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # representatives. Everything rotated out keeps its earlier green row as
 # evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 13 rotation: byte-for-byte the ROUND13_HEAD the r12
+    # --- round 14 rotation: byte-for-byte the ROUND14_HEAD the r13
     # rotation commit pinned and tests/test_registry_smoke.py
-    # machine-checked (length 50, all registered, disjoint from the r12
-    # window, superset of the post-r12 r7-era stale pool). Composition
+    # machine-checked (length 50, all registered, disjoint from the r13
+    # window, superset of the post-r13 r8-era stale pool). Composition
     # (slot policy, changed-code first): the two never-driver-checked
-    # r12 lifecycle queries (llm_sim_ivf_rebuilt,
-    # llm_sim_ivf_stream_ingest — the drift-triggered staged-swap
-    # rebuild and the exactly-once streaming-ingest composition), the
-    # 4 rows whose operator code changed in r12 without a fresher
-    # driver row (llm_sim_ivf_kmeans / llm_sim_ivf_pruned day-zero
-    # guard + rebuild crash-consistency; llm_kmeans_assign /
-    # llm_kmeans_iterate k-means|| canonicalization), all 28 r7-era
-    # rows, and 16 r8-era fills. After this window lands green, no
-    # query's newest driver evidence predates r8 (r12 verdict ask #1
-    # closure).
-    "llm_sim_ivf_rebuilt",
-    "llm_sim_ivf_stream_ingest",
-    "llm_sim_ivf_kmeans",
-    "llm_sim_ivf_pruned",
-    "llm_kmeans_assign",
-    "llm_kmeans_iterate",
-    "unpivot_stack",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "window_row_number",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_sliding_avg",
-    "window_ratio_to_report",
-    "fn_json_family",
-    "fn_try_family",
-    "fn_regexp_family",
-    "fn_printf_family",
-    "stats_mad_outliers",
-    "stats_winsorize",
-    "llm_sim_topk_bruteforce",
-    "llm_text_quality",
-    "llm_text_repetition",
-    "llm_text_langid",
-    "llm_multimodal_features",
-    "llm_intradoc_dedup",
-    "llm_text_normalize",
-    "llm_sample_mixture",
-    "ts_interpolate_linear",
-    "ts_bollinger_bands",
-    "join_left",
-    "join_right",
-    "join_asof",
-    "agg_cube",
-    "setop_intersect_all",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "fn_date_family",
-    "fn_explode_outer",
-    "fn_interval_family",
-)
-
-# ROUND-14 ROTATION HEAD (pinned NOW, per the standing r8 planning
-# discipline — exactly 50). After the r13 window lands, the residual
-# stale pool is exactly the 22 r8-era rows (newest driver row == r8 and
-# not in the r13 window, computed from CORRECTNESS_r*.json by
-# tools/evidence.py this round: 38 r8-era rows minus the 16 fills the
-# r13 window carries). Slot policy, changed-code first:
-# - llm_sim_ivf_maintained and llm_sim_ivf_deleted (NEW in r13 — the
-#   automated drift-to-rebuild maintenance lifecycle and the
-#   tombstone-delete takedown lifecycle, never driver-checked: highest
-#   slot priority);
-# - the rows whose operator code changes in round 13 without a fresher
-#   driver row: llm_sim_ivf_incremental and llm_sim_ivf_compacted
-#   (ivf.py append-protocol hardening this round — unambiguous
-#   `append-<id>.` file manifest token, append-id validation,
-#   same-append-id lease, append-stats lineage reset on in-place
-#   rebuild; the other ivf.py consumers sit in THIS round's window and
-#   get r13 rows covering the new code);
-# - all 22 residual r8-era rows, registry order;
-# - 24 fill slots to the OLDEST remaining evidence: r9-era rows in
-#   registry order.
-# Closure invariant after r14 lands green: nothing older than r9.
-# Machine-checked by tests/test_registry_smoke.py (length 50, all
-# registered, disjoint from THIS round's window, superset of the
-# post-r13 r8-era pool). NOT dead code: it is the r14 rotation's input,
-# consumed when DRIVER_WINDOW is rebuilt from it next round, then
-# deleted.
-ROUND14_HEAD: tuple[str, ...] = (
-    # never-driver-checked r13 lifecycle queries (2):
+    # r13 lifecycle queries (llm_sim_ivf_maintained — the automated
+    # drift-to-rebuild maintenance loop — and llm_sim_ivf_deleted — the
+    # tombstone-takedown lifecycle), the 2 rows whose operator code
+    # changed in r13 without a fresher driver row
+    # (llm_sim_ivf_incremental / llm_sim_ivf_compacted — the hardened
+    # append protocol), all 22 residual r8-era rows, and 24 r9-era
+    # fills. After this window lands green, no query's newest driver
+    # evidence predates r9 (r13 verdict ask #1 closure).
     "llm_sim_ivf_maintained",
     "llm_sim_ivf_deleted",
-    # round-13 changed-code rows (2):
     "llm_sim_ivf_incremental",
     "llm_sim_ivf_compacted",
-    # residual r8-era rows (22, registry order):
     "stats_ab_proportion_z",
     "stream_watermark_late_drop",
     "stream_union_sources",
@@ -166,7 +82,6 @@ ROUND14_HEAD: tuple[str, ...] = (
     "ts_delta_rate",
     "ts_linear_forecast",
     "ts_decompose_additive",
-    # r9-era fills (26, registry order):
     "source_partition_discovery",
     "parity_skip_internal_fields",
     "parity_base64_encode",
@@ -191,6 +106,87 @@ ROUND14_HEAD: tuple[str, ...] = (
     "fn_conditional_family",
     "fn_explode_unnest",
     "fn_hash_family",
+)
+
+# ROUND-15 ROTATION HEAD (pinned NOW, per the standing r8 planning
+# discipline — exactly 50). After the r14 window lands, the residual
+# stale pool is exactly the 24 r9-era rows (newest driver row == r9 and
+# not in the r14 window, computed from CORRECTNESS_r*.json by
+# tools/evidence.py this round: 48 r9-era rows minus the 24 fills the
+# r14 window carries). Slot policy, changed-code first:
+# - the rows whose operator code changes in round 14 without a fresher
+#   driver row: llm_sim_ivf_kmeans / llm_sim_ivf_pruned /
+#   llm_sim_ivf_rebuilt / llm_sim_ivf_stream_ingest (ivf.py lease
+#   liveness heartbeat + nonce-verified claims, tombstone broadcast
+#   guard, snapshot-scoped tombstone clears, one-job maintenance scan
+#   this round — the other ivf.py consumers sit in THIS round's window
+#   and get r14 rows covering the new code) and scale_compaction
+#   (operators/maintenance.py grows the compaction anti-join hook that
+#   makes tombstones physical);
+# - all 24 residual r9-era rows, registry order (llm_sim_ivf_topk is
+#   both r9-era and r14-changed-code — it sits in this block);
+# - 21 fill slots to the OLDEST remaining evidence: r10-era rows in
+#   registry order.
+# Closure invariant after r15 lands green: nothing older than r10.
+# Machine-checked by tests/test_registry_smoke.py (length 50, all
+# registered, disjoint from THIS round's window, superset of the
+# post-r14 r9-era pool). NOT dead code: it is the r15 rotation's input,
+# consumed when DRIVER_WINDOW is rebuilt from it next round, then
+# deleted.
+ROUND15_HEAD: tuple[str, ...] = (
+    # round-14 changed-code rows (5):
+    "llm_sim_ivf_kmeans",
+    "llm_sim_ivf_pruned",
+    "llm_sim_ivf_rebuilt",
+    "llm_sim_ivf_stream_ingest",
+    "scale_compaction",
+    # residual r9-era rows (24, registry order):
+    "fn_map_family",
+    "fn_variant_family",
+    "pivot_status_by_priority",
+    "agg_hll_sketch_union",
+    "agg_theta_sketch_intersect",
+    "agg_kll_quantile_merge",
+    "stream_tumbling_window",
+    "stream_dedup_keys",
+    "stream_export_e2e",
+    "stream_replay_exactly_once",
+    "udf_scalar_pandas",
+    "udf_grouped_map_pandas",
+    "udf_grouped_agg_pandas",
+    "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_embedding",
+    "llm_sim_lsh_topk",
+    "llm_sim_rp_lsh_topk",
+    "llm_sim_ivf_topk",
+    "llm_sample_fraction",
+    "scale_zorder_scan",
+    "scale_dpp_scan",
+    "graph_degree_assortativity",
+    # r10-era fills (21, registry order):
+    "fmt_roundtrip_orc",
+    "fmt_roundtrip_csv",
+    "fmt_roundtrip_json",
+    "source_formats_roundtrip",
+    "jdbc_roundtrip_derby",
+    "fmt_schema_evolution",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "subquery_correlated_exists",
+    "subquery_not_in_nulls",
+    "join_lateral_topk",
+    "window_ntile_first_last",
+    "window_distribution",
+    "window_range_frame",
+    "window_range_interval",
+    "fn_posexplode",
+    "fn_string_extra",
+    "fn_bitwise_family",
+    "agg_percentiles",
+    "agg_mode_deterministic",
+    "agg_collect_sorted",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

@@ -75,32 +75,32 @@ def test_driver_window_contract():
     ][:5]
 
 
-def test_round14_head_is_valid():
+def test_round15_head_is_valid():
     """The pinned next-round rotation head must be typo-free NOW — a
-    misspelled name would burn a driver slot when the r14 window is
+    misspelled name would burn a driver slot when the r15 window is
     rebuilt from it (round-8 planning discipline, r9 verdict ask #2)."""
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND14_HEAD
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND15_HEAD
 
     qs = all_queries()
-    assert len(ROUND14_HEAD) == 50
-    assert len(set(ROUND14_HEAD)) == 50
-    assert [n for n in ROUND14_HEAD if n not in qs] == []
+    assert len(ROUND15_HEAD) == 50
+    assert len(set(ROUND15_HEAD)) == 50
+    assert [n for n in ROUND15_HEAD if n not in qs] == []
     # a name already earning fresh evidence this round wastes a slot
-    assert set(ROUND14_HEAD) & set(DRIVER_WINDOW) == set()
+    assert set(ROUND15_HEAD) & set(DRIVER_WINDOW) == set()
 
 
-def test_round14_head_closes_the_stale_pool():
-    """After r13+r14 land green, no query's newest driver row may predate
-    r9 — the r14 head must therefore contain EVERY query whose newest
-    green CORRECTNESS row is r8 or older and which is not already in
+def test_round15_head_closes_the_stale_pool():
+    """After r14+r15 land green, no query's newest driver row may predate
+    r10 — the r15 head must therefore contain EVERY query whose newest
+    green CORRECTNESS row is r9 or older and which is not already in
     this round's window (evidence-closure invariant, r8 verdict ask #2,
-    extended per the r10-r12 verdict ask #1/#2)."""
+    extended per the r10-r13 verdict ask #1)."""
     import glob
     import json
     import os
     import re
 
-    from hive_export_spark.registry import DRIVER_WINDOW, ROUND14_HEAD
+    from hive_export_spark.registry import DRIVER_WINDOW, ROUND15_HEAD
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest: dict[str, int] = {}
@@ -118,6 +118,6 @@ def test_round14_head_closes_the_stale_pool():
     pool = {
         n
         for n in all_queries()
-        if newest.get(n, 0) <= 8 and n not in set(DRIVER_WINDOW)
+        if newest.get(n, 0) <= 9 and n not in set(DRIVER_WINDOW)
     }
-    assert pool <= set(ROUND14_HEAD), sorted(pool - set(ROUND14_HEAD))
+    assert pool <= set(ROUND15_HEAD), sorted(pool - set(ROUND15_HEAD))
