@@ -341,6 +341,7 @@ def build_ivf_centroid_index(
     n_centroids: int | None = None,
     max_iter: int = 5,
     train_rows_per_centroid: int = 256,
+    on_step=None,
 ) -> None:
     """Materialize the two-tier k-means-trained IVF layout. Idempotent
     overwrite, and a LINEAGE RESET: committed append markers under
@@ -375,8 +376,16 @@ def build_ivf_centroid_index(
     of every shortlist/top-k — same convention as the hyperplane variant.
     A zero vector's quantization scale divides by max|x| = 0, so its int8
     array is NULL too (try_divide), matching its undefined cosine.
+
+    ``on_step`` (optional zero-arg callable) fires after each
+    corpus-sized stage — k-means training and every tier write. The
+    staged rebuild passes its lease heartbeat here so the lease's
+    silence timeout measures gaps between stages, never the total
+    (corpus-sized) build runtime.
     """
     from hive_export_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    _step = on_step if on_step is not None else (lambda: None)
 
     # train on the vectors that HAVE a direction: an all-NULL-payload
     # corpus (failed embedding job) would otherwise hand kmeans_fit NULL
@@ -415,6 +424,7 @@ def build_ivf_centroid_index(
         train_set,
         k=n_centroids, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
     )
+    _step()
     cents = fitted.centroids.select(
         F.col("cluster_id"), F.col("centroid")
     )
@@ -462,14 +472,8 @@ def build_ivf_centroid_index(
     fs_stats, jstats = _fs_for(spark, path.rstrip("/") + "_append_stats")
     if fs_stats.exists(jstats):
         fs_stats.delete(jstats, True)
-    # ...and the tombstone tier with them: the overwrite regenerates the
-    # store from ``vectors`` (the source of truth — deleted rows must
-    # already be absent from it), and a stale tombstone would silently
-    # mask a legitimately re-added id (see ivf_centroid_delete).
-    fs_del, jdel = _fs_for(spark, _deletes_path(path))
-    if fs_del.exists(jdel):
-        fs_del.delete(jdel, True)
     cents.write.mode("overwrite").parquet(_centroids_path(path))
+    _step()
     # per-cluster dispersion over the FULL corpus assignment (one extra
     # map-side-partial aggregate on rows already being scanned for the
     # routed writes): the build-time yardstick ivf_centroid_append's
@@ -485,6 +489,7 @@ def build_ivf_centroid_index(
         .write.mode("overwrite")
         .parquet(_stats_path(path))
     )
+    _step()
     v = _as_double(F.col(vec_col))
     scale = F.try_divide(
         F.lit(127.0), F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -508,6 +513,7 @@ def build_ivf_centroid_index(
         .partitionBy("cid")
         .parquet(_coarse_path(path))
     )
+    _step()
     (
         indexed.repartition("cid")
         .sortWithinPartitions("cid", id_col)
@@ -515,6 +521,19 @@ def build_ivf_centroid_index(
         .partitionBy("cid")
         .parquet(path)
     )
+    # ...and the tombstone tier goes with the overwritten data tiers: the
+    # build regenerated the store from ``vectors`` (the source of truth —
+    # deleted rows must already be absent from it), so a surviving
+    # tombstone would silently mask a legitimately re-added id (see
+    # ivf_centroid_delete). The clear runs AFTER the final exact-tier
+    # write — mirroring the staged rebuild's clear-LAST ordering — so a
+    # crash anywhere mid-build leaves the OLD rows still masked: the
+    # stale-mask risk only begins once the new generation exists, while
+    # clearing first left taken-down rows visible to ungated probes from
+    # the crash until the build re-ran (r13 advisory #1).
+    fs_del, jdel = _fs_for(spark, _deletes_path(path))
+    if fs_del.exists(jdel):
+        fs_del.delete(jdel, True)
 
 
 def _delete_prefixed_files(spark: SparkSession, root: str, prefix: str) -> int:
@@ -594,6 +613,39 @@ class ConcurrentRebuildError(RuntimeError):
     ivf_maintain."""
 
 
+def _reclaim_expired_lease(
+    fs, jlease, observed_mtime: int, lease: str, what: str, exc
+) -> None:
+    """Reclaim layer 1 (see _exclusive_lease): re-read the expired
+    lease's mtime immediately before the delete and abort if it moved
+    or the file vanished — another waiter (or a heartbeating holder)
+    changed hands inside this waiter's observation window, and deleting
+    would remove THEIR fresh lease (the r13 TOCTOU)."""
+    try:
+        current = fs.getFileStatus(jlease).getModificationTime()
+    except Exception:  # FileNotFoundException: reclaimed already
+        current = None
+    if current != observed_mtime or not fs.delete(jlease, False):
+        raise exc(
+            f"{what} lease {lease!r} changed hands during the "
+            "stale-lease reclaim: another attempt claimed it; "
+            "retry after the timeout"
+        )
+
+
+def _lease_nonce(fs, jvm, jlease) -> str | None:
+    """The lease file's holder nonce, or None when the file is gone or
+    unreadable (a racing reclaim deleted it mid-read)."""
+    try:
+        stream = fs.open(jlease)
+    except Exception:  # FileNotFoundException: lease vanished
+        return None
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 @contextmanager
 def _exclusive_lease(
     spark: SparkSession,
@@ -603,42 +655,105 @@ def _exclusive_lease(
     exc: type[RuntimeError],
 ):
     """Marker-file mutual exclusion for one store-mutating protocol.
+    Yields a zero-arg ``heartbeat`` callable the holder invokes at
+    protocol step boundaries.
 
-    The lease is claimed with ``FileSystem.createNewFile``
+    The lease is claimed with ``FileSystem.create(path, overwrite=False)``
     (create-no-overwrite — atomic on HDFS/local; best-effort on s3a,
-    same caveat as the protocols' renames). A second attempt while the
-    lease is live REFUSES with the serialization contract spelled out.
-    A lease older than ``timeout_sec`` is presumed abandoned by a
-    hard-killed holder (a Python-level crash releases via the finally
-    below) and is reclaimed — so a kill -9'd holder delays the retry by
-    at most the timeout, it never wedges the protocol forever.
+    same caveat as the protocols' renames) and a fresh HOLDER NONCE is
+    written into it; the claim is then VERIFIED by reading the nonce
+    back. A second attempt while the lease is live REFUSES with the
+    serialization contract spelled out.
+
+    Liveness is HEARTBEAT-based (r13 verdict ask #2): each heartbeat
+    re-verifies ownership and refreshes the lease mtime
+    (``FileSystem.setTimes``), so ``timeout_sec`` measures SILENCE —
+    the gap since the holder last proved it was alive — not total
+    protocol runtime. A healthy holder that outlives the timeout is no
+    longer reclaimed mid-flight (the claim-time-only mtime re-opened
+    exactly the double-writer race the lease exists to prevent for
+    100 TB-scale rebuild durations). A lease silent past the timeout is
+    presumed abandoned by a hard-killed holder (a Python-level crash
+    releases via the finally below) and is reclaimed — a kill -9'd
+    holder delays the retry by at most the timeout, it never wedges the
+    protocol forever.
+
+    Reclaiming an expired lease is where two waiters can race (r13
+    verdict ask #3: the delete+create TOCTOU — both observe the same
+    expired lease; the slower one's delete lands on the faster one's
+    FRESH lease). Three layers close it:
+
+    1. the mtime is re-read immediately before the delete and the
+       reclaim aborts if it moved — the lease changed hands inside the
+       waiter's observation window;
+    2. the claim is nonce-verified — a claimant whose fresh lease was
+       deleted-and-replaced inside its create-to-verify window reads
+       the thief's nonce and aborts instead of proceeding;
+    3. every heartbeat re-verifies the nonce, so a theft landing after
+       verification is detected at the next protocol step boundary
+       instead of silently double-writing from then on.
+
+    The release path deletes the lease only while it still holds this
+    holder's nonce — a holder that lost its lease never deletes the
+    new holder's.
     """
+    import uuid
+
     from hive_export_spark.operators.maintenance import _fs_for
 
     fs, jlease = _fs_for(spark, lease)
     jvm = spark._jvm
+    nonce = uuid.uuid4().hex
     if fs.exists(jlease):
-        age_ms = jvm.System.currentTimeMillis() - fs.getFileStatus(
-            jlease
-        ).getModificationTime()
+        observed = fs.getFileStatus(jlease).getModificationTime()
+        age_ms = jvm.System.currentTimeMillis() - observed
         if age_ms < timeout_sec * 1000:
             raise exc(
                 f"{what} is already in flight (lease {lease!r}, "
-                f"{age_ms / 1000:.0f}s old < timeout {timeout_sec:.0f}s): "
-                "concurrent attempts must be serialized; wait for the "
-                "holder (or the timeout)"
+                f"{age_ms / 1000:.0f}s since its last heartbeat < "
+                f"timeout {timeout_sec:.0f}s): concurrent attempts must "
+                "be serialized; wait for the holder (or the timeout)"
             )
-        fs.delete(jlease, False)
-    if not fs.createNewFile(jlease):
-        # lost the creation race to a concurrent attempt
+        _reclaim_expired_lease(fs, jlease, observed, lease, what, exc)
+    try:
+        out = fs.create(jlease, False)  # overwrite=False: atomic claim
+    except Exception as e:
+        if "exist" not in str(e).lower():
+            raise  # real IO error, not a lost creation race
         raise exc(
             f"{what} lease {lease!r} was claimed concurrently: "
             "concurrent attempts must be serialized"
-        )
+        ) from e
     try:
-        yield
+        out.write(bytearray(nonce.encode("utf-8")))
     finally:
-        fs.delete(jlease, False)
+        out.close()
+    # reclaim layer 2: verify the claim before doing any work
+    if _lease_nonce(fs, jvm, jlease) != nonce:
+        raise exc(
+            f"{what} lease {lease!r} was claimed concurrently (lost the "
+            "claim-verification race): concurrent attempts must be "
+            "serialized"
+        )
+
+    def heartbeat() -> None:
+        # reclaim layer 3: prove liveness AND re-verify ownership at
+        # every protocol step boundary
+        if _lease_nonce(fs, jvm, jlease) != nonce:
+            raise exc(
+                f"{what} lease {lease!r} was lost to a concurrent "
+                "reclaim mid-protocol: aborting rather than "
+                "double-writing"
+            )
+        fs.setTimes(jlease, jvm.System.currentTimeMillis(), -1)
+
+    try:
+        yield heartbeat
+    finally:
+        # release only what is still OURS: a holder that lost its lease
+        # must not delete the new holder's
+        if _lease_nonce(fs, jvm, jlease) == nonce:
+            fs.delete(jlease, False)
 
 
 def _append_lease(
@@ -763,9 +878,12 @@ def ivf_centroid_append(
       ConcurrentAppendError instead of interleaving recovery and moves.
       A Python-level failure releases the lease immediately; a
       hard-killed holder's lease is reclaimed after
-      ``lease_timeout_sec`` (default 15 min), bounding the retry delay
-      without ever wedging the id. Committed re-runs answer from the
-      marker WITHOUT touching the lease.
+      ``lease_timeout_sec`` (default 15 min) of SILENCE — the protocol
+      heartbeats the lease at every step boundary (r13 verdict ask #2),
+      so a healthy append that legitimately outlives the timeout keeps
+      renewing its claim — bounding the retry delay without ever
+      wedging the id. Committed re-runs answer from the marker WITHOUT
+      touching the lease.
 
     Raises on a day-zero index (no trained centroids): there is nothing
     to assign against — build first. A transient FS error reading the
@@ -825,8 +943,13 @@ def ivf_centroid_append(
     # every mutating step below runs under the same-id lease: racing
     # attempts of ONE append id would interleave recovery and moves
     # (r12 verdict ask #3); committed re-runs above stay read-only and
-    # never contend
-    with _append_lease(spark, index_path, append_id, lease_timeout_sec):
+    # never contend. The lease heartbeats at every protocol step
+    # boundary (r13 verdict ask #2), so its silence timeout measures
+    # gaps between steps — a large increment's staged writes can
+    # outlive the timeout without the lease being reclaimed mid-append.
+    with _append_lease(
+        spark, index_path, append_id, lease_timeout_sec
+    ) as _heartbeat:
         if n_rows is None:
             n_rows = inc.count()
         if n_rows == 0:
@@ -860,6 +983,7 @@ def ivf_centroid_append(
         # remove exactly this append's files so the redo cannot duplicate
         _delete_prefixed_files(spark, index_path, prefix)
         _delete_prefixed_files(spark, coarse_live, prefix)
+        _heartbeat()
 
         assigned = assign_clusters(inc, cents, id_col=id_col, vec_col=vec_col)
         assignment = assigned.select(id_col, F.col("cluster_id").alias("cid"))
@@ -885,6 +1009,7 @@ def ivf_centroid_append(
             .partitionBy("cid")
             .parquet(stage_coarse)
         )
+        _heartbeat()
         (
             indexed.repartition("cid")
             .sortWithinPartitions("cid", id_col)
@@ -892,8 +1017,11 @@ def ivf_centroid_append(
             .partitionBy("cid")
             .parquet(stage_exact)
         )
+        _heartbeat()
         _move_staged_files(spark, stage_coarse, coarse_live, prefix)
+        _heartbeat()
         _move_staged_files(spark, stage_exact, index_path, prefix)
+        _heartbeat()
         from hive_export_spark.operators.maintenance import _fs_for
 
         for stage in (stage_coarse, stage_exact):
@@ -1099,6 +1227,61 @@ def _read_tombstones(
         return None
 
 
+def _committed_delete_batch_dirs(
+    spark: SparkSession, index_path: str
+) -> list[str]:
+    """The COMMITTED tombstone batch dirs (``delete-<id>/`` with a
+    writer ``_SUCCESS``) present right now — the snapshot the rebuild
+    and compaction clears are scoped to (r13 advisory #2): a takedown
+    committed AFTER the snapshot (e.g. while a rebuild's corpus scan is
+    running, so its id may well be in the new generation) must SURVIVE
+    the clear, or the caller's success receipt is silently voided and
+    the deleted vector resurfaces. Torn (uncommitted) batch dirs are
+    left alone too — if their write completes mid-rebuild they behave
+    like any post-snapshot delete."""
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    fs, jroot = _fs_for(spark, _deletes_path(index_path))
+    if not fs.exists(jroot):
+        return []
+    jvm = spark._jvm
+    dirs: list[str] = []
+    for status in fs.listStatus(jroot):
+        if not status.isDirectory():
+            continue  # _delete-<id>.lease files live beside the batches
+        name = status.getPath().getName()
+        if not name.startswith("delete-"):
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        ):
+            dirs.append(status.getPath().toString())
+    return dirs
+
+
+def _clear_delete_batch_dirs(
+    spark: SparkSession, index_path: str, dirs: list[str]
+) -> None:
+    """Delete exactly the snapshotted tombstone batch dirs — never the
+    whole tier (see _committed_delete_batch_dirs). If nothing survives,
+    the empty tier root is removed too — NON-recursively, so a batch
+    (or lease) that landed mid-clear makes the root delete fail and the
+    newcomer survives."""
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    if not dirs:
+        return
+    for d in dirs:
+        fs, jd = _fs_for(spark, d)
+        fs.delete(jd, True)
+    fs, jroot = _fs_for(spark, _deletes_path(index_path))
+    try:
+        if fs.exists(jroot) and not fs.listStatus(jroot):
+            fs.delete(jroot, False)
+    except Exception:
+        pass  # a concurrent delete repopulated the tier: leave it
+
+
 def _swap_tier(spark: SparkSession, live: str, staging: str) -> None:
     """Move a freshly-built staging tier into place: live → .pre_rebuild
     backup, staging → live, delete backup. Restore-on-failure mirrors
@@ -1140,6 +1323,7 @@ def rebuild_ivf_centroid_index(
     max_iter: int = 5,
     train_rows_per_centroid: int = 256,
     lease_timeout_sec: float = 21600.0,
+    on_step=None,
 ) -> None:
     """Full index rebuild WITHOUT a serving gap — the remedy the append's
     ``rebuild_recommended`` drift flag points at, engineered end to end
@@ -1188,22 +1372,31 @@ def rebuild_ivf_centroid_index(
     still no-ops afterwards. Rebuilding from a source that EXCLUDES a
     committed append is a lineage reset — clear ``<path>_append_stats``
     then, or the excluded increment's retry will be silently skipped.
-    The TOMBSTONE tier (``<path>_deletes``) is CLEARED after the swaps,
+    The TOMBSTONE tier (``<path>_deletes``) is cleared after the swaps,
     by the opposite logic: the new generation's rows come from
     ``vectors`` (which must already exclude deleted ids), so committed
     tombstones become stale masks that would hide a legitimately
     re-added id; the clear runs LAST so a crash fails safe (over-hides)
-    for takedowns.
+    for takedowns. The clear is SNAPSHOT-scoped (r13 advisory #2): only
+    the batch dirs committed BEFORE the build phase started are
+    removed — a takedown committed DURING the corpus-sized build (whose
+    id may well be inside the new generation, snapshotted earlier) keeps
+    its tombstone and stays hidden, instead of being silently wiped
+    after its caller already got a success receipt.
 
     CONCURRENT rebuilds of one store are refused (r13): the stale-
     staging cleanup below would delete a racing rebuild's in-progress
     staging tiers, and two swap sequences would interleave backups —
     the whole protocol runs under ``<path>.rebuild.lease``
-    (ConcurrentRebuildError; mechanics in _exclusive_lease). The
-    default timeout is generous (6 h) because the lease mtime is set
-    once at claim time and a rebuild is corpus-sized — a timeout
-    shorter than the build would let a second attempt reclaim a LIVE
-    holder's lease mid-build.
+    (ConcurrentRebuildError; mechanics in _exclusive_lease). The lease
+    HEARTBEATS at every build stage and swap boundary (r13 verdict ask
+    #2), so ``lease_timeout_sec`` measures silence between stages, not
+    total build runtime — a rebuild that legitimately outlives the
+    default 6 h keeps renewing its claim, while a hard-killed one goes
+    silent and is reclaimed after one timeout. ``on_step`` (optional
+    zero-arg callable) fires alongside each heartbeat — ivf_maintain
+    passes ITS lease's heartbeat here so the outer maintenance lease
+    stays live through the nested rebuild.
     """
     from hive_export_spark.operators.maintenance import _fs_for
 
@@ -1213,7 +1406,13 @@ def rebuild_ivf_centroid_index(
         lease_timeout_sec,
         f"rebuild of {index_path!r}",
         ConcurrentRebuildError,
-    ):
+    ) as _hb:
+
+        def _step() -> None:
+            _hb()
+            if on_step is not None:
+                on_step()
+
         staging_root = index_path.rstrip("/") + ".rebuilding"
         suffixes = ("_centroids", "_stats", "_coarse", "")
         for suffix in suffixes:
@@ -1224,6 +1423,12 @@ def rebuild_ivf_centroid_index(
                 fs, jstale = _fs_for(spark, stale)
                 if fs.exists(jstale):
                     fs.delete(jstale, True)
+        # tombstone snapshot BEFORE the build phase: these batches
+        # predate the new generation's corpus scan, so ``vectors``
+        # supersedes them; anything committed later must survive the
+        # post-swap clear (r13 advisory #2)
+        tombstone_snapshot = _committed_delete_batch_dirs(spark, index_path)
+        _step()
         build_ivf_centroid_index(
             vectors,
             staging_root,
@@ -1232,6 +1437,7 @@ def rebuild_ivf_centroid_index(
             n_centroids=n_centroids,
             max_iter=max_iter,
             train_rows_per_centroid=train_rows_per_centroid,
+            on_step=_step,
         )
         # gate OPEN before the first live mutation (same contract as the
         # in-place build): any crash inside the swap window reads as
@@ -1245,15 +1451,16 @@ def rebuild_ivf_centroid_index(
                 index_path.rstrip("/") + suffix,
                 staging_root + suffix,
             )
+            _step()
         # the new generation was built from ``vectors`` (which must
-        # already exclude deleted rows), so committed tombstones are
-        # now stale masks — clear them LAST: a crash between the swaps
-        # and this delete fails SAFE for takedowns (over-hiding until
-        # the rebuild re-runs), never the other direction (see
-        # ivf_centroid_delete's lifecycle notes).
-        fs_del, jdel = _fs_for(spark, _deletes_path(index_path))
-        if fs_del.exists(jdel):
-            fs_del.delete(jdel, True)
+        # already exclude deleted rows), so the SNAPSHOTTED tombstones
+        # are now stale masks — clear exactly them, LAST: a crash
+        # between the swaps and this delete fails SAFE for takedowns
+        # (over-hiding until the rebuild re-runs), never the other
+        # direction; batches committed during the build survive (see
+        # ivf_centroid_delete's lifecycle notes and
+        # _committed_delete_batch_dirs).
+        _clear_delete_batch_dirs(spark, index_path, tombstone_snapshot)
 
 
 def ivf_maintain(
@@ -1317,7 +1524,7 @@ def ivf_maintain(
         lease_timeout_sec,
         f"maintenance of {index_path!r}",
         ConcurrentRebuildError,
-    ):
+    ) as _hb:
         stats_root = index_path.rstrip("/") + "_append_stats"
         fs, jroot = _fs_for(spark, stats_root)
         scanned: list[str] = []
@@ -1345,6 +1552,11 @@ def ivf_maintain(
                     flagged.append(row["append_id"])
         if not flagged:
             return {"scanned": len(scanned), "flagged": [], "rebuilt": False}
+        _hb()
+        # the nested rebuild heartbeats the MAINTENANCE lease at every
+        # build stage and swap via on_step (r13 verdict ask #2) — the
+        # outer lease's silence timeout never races the corpus-sized
+        # rebuild it supervises
         rebuild_ivf_centroid_index(
             spark,
             index_path,
@@ -1354,6 +1566,7 @@ def ivf_maintain(
             n_centroids=n_centroids,
             max_iter=max_iter,
             train_rows_per_centroid=train_rows_per_centroid,
+            on_step=_hb,
         )
         from hive_export_spark.sources.files import fs_touch
 

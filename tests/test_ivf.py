@@ -1390,3 +1390,254 @@ def test_centroid_ivf_rebuild_on_missing_store_is_first_build(spark, tmp_path):
     assert spark.read.parquet(path).count() == 25
     q = corpus.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     assert ivf_centroid_topk(spark, path, q, k=3, nprobe=2).count() > 0
+
+
+def _enter_lease(spark, lease, timeout_sec=60.0):
+    """Manually-driven _exclusive_lease for interleaving tests."""
+    from hive_export_spark.operators.ivf import (
+        ConcurrentRebuildError,
+        _exclusive_lease,
+    )
+
+    cm = _exclusive_lease(
+        spark, lease, timeout_sec, "test protocol", ConcurrentRebuildError
+    )
+    return cm, cm.__enter__()
+
+
+def test_lease_heartbeat_keeps_healthy_holder_alive(spark, tmp_path):
+    """r13 verdict ask #2: the lease timeout measures SILENCE, not total
+    runtime. A holder that outlives the timeout but heartbeats at step
+    boundaries is never reclaimed — a contender arriving at any point
+    refuses — where the pre-r14 claim-time-only mtime let the contender
+    reclaim a LIVE holder's lease mid-flight."""
+    import os
+    import time
+
+    from hive_export_spark.operators.ivf import ConcurrentRebuildError
+
+    lease = str(tmp_path / "store.rebuild.lease")
+    cm, heartbeat = _enter_lease(spark, lease, timeout_sec=2.0)
+    try:
+        total = 0.0
+        while total < 2.4:  # outlive the 2.0s timeout
+            time.sleep(1.2)
+            total += 1.2
+            heartbeat()
+            # the heartbeat refreshed the mtime: a contender refuses
+            with pytest.raises(ConcurrentRebuildError, match="in flight"):
+                _enter_lease(spark, lease, timeout_sec=2.0)
+    finally:
+        cm.__exit__(None, None, None)
+    # clean release on completion
+    assert not os.path.exists(lease)
+
+
+def test_stale_lease_reclaim_toctou_at_most_one_holder(spark, tmp_path):
+    """r13 verdict ask #3 (advisory #3): the named two-waiter
+    interleaving — B observes an expired lease, A reclaims it while B
+    is between its staleness check and its delete, B's delete then
+    lands on A's FRESH lease. The mtime re-check immediately before the
+    delete makes B abort instead, so at most one holder survives."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        ConcurrentRebuildError,
+        _reclaim_expired_lease,
+    )
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    lease = str(tmp_path / "store.rebuild.lease")
+    # a hard-killed holder's lease, already expired
+    open(lease, "w").close()
+    old = os.path.getmtime(lease) - 100
+    os.utime(lease, (old, old))
+    fs, jlease = _fs_for(spark, lease)
+    # waiter B observes the expired lease's mtime...
+    observed_by_b = fs.getFileStatus(jlease).getModificationTime()
+    # ...then waiter A claims it (full reclaim+claim) before B deletes
+    cm_a, heartbeat_a = _enter_lease(spark, lease, timeout_sec=5.0)
+    try:
+        # B's delete attempt must abort: the mtime moved under it
+        with pytest.raises(ConcurrentRebuildError, match="changed hands"):
+            _reclaim_expired_lease(
+                fs, jlease, observed_by_b, lease, "test protocol",
+                ConcurrentRebuildError,
+            )
+        # A is unharmed: its lease survived and its heartbeat still owns it
+        assert os.path.exists(lease)
+        heartbeat_a()
+    finally:
+        cm_a.__exit__(None, None, None)
+    assert not os.path.exists(lease)
+
+
+def test_lease_theft_detected_at_heartbeat_and_release_spares_thief(
+    spark, tmp_path
+):
+    """Reclaim layers 2+3: if a racing reclaimer DOES replace a holder's
+    lease (the residual window between claim-verify and the next step),
+    the holder's next heartbeat reads the foreign nonce and aborts
+    rather than double-writing — and its release path must NOT delete
+    the new holder's lease."""
+    import os
+
+    from hive_export_spark.operators.ivf import ConcurrentRebuildError
+    from hive_export_spark.operators.maintenance import _fs_for
+
+    lease = str(tmp_path / "store.maintain.lease")
+    cm, heartbeat = _enter_lease(spark, lease)
+    # theft through the same FS API a racing _exclusive_lease would use
+    fs, jlease = _fs_for(spark, lease)
+    fs.delete(jlease, False)
+    out = fs.create(jlease, False)
+    out.write(bytearray(b"thief-nonce"))
+    out.close()
+    with pytest.raises(ConcurrentRebuildError, match="lost to a concurrent"):
+        heartbeat()
+    # the holder's exit releases only its OWN lease — the thief's survives
+    cm.__exit__(None, None, None)
+    assert os.path.exists(lease)
+    assert open(lease).read() == "thief-nonce"
+
+
+def test_lease_heartbeats_flow_through_rebuild_stages(spark, tmp_path):
+    """The staged rebuild heartbeats its lease (and any on_step chain —
+    ivf_maintain passes its own lease's heartbeat there) at every build
+    stage and swap boundary, so the silence timeout measures gaps
+    between stages, never total build runtime."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        rebuild_ivf_centroid_index,
+    )
+
+    corpus = _mini_corpus(spark, n_per=30)
+    path = str(tmp_path / "hb_store")
+    build_ivf_centroid_index(corpus, path, n_centroids=2, max_iter=2)
+
+    steps = {"n": 0, "mtimes": []}
+    lease = path + ".rebuild.lease"
+
+    def on_step():
+        steps["n"] += 1
+        steps["mtimes"].append(os.path.getmtime(lease))
+
+    rebuild_ivf_centroid_index(
+        spark, path, corpus, n_centroids=2, max_iter=2, on_step=on_step
+    )
+    # at least: pre-build snapshot, 4 build stages, 4 swaps
+    assert steps["n"] >= 9
+    # the lease mtime advanced across stages (setTimes actually fired)
+    assert steps["mtimes"][-1] > steps["mtimes"][0]
+    assert not os.path.exists(lease)
+
+
+def test_inplace_build_crash_keeps_tombstones_masking(spark, tmp_path):
+    """r13 advisory #1: the in-place build clears the tombstone tier
+    AFTER the final exact-tier write, never before — a build that
+    crashes mid-way leaves the OLD rows on disk, so their takedown
+    masks must survive the crash (stale-mask risk only begins once the
+    new generation exists). Pre-r14 ordering cleared first and exposed
+    taken-down rows to ungated probes until the build re-ran."""
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "crash_order")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    ivf_centroid_delete(
+        spark, path, base.filter(F.col("vec_id") < 4).select("vec_id"),
+        delete_id="take1",
+    )
+    assert os.path.exists(path + "_deletes/delete-take1/_SUCCESS")
+
+    # crash AFTER the coarse tier but BEFORE the exact tier: the 4th
+    # build stage boundary (kmeans, centroids, stats, coarse)
+    calls = {"n": 0}
+
+    def crashing_step():
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("injected crash before the exact tier")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build_ivf_centroid_index(
+            base, path, n_centroids=2, max_iter=3, on_step=crashing_step
+        )
+    # the OLD rows are still what probes (re-entering gates rebuild, but
+    # ungated probes read the old generation): their masks must survive
+    assert os.path.exists(path + "_deletes/delete-take1/_SUCCESS")
+    queries = base.select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ivf_centroid_topk(spark, path, queries, k=50)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert not ({0, 1, 2, 3} & got), "taken-down ids resurfaced after crash"
+
+    # the completed re-run applies the lineage reset and clears the tier
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    assert not os.path.exists(path + "_deletes")
+
+
+def test_rebuild_preserves_takedown_committed_during_build(spark, tmp_path):
+    """r13 advisory #2: a takedown committed DURING a rebuild's
+    corpus-sized build phase — so its id may well be inside the new
+    generation, snapshotted earlier — must SURVIVE the rebuild's
+    tombstone clear (the caller already got a success receipt).
+    Only batches committed BEFORE the build phase are cleared."""
+    import os
+
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+        rebuild_ivf_centroid_index,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "race_del")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    # a PRE-rebuild takedown: superseded by the rebuild corpus -> cleared
+    ivf_centroid_delete(
+        spark, path, base.filter(F.col("vec_id") == 1).select("vec_id"),
+        delete_id="pre1",
+    )
+
+    raced: dict = {}
+    real_build = ivf_mod.build_ivf_centroid_index
+
+    def racing_build(vectors, build_path, **kw):
+        if not raced:
+            # the takedown lands while the rebuild is scanning the corpus;
+            # id 3 IS in the rebuild corpus (new generation holds it)
+            raced["receipt"] = ivf_centroid_delete(
+                spark, path,
+                base.filter(F.col("vec_id") == 3).select("vec_id"),
+                delete_id="during1",
+            )
+        return real_build(vectors, build_path, **kw)
+
+    ivf_mod.build_ivf_centroid_index = racing_build
+    try:
+        rebuild_ivf_centroid_index(spark, path, base, n_centroids=2, max_iter=3)
+    finally:
+        ivf_mod.build_ivf_centroid_index = real_build
+
+    assert raced["receipt"]["n_ids"] == 1
+    # pre-build batch cleared (superseded); mid-build batch SURVIVES
+    assert not os.path.exists(path + "_deletes/delete-pre1")
+    assert os.path.exists(path + "_deletes/delete-during1/_SUCCESS")
+    # and the surviving tombstone still masks id 3 even though the new
+    # generation physically holds it
+    queries = base.select(F.col("vec_id").alias("query_id"), "embedding")
+    for rr in (None, 30):
+        res = ivf_centroid_topk(spark, path, queries, k=50, rerank=rr)
+        got = {r["neighbor_id"] for r in res.collect()}
+        assert 3 not in got, f"mid-rebuild takedown wiped (rerank={rr})"
+        assert 1 in got  # the superseded mask is gone
