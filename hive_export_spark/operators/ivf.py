@@ -1207,24 +1207,66 @@ def ivf_centroid_delete(
         return {"delete_id": delete_id, "n_ids": n_ids}
 
 
+# Broadcast budget for the tombstone anti-join side (r13 verdict ask
+# #4): the ivf_centroid_delete contract says tombstones are
+# O(deletes)-small and rebuilds/compactions clear them, but nothing
+# STOPPED a mass dedup purge between rebuilds from making the union
+# data-sized — and a F.broadcast hint ships it to every executor
+# regardless. Past this on-disk byte budget (FS listing, no extra job;
+# 64 MiB of id-only parquet is millions of tombstones — far past
+# "rebuild now" territory) the probe drops the hint and lets the
+# anti-join shuffle instead. Same spirit as the 100k centroid-collect
+# guard: refuse implausible driver/executor exchanges.
+_TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _read_tombstones(
     spark: SparkSession, index_path: str, id_col: str
-) -> DataFrame | None:
-    """The union of committed tombstone batches, or None when the store
-    has none. recursiveFileLookup reads every ``delete-<id>/`` batch in
+) -> tuple[DataFrame | None, bool]:
+    """(union of committed tombstone batches or None, fits-broadcast).
+    recursiveFileLookup reads every ``delete-<id>/`` batch in
     one scan (underscore-prefixed lease/marker files are invisible to
     the reader); a torn batch write can only surface a PREFIX of its
     ids — over- or early-hiding is impossible (the files hold exactly
-    the requested ids) and the re-run completes it."""
+    the requested ids) and the re-run completes it. The second element
+    is the _TOMBSTONE_BROADCAST_MAX_BYTES verdict from one recursive
+    FS listing — metadata only, no Spark job."""
     try:
-        return (
+        tomb = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(_deletes_path(index_path))
             .select(id_col)
             .distinct()
         )
     except AnalysisException:  # no tombstone tier / no data files
-        return None
+        return None, True
+    from hive_export_spark.operators.maintenance import (
+        _count_data_files,
+        _fs_for,
+    )
+
+    fs, jroot = _fs_for(spark, _deletes_path(index_path))
+    _, tomb_bytes = _count_data_files(fs, jroot)
+    return tomb, tomb_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES
+
+
+def _tombstone_antijoin(
+    scan: DataFrame,
+    tombstones: DataFrame | None,
+    fits_broadcast: bool,
+    id_col: str,
+) -> DataFrame:
+    """Exclude tombstoned ids AT THE SCAN (both probe paths route here):
+    broadcast the anti-join side while it honors the O(deletes)-small
+    contract; past the byte budget fall back to a shuffle anti-join —
+    correct at any tombstone cardinality, and the right plan anyway for
+    a mass purge awaiting its rebuild."""
+    if tombstones is None:
+        return scan
+    if fits_broadcast:
+        # bounded: tombstone bytes checked against _TOMBSTONE_BROADCAST_MAX_BYTES in _read_tombstones; oversized unions take the shuffle branch below
+        return scan.join(F.broadcast(tombstones), id_col, "left_anti")
+    return scan.join(tombstones, id_col, "left_anti")
 
 
 def _committed_delete_batch_dirs(
@@ -1788,29 +1830,29 @@ def ivf_centroid_topk(
     # after ranking — a deleted vector must neither appear in results
     # nor crowd a live candidate out of the rerank shortlist. The
     # anti-join side is the union of committed delete batches,
-    # O(deletes) by contract and broadcast like the centroid table.
-    tombstones = _read_tombstones(spark, index_path, id_col)
+    # O(deletes) by contract; broadcast while its bytes honor that
+    # contract, shuffle anti-join past the budget (r13 verdict ask #4 —
+    # see _tombstone_antijoin).
+    tombstones, tomb_fits = _read_tombstones(spark, index_path, id_col)
 
     if rerank is None:
-        index = spark.read.parquet(index_path).filter(
-            F.col("cid").isin(probe_cids)
+        index = _tombstone_antijoin(
+            spark.read.parquet(index_path).filter(
+                F.col("cid").isin(probe_cids)
+            ),
+            tombstones, tomb_fits, id_col,
         )
-        if tombstones is not None:
-            # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
-            index = index.join(F.broadcast(tombstones), id_col, "left_anti")
         # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
         candidates = index.join(F.broadcast(bucket_map), "cid").join(
             q_probed, query_id_col
         )
     else:
-        coarse = spark.read.parquet(_coarse_path(index_path)).filter(
-            F.col("cid").isin(probe_cids)
+        coarse = _tombstone_antijoin(
+            spark.read.parquet(_coarse_path(index_path)).filter(
+                F.col("cid").isin(probe_cids)
+            ),
+            tombstones, tomb_fits, id_col,
         )
-        if tombstones is not None:
-            coarse = coarse.join(
-                # bounded: tombstone batches are O(deletes) by the ivf_centroid_delete contract
-                F.broadcast(tombstones), id_col, "left_anti"
-            )
         approx = (
             # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
             coarse.join(F.broadcast(bucket_map), "cid")

@@ -1641,3 +1641,53 @@ def test_rebuild_preserves_takedown_committed_during_build(spark, tmp_path):
         got = {r["neighbor_id"] for r in res.collect()}
         assert 3 not in got, f"mid-rebuild takedown wiped (rerank={rr})"
         assert 1 in got  # the superseded mask is gone
+
+
+def test_tombstone_broadcast_guard_falls_back_past_budget(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict ask #4: the probe broadcasts the tombstone anti-join
+    side only while its on-disk bytes honor the O(deletes)-small
+    contract; a mass purge past the budget drops the hint (shuffle
+    anti-join) instead of shipping a data-sized union to every
+    executor. Results stay exact on both branches."""
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        _read_tombstones,
+        _tombstone_antijoin,
+        build_ivf_centroid_index,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "guard")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    doomed = base.filter(F.col("vec_id") < 6).select("vec_id")
+    ivf_centroid_delete(spark, path, doomed, delete_id="purge1")
+
+    # in-contract tombstones: broadcast hint taken
+    tomb, fits = _read_tombstones(spark, path, "vec_id")
+    assert tomb is not None and fits is True
+    scan = spark.read.parquet(path)
+    hinted = _tombstone_antijoin(scan, tomb, True, "vec_id")
+    assert "strategy=broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+
+    # past the budget: the verdict flips and the hint is dropped
+    monkeypatch.setattr(ivf_mod, "_TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    tomb2, fits2 = _read_tombstones(spark, path, "vec_id")
+    assert fits2 is False
+    unhinted = _tombstone_antijoin(scan, tomb2, False, "vec_id")
+    assert "strategy=broadcast" not in (
+        unhinted._jdf.queryExecution().logical().toString()
+    )
+
+    # end-to-end on the fallback branch: both probe paths stay exact
+    queries = base.select(F.col("vec_id").alias("query_id"), "embedding")
+    for rr in (None, 30):
+        res = ivf_centroid_topk(spark, path, queries, k=50, rerank=rr)
+        got = {r["neighbor_id"] for r in res.collect()}
+        assert not (set(range(6)) & got), f"deleted ids surfaced (rerank={rr})"
+        assert {i for i in range(6, 20)} <= got
