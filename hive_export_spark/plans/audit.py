@@ -157,6 +157,14 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "exchange (k ~ sqrt(N) stays ~32k even at 1e9 vectors); one "
             "materialization serves count, nprobe derivation, and the "
             "ranking crossJoin as a literal relation",
+        ('operators/ivf.py',
+         'return(spark.read.parquet(*dirs).select("","").collect())'):
+            "ivf_maintain drift-flag scan: one multi-path read over the "
+            "committed un-remedied append stats dirs — exactly one "
+            "2-column row per append by _commit_append_stats "
+            "construction (the receipt of one coalesce(1) write), and "
+            "ONE job however many appends accumulated (r13 verdict "
+            "ask #5)",
         ('operators/cdc.py',
          'dup=(updates.groupBy(key).count().filter(F.col("")>1)'
          '.limit(1).collect())'):

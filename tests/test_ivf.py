@@ -1691,3 +1691,53 @@ def test_tombstone_broadcast_guard_falls_back_past_budget(
         got = {r["neighbor_id"] for r in res.collect()}
         assert not (set(range(6)) & got), f"deleted ids surfaced (rerank={rr})"
         assert {i for i in range(6, 20)} <= got
+
+
+def test_maintain_flag_scan_is_one_job_regardless_of_append_count(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict ask #5: the maintenance no-op path reads every
+    committed append's drift stats in ONE multi-path parquet job — not
+    one driver round-trip per append (a store with thousands of appends
+    between maintenances made the 'cheap when healthy' scan thousands
+    of serial jobs)."""
+    import hive_export_spark.operators.ivf as ivf_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_maintain,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "onejob")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    for day in range(3):
+        ivf_centroid_append(
+            spark, path,
+            _mini_corpus(spark, n_per=6, id_base=1000 * (day + 1)),
+            append_id=f"day{day}",
+        )
+
+    calls = {"n": 0, "dirs": None}
+    real = ivf_mod._read_append_stats_rows
+
+    def counting(spark_, dirs):
+        calls["n"] += 1
+        calls["dirs"] = list(dirs)
+        return real(spark_, dirs)
+
+    monkeypatch.setattr(ivf_mod, "_read_append_stats_rows", counting)
+    out = ivf_maintain(spark, path, base)
+    assert out == {"scanned": 3, "flagged": [], "rebuilt": False}
+    # one read call, fed ALL three committed appends' dirs
+    assert calls["n"] == 1
+    assert len(calls["dirs"]) == 3
+
+    # zero candidates (all torn/remedied/none): the read never fires
+    calls["n"] = 0
+    import shutil
+
+    shutil.rmtree(path + "_append_stats")
+    out2 = ivf_maintain(spark, path, base)
+    assert out2 == {"scanned": 0, "flagged": [], "rebuilt": False}
+    assert calls["n"] == 0
