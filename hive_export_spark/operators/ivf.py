@@ -1133,20 +1133,25 @@ def ivf_centroid_delete(
       crash between swap and clear fails SAFE for takedowns
       (over-hiding until the rebuild re-runs). The in-place build's
       lineage reset clears it for the same reason.
-    - compaction rewrites data files and leaves the tombstone tier
-      alone (it lives outside both tiers); physically applying
-      tombstones at compaction time is deliberate future work — probes
-      are already exact without it.
+    - compaction makes tombstones PHYSICAL (r13 verdict ask #6): its
+      rewrite anti-joins the committed batches it snapshotted at start
+      and clears exactly those batch dirs after both tiers land —
+      deletes become physical without a full rebuild (see
+      compact_ivf_centroid_index).
     - RE-ADDING a tombstoned id via append does NOT resurrect it: the
-      tombstone wins until the next rebuild. Takedown-then-readd
-      pipelines must rebuild between the two.
+      tombstone wins until the next rebuild or compaction makes the
+      delete physical. Takedown-then-readd pipelines need one of the
+      two between the two steps (compaction is the cheap one).
 
     Raises on a store with no trained centroid table (same day-zero
     contract as the append): accepting a takedown against a store that
     does not exist would be silently dropped by the next build's
     lineage reset — fail loudly instead.
 
-    Returns {"delete_id": ..., "n_ids": ...}.
+    Returns {"delete_id": ..., "n_ids": ...} — ``n_ids`` is the
+    DISTINCT id count read back from the committed batch, so first runs
+    and committed re-runs agree even for duplicated input ids (r13
+    advisory #4).
     """
     try:
         cents = spark.read.parquet(_centroids_path(index_path))
@@ -1204,7 +1209,15 @@ def ivf_centroid_delete(
             .write.mode("overwrite")
             .parquet(batch_dir)
         )
-        return {"delete_id": delete_id, "n_ids": n_ids}
+        # the receipt counts the DISTINCT ids actually committed, read
+        # back from the batch — duplicated input ids otherwise reported
+        # a different n_ids on the first run (raw input count) than on
+        # a committed re-run (batch count); the batch is the one source
+        # both paths agree on (r13 advisory #4)
+        return {
+            "delete_id": delete_id,
+            "n_ids": spark.read.parquet(batch_dir).count(),
+        }
 
 
 # Broadcast budget for the tombstone anti-join side (r13 verdict ask
@@ -1657,20 +1670,50 @@ def compact_ivf_centroid_index(
     rewritten partition comes out id-clustered again. The centroid
     table is a k x dim single write and never needs compaction.
 
+    Tombstones go PHYSICAL here (r13 verdict ask #6): the rewrite is
+    already touching every data file, so anti-joining the committed
+    tombstone batches during it removes deleted rows for free — no full
+    rebuild needed to shrink the probe-side mask, and
+    takedown-then-readd pipelines need only a compaction between the
+    two. The applied batch set is SNAPSHOTTED before the rewrites and
+    exactly those batch dirs are cleared after BOTH tiers land — a
+    takedown committed mid-compaction keeps its tombstone (same
+    contract as the rebuild's snapshot-scoped clear), and a crash
+    between the second swap and the clear fails safe (the surviving
+    tombstones mask rows that are now physically absent — inert —
+    until the next compaction or rebuild clears them).
+
     Returns {'exact': {files_before, files_after},
-             'coarse': {files_before, files_after}}.
+             'coarse': {files_before, files_after},
+             'tombstones': {'batches_applied': n}}.
     """
     from hive_export_spark.operators.maintenance import (
+        _count_data_files,
+        _fs_for,
         compact_partitioned_table,
     )
 
-    return {
+    snapshot = _committed_delete_batch_dirs(spark, index_path)
+    transform = None
+    if snapshot:
+        tomb = spark.read.parquet(*snapshot).select(id_col).distinct()
+        total_bytes = 0
+        for d in snapshot:
+            fs, jd = _fs_for(spark, d)
+            total_bytes += _count_data_files(fs, jd)[1]
+        fits = total_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES
+
+        def transform(scan, _tomb=tomb, _fits=fits):
+            return _tombstone_antijoin(scan, _tomb, _fits, id_col)
+
+    out = {
         "exact": compact_partitioned_table(
             spark,
             index_path,
             ["cid"],
             target_file_bytes=target_file_bytes,
             sort_within=[id_col],
+            transform=transform,
         ),
         "coarse": compact_partitioned_table(
             spark,
@@ -1678,8 +1721,12 @@ def compact_ivf_centroid_index(
             ["cid"],
             target_file_bytes=target_file_bytes,
             sort_within=[id_col],
+            transform=transform,
         ),
+        "tombstones": {"batches_applied": len(snapshot)},
     }
+    _clear_delete_batch_dirs(spark, index_path, snapshot)
+    return out
 
 
 def ivf_centroid_topk(

@@ -48,6 +48,7 @@ def compact_partitioned_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     sort_within: list[str] | None = None,
+    transform=None,
 ) -> dict[str, int]:
     """Rewrite a partitioned table with size-targeted files per partition.
 
@@ -56,6 +57,13 @@ def compact_partitioned_table(
     the table via rename (write to .compacting, rename the old table to
     .pre_compact, rename .compacting in, delete the backup). Returns
     {'files_before': n, 'files_after': m}.
+
+    ``transform`` (optional ``DataFrame -> DataFrame``) is applied to the
+    scan before the rewrite — the hook row-level maintenance rides on
+    (the IVF store passes its tombstone anti-join here, making deletes
+    physical during a rewrite the compaction already pays for). It must
+    preserve the partition columns; since the whole table is rewritten
+    from its output, dropped rows are REMOVED, not masked.
 
     Scale notes: one shuffle on the partition columns (the same shuffle a
     fresh routed write pays); AQE coalesces the output partitions so small
@@ -96,6 +104,8 @@ def compact_partitioned_table(
         # inference rather than return empty (round-8 day-zero sweep)
         return {"files_before": 0, "files_after": 0}
     df = spark.read.format(fmt).load(path)
+    if transform is not None:
+        df = transform(df)
     n_rows = df.count()
     bytes_per_row = max(total_bytes / max(n_rows, 1), 1.0)
     records_per_file = max(int(target_file_bytes / bytes_per_row), 1)

@@ -981,7 +981,9 @@ def llm_sim_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _v2: round 12 — upstream incr store moved to the exactly-once
     # append layout, and this block's copy scaffolding became
     # rerun-safe (r11 advisory #3)
-    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v3", sf_dir), "idx")
+    # _v4: round 14 — compaction now applies tombstones physically
+    # (snapshot-scoped; r13 verdict ask #6); write-logic changes bump
+    path = os.path.join(sf_scratch_dir("ivf_centroid_cmp_v4", sf_dir), "idx")
     marker = path + "/_COMPACT_DONE"
     if not fs_exists(spark, marker):
         # FILE-level copy of the appended store (FileUtil.copy preserves
@@ -1059,10 +1061,12 @@ def llm_sim_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.sources.files import fs_exists, fs_touch
 
     e = load_table(spark, "embeddings", sf_dir)
+    # _v3: round 14 — rebuild's tombstone clear became snapshot-scoped
+    # and stages heartbeat the lease (r13 verdict asks #2/#6, adv #2)
     # _v2: round 13 — append protocol hardened + in-place build lineage
     # reset (r12 advisories #1/#2); write-logic changes bump the name
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_reb_v2", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_reb_v3", sf_dir), "idx"
     )
     marker = path + "/_REBUILD_DONE"
     if not fs_exists(spark, marker):
@@ -1132,8 +1136,10 @@ def llm_sim_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_export_spark.sources.files import fs_exists, fs_touch
 
     e = load_table(spark, "embeddings", sf_dir)
+    # _v2: round 14 — maintenance flag scan became one multi-path job
+    # and the nested rebuild heartbeats both leases (r13 asks #2/#5)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_maint_v1", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_maint_v2", sf_dir), "idx"
     )
     marker = path + "/_MAINT_DONE"
     if not fs_exists(spark, marker):
@@ -1219,8 +1225,11 @@ def llm_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_del = F.coalesce(
         F.pmod(F.col("vec_id"), F.lit(5)) == F.lit(3), F.lit(False)
     )
+    # _v2: round 14 — probe-side tombstone broadcast gained the byte
+    # budget fallback and delete receipts count distinct ids (r13 ask
+    # #4, advisory #4)
     path = os.path.join(
-        sf_scratch_dir("ivf_centroid_del_v1", sf_dir), "idx"
+        sf_scratch_dir("ivf_centroid_del_v2", sf_dir), "idx"
     )
     marker = path + "/_DEL_DONE"
     if not fs_exists(spark, marker):

@@ -1741,3 +1741,108 @@ def test_maintain_flag_scan_is_one_job_regardless_of_append_count(
     out2 = ivf_maintain(spark, path, base)
     assert out2 == {"scanned": 0, "flagged": [], "rebuilt": False}
     assert calls["n"] == 0
+
+
+def test_compaction_applies_tombstones_physically(spark, tmp_path):
+    """r13 verdict ask #6: compaction's rewrite anti-joins the committed
+    tombstone batches it snapshotted at start — deletes become PHYSICAL
+    without a full rebuild — and clears exactly those batch dirs, so a
+    takedown committed DURING the compaction survives (snapshot-scoped,
+    same contract as the rebuild's clear) and takedown-then-readd needs
+    only a compaction between the two steps."""
+    import os
+
+    import hive_export_spark.operators.maintenance as maint_mod
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        compact_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+    )
+
+    base = _mini_corpus(spark, n_per=40)
+    path = str(tmp_path / "cmp_phys")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    ivf_centroid_append(
+        spark, path, _mini_corpus(spark, n_per=10, id_base=1000),
+        append_id="day1",
+    )
+    # takedown A: evens 0..6 plus an appended id
+    doomed_a = spark.createDataFrame(
+        [(0,), (2,), (4,), (6,), (1000,)], "vec_id long"
+    )
+    ivf_centroid_delete(spark, path, doomed_a, delete_id="takeA")
+
+    # takedown B lands DURING the compaction (after its snapshot)
+    raced: dict = {}
+    real_compact = maint_mod.compact_partitioned_table
+
+    def racing_compact(spark_, p, cols, **kw):
+        if not raced:
+            raced["receipt"] = ivf_centroid_delete(
+                spark, path,
+                spark.createDataFrame([(7,)], "vec_id long"),
+                delete_id="takeB",
+            )
+        return real_compact(spark_, p, cols, **kw)
+
+    maint_mod.compact_partitioned_table = racing_compact
+    try:
+        stats = compact_ivf_centroid_index(spark, path)
+    finally:
+        maint_mod.compact_partitioned_table = real_compact
+
+    assert stats["tombstones"]["batches_applied"] == 1  # the snapshot: A
+    # A's rows are PHYSICALLY gone from both tiers; its batch dir cleared
+    exact_ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    coarse_ids = {
+        r["vec_id"] for r in spark.read.parquet(path + "_coarse").collect()
+    }
+    for ids in (exact_ids, coarse_ids):
+        assert not ({0, 2, 4, 6, 1000} & ids)
+        assert 7 in ids  # B not applied physically yet...
+    assert not os.path.exists(path + "_deletes/delete-takeA")
+    assert os.path.exists(path + "_deletes/delete-takeB/_SUCCESS")
+
+    queries = base.select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ivf_centroid_topk(spark, path, queries, k=50, rerank=30)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert not ({0, 2, 4, 6, 1000} & got)
+    assert 7 not in got  # ...but B still MASKS at the probe
+    assert {1, 3, 5, 8} <= got
+
+    # takedown-then-readd: A made physical by the compaction, so
+    # re-appending id 2 resurrects it — no rebuild needed
+    ivf_centroid_append(
+        spark, path,
+        base.filter(F.col("vec_id") == 2).select("vec_id", "embedding"),
+        append_id="readd2",
+    )
+    res2 = ivf_centroid_topk(spark, path, queries, k=50, rerank=30)
+    got2 = {r["neighbor_id"] for r in res2.collect()}
+    assert 2 in got2
+
+    # a second compaction applies B physically and empties the tier
+    stats2 = compact_ivf_centroid_index(spark, path)
+    assert stats2["tombstones"]["batches_applied"] == 1
+    assert not os.path.exists(path + "_deletes")
+    assert 7 not in {r["vec_id"] for r in spark.read.parquet(path).collect()}
+
+
+def test_delete_receipt_counts_distinct_ids(spark, tmp_path):
+    """r13 advisory #4: a duplicated input id list reports the SAME
+    n_ids on the first run as on a committed re-run — both read the
+    distinct count from the committed batch."""
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        ivf_centroid_delete,
+    )
+
+    base = _mini_corpus(spark, n_per=20)
+    path = str(tmp_path / "dupdel")
+    build_ivf_centroid_index(base, path, n_centroids=2, max_iter=3)
+    dup = spark.createDataFrame([(5,), (5,), (9,)], "vec_id long")
+    first = ivf_centroid_delete(spark, path, dup, delete_id="dup1")
+    again = ivf_centroid_delete(spark, path, dup, delete_id="dup1")
+    assert first == again == {"delete_id": "dup1", "n_ids": 2}
