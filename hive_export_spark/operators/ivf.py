@@ -1904,11 +1904,19 @@ def ivf_centroid_topk(
     # see _tombstone_antijoin).
     tombstones, tomb_fits = _read_tombstones(spark, index_path, id_col)
 
+    # the centroid table can outlive the data tiers: a compaction that
+    # physically applied a FULL-store takedown rewrites both tiers to
+    # zero data files (partitionBy of zero rows writes none) while the
+    # k x dim table keeps serving — an unreadable tier here is an empty
+    # store, not an error (AnalysisException ONLY; transient FS errors
+    # still propagate, r11 verdict nit #2)
     if rerank is None:
+        try:
+            exact_scan = spark.read.parquet(index_path)
+        except AnalysisException:
+            return _empty_result()
         index = _tombstone_antijoin(
-            spark.read.parquet(index_path).filter(
-                F.col("cid").isin(probe_cids)
-            ),
+            exact_scan.filter(F.col("cid").isin(probe_cids)),
             tombstones, tomb_fits, id_col,
         )
         # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
@@ -1916,10 +1924,12 @@ def ivf_centroid_topk(
             q_probed, query_id_col
         )
     else:
+        try:
+            coarse_scan = spark.read.parquet(_coarse_path(index_path))
+        except AnalysisException:
+            return _empty_result()
         coarse = _tombstone_antijoin(
-            spark.read.parquet(_coarse_path(index_path)).filter(
-                F.col("cid").isin(probe_cids)
-            ),
+            coarse_scan.filter(F.col("cid").isin(probe_cids)),
             tombstones, tomb_fits, id_col,
         )
         approx = (

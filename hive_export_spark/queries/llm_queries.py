@@ -1284,6 +1284,115 @@ def llm_sim_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_ivf_delete_compacted",
+    oracle=_RECALL_ORACLE,
+    doc="takedown -> compaction-made-physical -> re-add on the persisted "
+    "ANN store (r14 — the composition r13 documented as future work, "
+    "r13 verdict ask #6): build the centroid-IVF store on the fixture-"
+    "relative bottom 80% of vec_ids, append the top 20% (exactly-once "
+    "protocol), TOMBSTONE-delete the pmod(vec_id,5)==3 slice, then "
+    "COMPACT — compact_ivf_centroid_index anti-joins the snapshotted "
+    "tombstone batches during the rewrite it already pays for, making "
+    "the deletes PHYSICAL in both tiers and clearing the batch dirs — "
+    "and finally RE-ADD the pmod(vec_id,10)==3 half of the deleted "
+    "slice via a second exactly-once append, which only resurrects the "
+    "ids because the compaction made the takedown physical (a "
+    "surviving tombstone would keep masking them). Oracle-able "
+    "formulation: per-query recall_ok = |IVF ∩ exact top-10 over the "
+    "corpus minus the still-deleted pmod(vec_id,10)==8 half| >= 7 — a "
+    "still-deleted vector surfacing, a re-added one missing, or a "
+    "compaction-dropped live row all cut recall; the oracle lists the "
+    "query ids with literal TRUE.",
+)
+def llm_sim_ivf_delete_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_export_spark.operators.ivf import (
+        build_ivf_centroid_index,
+        compact_ivf_centroid_index,
+        ivf_centroid_append,
+        ivf_centroid_delete,
+        ivf_centroid_topk,
+    )
+    from hive_export_spark.queries.connector_queries import sf_scratch_dir
+    from hive_export_spark.sources.files import fs_exists, fs_touch
+
+    e = load_table(spark, "embeddings", sf_dir)
+    # NULL-total slices (round-7 rule): NULL ids are neither deleted nor
+    # re-added; pmod keeps both stable across scaled fixtures. The
+    # deleted slice {==3 (mod 5)} splits into the re-added {==3 (mod
+    # 10)} and still-deleted {==8 (mod 10)} halves.
+    is_del = F.coalesce(
+        F.pmod(F.col("vec_id"), F.lit(5)) == F.lit(3), F.lit(False)
+    )
+    is_readd = F.coalesce(
+        F.pmod(F.col("vec_id"), F.lit(10)) == F.lit(3), F.lit(False)
+    )
+    is_still_del = F.coalesce(
+        F.pmod(F.col("vec_id"), F.lit(10)) == F.lit(8), F.lit(False)
+    )
+    path = os.path.join(
+        sf_scratch_dir("ivf_centroid_delcmp_v1", sf_dir), "idx"
+    )
+    marker = path + "/_DELCMP_DONE"
+    if not fs_exists(spark, marker):
+        # same fixture-relative 80/20 split as the incremental store
+        # (round-9 rule; NULL vec_ids route to the base)
+        b = e.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        split = (
+            0 if b["lo"] is None
+            else b["lo"] + ((b["hi"] - b["lo"] + 1) * 4) // 5
+        )
+        is_incr = F.coalesce(
+            F.col("vec_id") >= F.lit(split), F.lit(False)
+        )
+        build_ivf_centroid_index(e.filter(~is_incr), path, max_iter=5)
+        incr = e.filter(is_incr).select("vec_id", "embedding")
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        if has_cents and incr.take(1):
+            ivf_centroid_append(spark, path, incr, append_id="daily")
+        elif not has_cents and incr.take(1):
+            # day-one bootstrap, same convention as the batch-append
+            # store: a first ingest BUILDS, it does not append
+            build_ivf_centroid_index(e, path, max_iter=5)
+        has_cents = (
+            spark.read.parquet(path + "_centroids").count() > 0
+            if fs_exists(spark, path + "_centroids/_SUCCESS")
+            else False
+        )
+        del_ids = e.filter(is_del).select("vec_id")
+        if has_cents and del_ids.take(1):
+            ivf_centroid_delete(
+                spark, path, del_ids, delete_id="takedown-1"
+            )
+            # the rewrite both tiers already need (appends interleaved
+            # the id-sort) applies the takedown physically and clears
+            # the tombstone tier — the precondition for the re-add
+            compact_ivf_centroid_index(spark, path)
+            readd = e.filter(is_readd).select("vec_id", "embedding")
+            if readd.take(1):
+                ivf_centroid_append(spark, path, readd, append_id="readd")
+        fs_touch(spark, marker)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_centroid_topk(spark, path, queries, k=10, rerank=30)
+    # the exact bar is the LIVE corpus after the full lifecycle:
+    # everything except the still-deleted half (re-added ids are
+    # achievable targets again)
+    exact = similarity.brute_force_topk(
+        e.filter(~is_still_del), queries, k=10
+    )
+    return _recall_ok(ann, exact, queries, min_hits=7)
+
+
+@register(
     "llm_sim_ivf_stream_ingest",
     oracle=_RECALL_ORACLE,
     doc="exactly-once STREAMING vector ingest: the persisted centroid-IVF "

@@ -114,6 +114,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # not in the r14 window, computed from CORRECTNESS_r*.json by
 # tools/evidence.py this round: 48 r9-era rows minus the 24 fills the
 # r14 window carries). Slot policy, changed-code first:
+# - llm_sim_ivf_delete_compacted (NEW in r14 — the takedown ->
+#   compaction-made-physical -> re-add composition, r13 verdict ask
+#   #6), never driver-checked: highest slot priority;
 # - the rows whose operator code changes in round 14 without a fresher
 #   driver row: llm_sim_ivf_kmeans / llm_sim_ivf_pruned /
 #   llm_sim_ivf_rebuilt / llm_sim_ivf_stream_ingest (ivf.py lease
@@ -121,11 +124,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   guard, snapshot-scoped tombstone clears, one-job maintenance scan
 #   this round — the other ivf.py consumers sit in THIS round's window
 #   and get r14 rows covering the new code) and scale_compaction
-#   (operators/maintenance.py grows the compaction anti-join hook that
+#   (operators/maintenance.py grows the compaction transform hook that
 #   makes tombstones physical);
 # - all 24 residual r9-era rows, registry order (llm_sim_ivf_topk is
 #   both r9-era and r14-changed-code — it sits in this block);
-# - 21 fill slots to the OLDEST remaining evidence: r10-era rows in
+# - 20 fill slots to the OLDEST remaining evidence: r10-era rows in
 #   registry order.
 # Closure invariant after r15 lands green: nothing older than r10.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -134,6 +137,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND15_HEAD: tuple[str, ...] = (
+    # never-driver-checked r14 lifecycle query (1):
+    "llm_sim_ivf_delete_compacted",
     # round-14 changed-code rows (5):
     "llm_sim_ivf_kmeans",
     "llm_sim_ivf_pruned",
@@ -165,7 +170,7 @@ ROUND15_HEAD: tuple[str, ...] = (
     "scale_zorder_scan",
     "scale_dpp_scan",
     "graph_degree_assortativity",
-    # r10-era fills (21, registry order):
+    # r10-era fills (20, registry order):
     "fmt_roundtrip_orc",
     "fmt_roundtrip_csv",
     "fmt_roundtrip_json",
@@ -186,7 +191,6 @@ ROUND15_HEAD: tuple[str, ...] = (
     "fn_bitwise_family",
     "agg_percentiles",
     "agg_mode_deterministic",
-    "agg_collect_sorted",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy
