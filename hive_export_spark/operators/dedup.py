@@ -20,7 +20,7 @@ higher-order array functions) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -751,4 +751,96 @@ def incremental_pairs_against_banded_store(
     )
     return _verify_candidate_pairs(
         candidates, all_docs, text_col, id_col, threshold
+    )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Exact substring (duplicated token-run) detection: for every document,
+    the maximal token spans whose every ``window``-token run also appears in
+    at least one OTHER document.
+
+    This is the dedup granularity exact-match document dedup misses —
+    boilerplate headers, license blocks, and templated passages embedded in
+    otherwise-unique documents. The classic formulation builds a corpus
+    suffix array; the distributed equivalent used here slides a fixed
+    ``window``-token shingle over each document WITH its start offset,
+    keeps shingles seen in >= 2 distinct documents, and merges the
+    surviving overlapping intervals per document into maximal spans
+    (gaps-and-islands over start offsets). A run of K >= window duplicated
+    tokens yields K - window + 1 overlapping shingles that merge back into
+    one span of exactly K tokens, so span boundaries are recovered exactly
+    — no suffix array needed.
+
+    Scale shape: the shingle explode is one narrow pass (offsets come from
+    a per-row ``transform`` over ``sequence``, all JVM-side); the
+    >= 2-distinct-docs filter is a shuffle keyed on the shingle text whose
+    map-side partial aggregation reduces each task's output to its
+    distinct shingle set; the island merge is a per-document window — the
+    natural partitioning, no global sort anywhere. At 100 TB the
+    duplicated-shingle set is the boilerplate vocabulary, orders of
+    magnitude smaller than the corpus, and production deployments group on
+    ``xxhash64(shingle)`` instead of the raw text to cut shuffle bytes
+    (identical result modulo an astronomically unlikely collision; the raw
+    text is kept here so the DuckDB oracle shares the exact key).
+
+    Returns one row per document that contains at least one duplicated
+    span: ``id_col``, ``n_dup_spans``, ``dup_tokens``, ``n_tokens``,
+    ``dup_ratio``.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t"))
+        .withColumn("n_tokens", F.size("__t"))
+        .filter(F.col("n_tokens") >= window)
+    )
+    # one struct per shingle: 0-based start offset + the shingle text
+    grams = docs.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (window - 1)),
+                lambda i: F.struct(
+                    (i - 1).alias("s"),
+                    F.array_join(F.slice("__t", i, window), " ").alias("g"),
+                ),
+            )
+        ).alias("ps"),
+    ).select(id_col, "n_tokens", F.col("ps.s").alias("s"), F.col("ps.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("g")
+    )
+    marked = grams.join(dup, "g", "left_semi").select(id_col, "n_tokens", "s")
+    w_doc = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max(F.col("s") + (window - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = marked.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "n_tokens", "__island").agg(
+        F.min("s").alias("__st"),
+        (F.max("s") + (window - 1)).alias("__en"),
+    )
+    return spans.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("__en") - F.col("__st") + 1).alias("dup_tokens"),
+    ).select(
+        id_col,
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
     )

@@ -19,7 +19,7 @@ data size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Vertex ids are packed with their degree into one orderable BIGINT
@@ -210,3 +210,51 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
         )
     return ranks.select("node", "deg", "rank_int")
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list (``u`` < ``v``), fixed iteration count,
+    DETERMINISTIC tie-break.
+
+    Each node starts labeled with its own id; every round, each node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label (Raghavan et al.'s LPA with the random pieces
+    pinned: synchronous schedule + min-label tie-break make the result a
+    pure function of the graph, so two engines — and two cluster
+    partitionings — agree bit-for-bit).
+
+    Scale shape per round: one shuffle joining labels to the symmetric
+    edge list on the source (a node's current label fans out along its
+    edges), one (node, label) count aggregation with map-side combine,
+    one per-node window for the argmax — all keyed on node ids, no
+    global structure, no driver-side graph. The edge list is cached once
+    and reused every round; iteration count is fixed and small, so
+    lineage stays bounded without checkpointing (the open-ended variant
+    would localCheckpoint each round like llm_dedup_components does).
+
+    Returns one row per node: ``node``, ``label``.
+    """
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    sym = sym.persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w_pick = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -666,3 +666,57 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "round int, n_nodes long, n_edges long"
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+c1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+       FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+       FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+       FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT CAST(label AS BIGINT) AS community, COUNT(*) AS n_members
+FROM l3 GROUP BY 1
+""",
+    doc="synchronous label-propagation community detection (3 rounds, "
+    "deterministic min-label tie-break) on the part co-purchase graph — "
+    "Raghavan et al.'s LPA with the random pieces pinned so the result "
+    "is a pure function of the graph. Spark side loops 3 bounded "
+    "DataFrame rounds (operators/graph.py::label_propagation: "
+    "label-fanout join on the cached symmetric edge list, "
+    "map-side-combined (node,label) counts, per-node argmax window); "
+    "the oracle unrolls the identical recurrence as 3 CTE stages, so "
+    "any schedule or tie-break divergence hash-mismatches. Output is "
+    "the community-size histogram.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.graph import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    labels = label_propagation(edges.select("u", "v"), iterations=3)
+    return labels.groupBy(F.col("label").cast("bigint").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -3275,3 +3275,56 @@ def llm_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("bigint").alias("n_members"),
         F.round(cos, 6).cast("double").alias("cos_to_global_r"),
     )
+
+
+@register(
+    "llm_dedup_substring",
+    oracle=f"""
+WITH doc AS (
+  SELECT doc_id, t, len(t) AS n_tokens
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE len(t) >= 8
+), grams AS (
+  SELECT doc_id, n_tokens, i - 1 AS s, array_to_string(t[i:i+7], ' ') AS g
+  FROM doc, UNNEST(range(1, CAST(n_tokens AS INTEGER) - 8 + 2)) r(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), isl AS (
+  SELECT doc_id, n_tokens, s,
+         SUM(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, n_tokens, s,
+           MAX(s + 7) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM grams WHERE g IN (SELECT g FROM dup))
+), spans AS (
+  SELECT doc_id, n_tokens, island, MIN(s) AS st, MAX(s) + 7 AS en
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(en - st + 1) AS DOUBLE) / n_tokens AS dup_ratio
+FROM spans GROUP BY doc_id, n_tokens
+""",
+    doc="exact substring (duplicated token-run) dedup, the granularity "
+    "document-level dedup misses (boilerplate headers, license blocks, "
+    "templated passages inside otherwise-unique documents — the "
+    "suffix-array dedup of Lee et al. 2021, re-expressed distributed): "
+    "slide an 8-token shingle with its start offset, keep shingles seen "
+    "in >= 2 distinct docs (map-side-combined shuffle keyed on the "
+    "shingle), merge surviving overlapping intervals per doc into "
+    "maximal spans via gaps-and-islands — a K-token duplicated run's "
+    "K-7 overlapping shingles merge back to exactly one K-token span, "
+    "recovering suffix-array span boundaries with no global structure. "
+    "Per-doc window partitioning, no global sort; at 100 TB the "
+    "dup-shingle set is the boilerplate vocabulary (corpus-sublinear) "
+    "and production keys the shuffle on xxhash64(shingle) instead of "
+    "raw text (raw kept here so the oracle shares the exact key).",
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.duplicate_token_spans(d, "text", "doc_id", window=8)

@@ -1719,3 +1719,96 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("resid_r"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+    AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), ser AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         x
+  FROM daily
+), rec AS (
+  SELECT a.user_id, CAST(2 AS BIGINT) AS rn, a.x AS l, b.x - a.x AS b
+  FROM ser a JOIN ser b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 2
+  UNION ALL
+  SELECT r.user_id, r.rn + 1,
+         0.5e0 * s.x + 0.5e0 * (r.l + r.b) AS l,
+         0.3e0 * ((0.5e0 * s.x + 0.5e0 * (r.l + r.b)) - r.l) + 0.7e0 * r.b AS b
+  FROM rec r JOIN ser s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT r.user_id, CAST(m.n AS BIGINT) AS n_obs,
+       r.l AS level, r.b AS trend,
+       r.l + 3.0e0 * r.b AS forecast_3
+FROM rec r
+JOIN (SELECT user_id, MAX(rn) AS mx, MAX(n) AS n FROM ser GROUP BY 1 HAVING MAX(n) >= 2) m
+  ON r.user_id = m.user_id AND r.rn = m.mx
+""",
+    doc="Holt double-exponential smoothing (level + trend, alpha=0.5, "
+    "beta=0.3) fit per user over the daily value series, emitting the "
+    "final state and the 3-step-ahead forecast. The recurrence is "
+    "inherently sequential per series, so it runs as a JVM-side "
+    "higher-order fold: each user's (day, x) pairs collect to a "
+    "SORTED array (bounded by the series length — days, not events; "
+    "the same per-key bound every per-series model fit assumes) and "
+    "F.aggregate folds the Holt update exactly once per observation — "
+    "one shuffle on user_id, no Python, no driver loop, series "
+    "processed in parallel across the cluster. The oracle runs the "
+    "identical recurrence as a recursive CTE; both sides evaluate the "
+    "same IEEE-754 double expression tree in the same order (init "
+    "l=x1, b=x2-x1, then fold x3..xn), so the states agree bitwise, "
+    "not just to tolerance. Daily sums aggregate in DECIMAL first — "
+    "reduction-order-proof — and cast to double once.",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    daily = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("__v").cast("double").alias("x"))
+    )
+    per_user = (
+        daily.groupBy("user_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(d, x))), s -> s.x)")
+            .alias("xs")
+        )
+        .withColumn("n_obs", F.size("xs"))
+        .filter(F.col("n_obs") >= 2)
+    )
+    state = F.expr(
+        "aggregate("
+        "  case when n_obs > 2 then slice(xs, 3, n_obs - 2) "
+        "       else slice(xs, 1, 0) end,"
+        "  struct(xs[0] as l, xs[1] - xs[0] as b),"
+        "  (acc, x) -> struct("
+        "    0.5d * x + 0.5d * (acc.l + acc.b) as l,"
+        "    0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l)"
+        "      + 0.7d * acc.b as b))"
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3"),
+    )

@@ -1,0 +1,177 @@
+"""Round-14 wave-3 operators: exact substring (token-run) dedup,
+two-sample KS test, label-propagation communities, Holt linear smoothing.
+
+Each test pins the SEMANTICS on a hand-computable micro-case — the
+oracle gate already proves cross-engine agreement at fixture scale, so
+these fix what "right" means when both engines would agree on a wrong
+answer together.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hive_export_spark.operators.dedup import duplicate_token_spans
+from hive_export_spark.operators.graph import label_propagation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_token_spans_merges_overlapping_shingles(spark):
+    # 12 shared tokens => a 12-token run duplicated across docs 1 and 2
+    # must come back as ONE span of exactly 12 tokens in each, not the
+    # 5 overlapping 8-gram hits that detected it.
+    shared = "a b c d e f g h i j k l"
+    rows = [
+        (1, f"{shared} unique tail one x y z"),
+        (2, f"other head two {shared}"),
+        (3, "entirely different text with no duplication at all here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_token_spans(_docs(spark, rows), window=8).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 12
+
+
+def test_duplicate_token_spans_two_disjoint_spans(spark):
+    # two separated duplicated runs in one doc stay two islands
+    s1 = "p q r s t u v w"  # 8 tokens, exactly one shingle
+    s2 = "m n o aa bb cc dd ee"
+    rows = [
+        (1, f"{s1} filler gap words here between runs {s2}"),
+        (2, s1),
+        (3, s2),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_token_spans(_docs(spark, rows), window=8).collect()
+    }
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_tokens"] == 16
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 8
+
+
+def test_duplicate_token_spans_skips_short_and_null(spark):
+    rows = [(1, None), (2, "too short"), (3, "a b c d e f g h"), (4, "a b c d e f g h")]
+    got = duplicate_token_spans(_docs(spark, rows), window=8).collect()
+    assert {r["doc_id"] for r in got} == {3, 4}
+    assert all(r["dup_ratio"] == 1.0 for r in got)
+
+
+def test_intradoc_repeat_alone_is_not_cross_doc_dup(spark):
+    # an 8-gram repeated WITHIN one doc only (1 distinct doc) must not count
+    s = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(1, f"{s} mid words split marker {s}"), (2, "nothing shared here at all ok then fine")]
+    assert duplicate_token_spans(_docs(spark, rows), window=8).collect() == []
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    # two triangles joined by nothing: each collapses to its min id
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)], "u long, v long"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # node 3's neighbors 1 and 2 tie at one vote each -> min label wins
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "u long, v long")
+    got = {
+        r["node"]: r["label"] for r in label_propagation(edges, 1).collect()
+    }
+    assert got[3] == 1
+
+
+def test_holt_linear_matches_hand_rolled_recurrence(spark, sf_dir):
+    from hive_export_spark.queries.timeseries_queries import ts_holt_linear
+
+    rows = ts_holt_linear(spark, sf_dir).collect()
+    assert rows, "fixture must yield at least one user series"
+    byu = {r["user_id"]: r for r in rows}
+
+    # recompute one user's series with a plain python loop
+    from hive_export_spark.queries.timeseries_queries import _SPINE_HI, _SPINE_LO
+    from hive_export_spark.sources import load_table
+
+    uid = sorted(byu)[0]
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+            & F.col("value").isNotNull()
+            & (F.col("user_id") == uid)
+        )
+        .groupBy(F.floor(F.unix_timestamp("ts") / 86400).alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    assert len(xs) == byu[uid]["n_obs"]
+    lvl, trd = xs[0], xs[1] - xs[0]
+    for x in xs[2:]:
+        new_l = 0.5 * x + 0.5 * (lvl + trd)
+        trd = 0.3 * (new_l - lvl) + 0.7 * trd
+        lvl = new_l
+    assert byu[uid]["level"] == lvl
+    assert byu[uid]["trend"] == trd
+    assert byu[uid]["forecast_3"] == lvl + 3.0 * trd
+
+
+def test_ks_two_sample_identical_samples_give_zero_d(spark):
+    from hive_export_spark.queries.stats_queries import stats_ks_two_sample
+    import os
+    import tempfile
+
+    # build a tiny events parquet where click and view values coincide
+    with tempfile.TemporaryDirectory() as tmp:
+        vals = [1.0, 2.0, 3.0, 4.0] * 3
+        rows = []
+        eid = 0
+        for g in ("click", "view"):
+            for v in vals:
+                rows.append((eid, "2024-01-05 00:00:00", 1, g, v, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = stats_ks_two_sample(spark, tmp).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n1"] == 12 and r["n2"] == 12
+        assert r["ks_d"] == 0.0
+        assert r["reject_05"] is False
+
+
+def test_ks_two_sample_disjoint_samples_give_d_one(spark):
+    from hive_export_spark.queries.stats_queries import stats_ks_two_sample
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = []
+        eid = 0
+        for g, base in (("click", 0.0), ("view", 100.0)):
+            for i in range(20):
+                rows.append((eid, "2024-01-05 00:00:00", 1, g, base + i, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        r = stats_ks_two_sample(spark, tmp).collect()[0]
+        assert r["ks_d"] == 1.0
+        assert r["reject_05"] is True
