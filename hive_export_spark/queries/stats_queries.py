@@ -2208,85 +2208,3 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_purchase",
         "qq_gap",
     )
-
-
-@register(
-    "stats_ks_two_sample",
-    oracle="""
-WITH pooled AS (
-  SELECT CAST(value AS DOUBLE) AS x,
-         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
-  FROM events
-  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
-), byv AS (
-  SELECT x, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM pooled GROUP BY x
-), cum AS (
-  SELECT SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum1,
-         SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum2,
-         SUM(c1) OVER () AS n1,
-         SUM(c2) OVER () AS n2
-  FROM byv
-), stat AS (
-  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
-         MAX(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)) AS ks_d
-  FROM cum
-)
-SELECT n1, n2, ks_d,
-       1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS ks_crit_05,
-       ks_d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS reject_05
-FROM stat WHERE n1 > 0 AND n2 > 0
-""",
-    doc="two-sample Kolmogorov-Smirnov test (click vs view event values): "
-    "D = max |ecdf1 - ecdf2| over the pooled distinct values, plus the "
-    "asymptotic alpha=0.05 critical value 1.358*sqrt((n1+n2)/(n1*n2)) "
-    "and the reject boolean. Shuffle shape: one vocabulary-sized "
-    "group-by on the value (map-side combined), then the running ecdf "
-    "window over DISTINCT values only — the single-partition scan is "
-    "over the value vocabulary, not the corpus, which is the same "
-    "concession every exact-ecdf algorithm makes (a 100 TB deployment "
-    "needing a fully parallel scan switches to a KLL-sketch ecdf, "
-    "agg_kll_quantile_merge's machinery, trading exactness). Hash "
-    "stability: ecdf ratios are exact-integer divisions evaluated "
-    "per-row and D is an order-insensitive MAX over them — no float "
-    "accumulation anywhere.",
-)
-def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    pooled = ev.filter(
-        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
-    ).select(
-        F.col("value").cast("double").alias("x"),
-        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
-    )
-    byv = pooled.groupBy("x").agg(
-        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
-    )
-    w_run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = byv.select(
-        F.sum("c1").over(w_run).alias("cum1"),
-        F.sum("c2").over(w_run).alias("cum2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    )
-    stat = cum.groupBy().agg(
-        F.max("n1").cast("bigint").alias("n1"),
-        F.max("n2").cast("bigint").alias("n2"),
-        F.max(
-            F.abs(
-                F.col("cum1").cast("double") / F.col("n1")
-                - F.col("cum2").cast("double") / F.col("n2")
-            )
-        ).alias("ks_d"),
-    )
-    crit = F.lit(1.358) * F.sqrt(
-        (F.col("n1") + F.col("n2")).cast("double")
-        / (F.col("n1").cast("double") * F.col("n2"))
-    )
-    return stat.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
-        "n1",
-        "n2",
-        "ks_d",
-        crit.alias("ks_crit_05"),
-        (F.col("ks_d") > crit).alias("reject_05"),
-    )

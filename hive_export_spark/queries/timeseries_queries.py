@@ -1812,3 +1812,239 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["b"].alias("trend"),
         (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3"),
     )
+
+
+# shared daily-series CTE for the trend estimators below: per-type daily
+# DECIMAL sums cast to double once. NULL event_type is excluded
+# EXPLICITLY on both sides (anonymous-series policy, round-7 wave 7:
+# the pairwise equi-self-join would drop NULL silently while the
+# per-type aggregates kept it — make the policy total, not accidental).
+_DAILY_SQL = f"""
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS x
+  FROM events
+  WHERE ts >= TIMESTAMP '{_SPINE_LO}' AND ts < TIMESTAMP '{_SPINE_HI}'
+    AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+def _daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit(_SPINE_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SPINE_HI).cast("timestamp"))
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+            F.col("value").cast("decimal(12,2)").alias("__v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("__v").cast("double").alias("x"))
+    )
+
+
+@register(
+    "ts_mann_kendall",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT a.event_type, CAST(sign(b.x - a.x) AS BIGINT) AS sg
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+), s AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs GROUP BY 1
+), nn AS (
+  SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1
+), ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+), v AS (
+  SELECT n.event_type, n.n,
+         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tt AS DOUBLE) / 18.0e0 AS var_s
+  FROM nn n JOIN ties t ON n.event_type = t.event_type
+), z AS (
+  SELECT v.event_type, CAST(v.n AS BIGINT) AS n_obs, s.s_stat, v.var_s,
+         CASE WHEN s.s_stat = 0 THEN 0.0e0
+              WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE) / sqrt(v.var_s)
+              ELSE CAST(s.s_stat + 1 AS DOUBLE) / sqrt(v.var_s) END AS z_stat
+  FROM v JOIN s ON v.event_type = s.event_type
+)
+SELECT event_type, n_obs, s_stat, var_s, z_stat,
+       CASE WHEN z_stat IS NULL THEN 'undefined'
+            WHEN z_stat > 1.96 THEN 'increasing'
+            WHEN z_stat < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z
+""",
+    doc="Mann-Kendall monotonic-trend test per event_type over the daily "
+    "value series: S = sum of sign(x_j - x_i) over ordered day pairs, "
+    "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+    "continuity-corrected z, and the trend verdict at alpha=0.05 — the "
+    "standard nonparametric drift detector for pipeline health series "
+    "(robust to outliers and any monotone transform, unlike the OLS "
+    "slope in ts_linear_forecast). S and both variance terms are pure "
+    "INTEGER aggregates (sign of decimal-sourced doubles is exact), so "
+    "the only float ops are two final per-row expressions. The pairwise "
+    "self-join is keyed on the series id and bounded by days-per-series "
+    "squared — per-SERIES quadratic like every exact MK implementation "
+    "(for multi-year series at 100 TB switch to the O(n log n) "
+    "merge-sort inversion-count formulation per series; the shuffle "
+    "shape — one key, bounded state — is unchanged). An all-tied "
+    "series (constant sweep) has var_s = 0 AND S = 0: the S=0 arm "
+    "short-circuits z to 0.0 before the 0/0, on both engines.",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_by_type(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.signum(F.col("b.x") - F.col("a.x")).cast("bigint").alias("sg"),
+    )
+    s = pairs.groupBy("event_type").agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tt")
+        )
+    )
+    n = F.col("n")
+    v = nn.join(ties, "event_type").select(
+        "event_type",
+        n.cast("bigint").alias("n_obs"),
+        ((n * (n - 1) * (2 * n + 5) - F.col("tt")).cast("double") / F.lit(18.0)).alias(
+            "var_s"
+        ),
+    )
+    z = (
+        F.when(F.col("s_stat") == 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            F.try_divide((F.col("s_stat") - 1).cast("double"), F.sqrt(F.col("var_s"))),
+        )
+        .otherwise(
+            F.try_divide((F.col("s_stat") + 1).cast("double"), F.sqrt(F.col("var_s")))
+        )
+    )
+    out = v.join(s, "event_type").select(
+        "event_type", "n_obs", "s_stat", "var_s", z.alias("z_stat")
+    )
+    return out.select(
+        "event_type",
+        "n_obs",
+        "s_stat",
+        "var_s",
+        "z_stat",
+        F.when(F.col("z_stat").isNull(), F.lit("undefined"))
+        .when(F.col("z_stat") > 1.96, F.lit("increasing"))
+        .when(F.col("z_stat") < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+  SELECT a.event_type, (b.x - a.x) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+), sl AS (
+  SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope
+  FROM ranked WHERE rn = (np + 1) // 2
+), resid AS (
+  SELECT d.event_type, d.x - sl.slope * CAST(d.d AS DOUBLE) AS b
+  FROM daily d JOIN sl ON d.event_type = sl.event_type
+), rranked AS (
+  SELECT event_type, b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM resid
+)
+SELECT sl.event_type,
+       CAST(nn.n AS BIGINT) AS n_obs, sl.n_pairs, sl.slope,
+       rr.b AS intercept
+FROM sl
+JOIN (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1) nn
+  ON sl.event_type = nn.event_type
+JOIN rranked rr ON sl.event_type = rr.event_type AND rr.rn = (rr.nb + 1) // 2
+""",
+    doc="Theil-Sen robust trend per event_type over the daily value "
+    "series: slope = LOWER MEDIAN of all pairwise day-slopes "
+    "(deterministic median convention — averaging the two middles "
+    "would be fine too, but the lower median makes the pick a single "
+    "existing value on both engines), intercept = lower median of the "
+    "per-day residuals x - slope*d. Up to ~29% contaminated "
+    "observations cannot move the estimate — the robust companion to "
+    "the OLS ts_linear_forecast, and the estimator of choice for "
+    "pipeline-health series with outlier days. Slopes are identical "
+    "single-division float expressions; medians are picked by rank, "
+    "not averaged, so cross-engine agreement is exact. Pair "
+    "generation is per-series quadratic in DAYS (bounded, like every "
+    "exact Theil-Sen; repeated-median or sampled variants trade for "
+    "longer series) keyed on the series id — shuffle state stays "
+    "per-key bounded at any corpus size.",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_by_type(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.x") - F.col("a.x")) / (F.col("b.d") - F.col("a.d")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("np"),
+    )
+    sl = ranked.filter(
+        F.col("rn") == F.expr("(np + 1) div 2")
+    ).select("event_type", F.col("np").cast("bigint").alias("n_pairs"), "slope")
+    resid = daily.join(sl, "event_type").select(
+        "event_type",
+        (F.col("x") - F.col("slope") * F.col("d").cast("double")).alias("b"),
+    )
+    w_brank = Window.partitionBy("event_type").orderBy("b")
+    rranked = resid.select(
+        "event_type",
+        "b",
+        F.row_number().over(w_brank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("nb"),
+    )
+    ic = rranked.filter(F.col("rn") == F.expr("(nb + 1) div 2")).select(
+        "event_type", F.col("b").alias("intercept")
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    return (
+        sl.join(nn, "event_type")
+        .join(ic, "event_type")
+        .select("event_type", "n_obs", "n_pairs", "slope", "intercept")
+    )

@@ -114,11 +114,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # not in the r14 window, computed from CORRECTNESS_r*.json by
 # tools/evidence.py this round: 48 r9-era rows minus the 24 fills the
 # r14 window carries). Slot policy, changed-code first:
-# - the five queries NEW in r14, never driver-checked — highest slot
+# - the six queries NEW in r14, never driver-checked — highest slot
 #   priority: llm_sim_ivf_delete_compacted (the takedown ->
 #   compaction-made-physical -> re-add composition, r13 verdict ask
-#   #6) and the wave-3 operator additions llm_dedup_substring /
-#   stats_ks_two_sample / graph_label_propagation / ts_holt_linear;
+#   #6) and the wave-3/4 operator additions llm_dedup_substring /
+#   graph_label_propagation / ts_holt_linear / ts_mann_kendall /
+#   ts_theil_sen;
 # - the rows whose operator code changes in round 14 without a fresher
 #   driver row: llm_sim_ivf_kmeans / llm_sim_ivf_pruned /
 #   llm_sim_ivf_rebuilt / llm_sim_ivf_stream_ingest (ivf.py lease
@@ -130,8 +131,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   makes tombstones physical);
 # - all 24 residual r9-era rows, registry order (llm_sim_ivf_topk is
 #   both r9-era and r14-changed-code — it sits in this block);
-# - 16 fill slots to the OLDEST remaining evidence: r10-era rows in
-#   registry order (the four r10-era rows displaced by the wave-3
+# - 15 fill slots to the OLDEST remaining evidence: r10-era rows in
+#   registry order (the five r10-era rows displaced by the wave-3/4
 #   additions rejoin the pool for r16).
 # Closure invariant after r15 lands green: nothing older than r10.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -140,14 +141,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND15_HEAD: tuple[str, ...] = (
-    # never-driver-checked r14 queries (5): the takedown lifecycle
-    # composition plus the four wave-3 additions (substring dedup, KS
-    # test, label propagation, Holt smoothing):
+    # never-driver-checked r14 queries (6): the takedown lifecycle
+    # composition plus the wave-3/4 operator additions (substring
+    # dedup, label propagation, Holt smoothing, Mann-Kendall trend,
+    # Theil-Sen slope):
     "llm_sim_ivf_delete_compacted",
     "llm_dedup_substring",
-    "stats_ks_two_sample",
     "graph_label_propagation",
     "ts_holt_linear",
+    "ts_mann_kendall",
+    "ts_theil_sen",
     # round-14 changed-code rows (5):
     "llm_sim_ivf_kmeans",
     "llm_sim_ivf_pruned",
@@ -179,7 +182,7 @@ ROUND15_HEAD: tuple[str, ...] = (
     "scale_zorder_scan",
     "scale_dpp_scan",
     "graph_degree_assortativity",
-    # r10-era fills (16, registry order):
+    # r10-era fills (15, registry order):
     "fmt_roundtrip_orc",
     "fmt_roundtrip_csv",
     "fmt_roundtrip_json",
@@ -195,7 +198,6 @@ ROUND15_HEAD: tuple[str, ...] = (
     "window_distribution",
     "window_range_frame",
     "window_range_interval",
-    "fn_posexplode",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

@@ -1,5 +1,6 @@
 """Round-14 wave-3 operators: exact substring (token-run) dedup,
-two-sample KS test, label-propagation communities, Holt linear smoothing.
+label-propagation communities, Holt linear smoothing, Mann-Kendall
+trend, Theil-Sen slope.
 
 Each test pins the SEMANTICS on a hand-computable micro-case — the
 oracle gate already proves cross-engine agreement at fixture scale, so
@@ -126,52 +127,72 @@ def test_holt_linear_matches_hand_rolled_recurrence(spark, sf_dir):
     assert byu[uid]["forecast_3"] == lvl + 3.0 * trd
 
 
-def test_ks_two_sample_identical_samples_give_zero_d(spark):
-    from hive_export_spark.queries.stats_queries import stats_ks_two_sample
+def _events_dir(spark, tmp, rows):
     import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+def test_mann_kendall_monotone_series_is_increasing(spark):
     import tempfile
 
-    # build a tiny events parquet where click and view values coincide
+    from hive_export_spark.queries.timeseries_queries import ts_mann_kendall
+
     with tempfile.TemporaryDirectory() as tmp:
-        vals = [1.0, 2.0, 3.0, 4.0] * 3
-        rows = []
-        eid = 0
-        for g in ("click", "view"):
-            for v in vals:
-                rows.append((eid, "2024-01-05 00:00:00", 1, g, v, "{}"))
-                eid += 1
-        df = spark.createDataFrame(
-            rows,
-            "event_id long, ts string, user_id long, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp"))
-        df.write.parquet(os.path.join(tmp, "events.parquet"))
-        out = stats_ks_two_sample(spark, tmp).collect()
-        assert len(out) == 1
-        r = out[0]
-        assert r["n1"] == 12 and r["n2"] == 12
-        assert r["ks_d"] == 0.0
-        assert r["reject_05"] is False
+        rows = [
+            (i, f"2024-01-{i + 1:02d} 12:00:00", 1, "click", float(i), "{}")
+            for i in range(10)
+        ]
+        r = {
+            row["event_type"]: row
+            for row in ts_mann_kendall(spark, _events_dir(spark, tmp, rows)).collect()
+        }["click"]
+        assert r["n_obs"] == 10
+        assert r["s_stat"] == 45  # all 45 ordered pairs ascend
+        assert r["var_s"] == 125.0  # 10*9*25/18, no ties
+        assert r["trend"] == "increasing"
 
 
-def test_ks_two_sample_disjoint_samples_give_d_one(spark):
-    from hive_export_spark.queries.stats_queries import stats_ks_two_sample
-    import os
+def test_mann_kendall_constant_series_is_no_trend(spark):
     import tempfile
 
+    from hive_export_spark.queries.timeseries_queries import ts_mann_kendall
+
     with tempfile.TemporaryDirectory() as tmp:
+        rows = [
+            (i, f"2024-01-{i + 1:02d} 12:00:00", 1, "view", 7.0, "{}")
+            for i in range(6)
+        ]
+        r = ts_mann_kendall(spark, _events_dir(spark, tmp, rows)).collect()[0]
+        # all tied: S = 0 short-circuits z to 0.0 before the 0/0
+        assert r["s_stat"] == 0
+        assert r["z_stat"] == 0.0
+        assert r["trend"] == "no_trend"
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    import tempfile
+
+    from hive_export_spark.queries.timeseries_queries import ts_theil_sen
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # ten days on x = 2*day + 5, one wildly-off day: the median of
+        # pairwise slopes (45 clean pairs of 55) must still be exactly 2
         rows = []
-        eid = 0
-        for g, base in (("click", 0.0), ("view", 100.0)):
-            for i in range(20):
-                rows.append((eid, "2024-01-05 00:00:00", 1, g, base + i, "{}"))
-                eid += 1
-        df = spark.createDataFrame(
-            rows,
-            "event_id long, ts string, user_id long, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts").cast("timestamp"))
-        df.write.parquet(os.path.join(tmp, "events.parquet"))
-        r = stats_ks_two_sample(spark, tmp).collect()[0]
-        assert r["ks_d"] == 1.0
-        assert r["reject_05"] is True
+        for i in range(10):
+            day_epoch = (19723 + i)  # 2024-01-(1+i) UTC
+            rows.append(
+                (i, f"2024-01-{i + 1:02d} 00:00:00", 1, "click",
+                 2.0 * day_epoch + 5.0, "{}")
+            )
+        rows.append((99, "2024-01-20 00:00:00", 1, "click", 1e6, "{}"))
+        r = ts_theil_sen(spark, _events_dir(spark, tmp, rows)).collect()[0]
+        assert r["n_obs"] == 11 and r["n_pairs"] == 55
+        assert r["slope"] == 2.0
+        assert r["intercept"] == 5.0
