@@ -844,3 +844,70 @@ def duplicate_token_spans(
         "n_tokens",
         (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_ratio"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT (Broder):
+    c(A in B) = |A ∩ B| / |A| over distinct word n-gram shingles.
+
+    Jaccard misses the inclusion case on purpose: a short document fully
+    quoted inside a much longer one has j = |A|/|B| ~ 0 but containment
+    1.0. This operator emits exactly those directed relationships —
+    excerpts, quoted posts, articles embedded in crawls — which a
+    training-data pipeline wants to catch separately from symmetric
+    near-dups (drop the contained copy, keep the superset document).
+
+    Same inverted-index scale shape as ``ngram_jaccard_pairs``: shared
+    counts come from the shingle-keyed self-join (sum over shingles of
+    freq^2, never O(n^2) — cap hot shingles upstream for adversarial
+    corpora), sizes from one per-doc aggregate. Each unordered pair is
+    scored once and oriented: the side with the HIGHER containment (the
+    smaller shingle set) is the inner document; exact ties orient to the
+    lower id (a < b already).
+
+    Returns ``inner_doc``, ``outer_doc``, ``inner_sz``, ``outer_sz``,
+    ``containment`` (single exact-integer division, no float
+    accumulation) for pairs with max-containment >= ``threshold``.
+    """
+    sh = shingle_index(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__sz_b"))
+    scored = (
+        shared.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "__sz_a",
+            "__sz_b",
+            (F.col("__shared").cast("double") / F.col("__sz_a")).alias("__c_ab"),
+            (F.col("__shared").cast("double") / F.col("__sz_b")).alias("__c_ba"),
+        )
+    )
+    a_inner = F.col("__c_ab") >= F.col("__c_ba")
+    return scored.select(
+        F.when(a_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_doc"),
+        F.when(a_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_doc"),
+        F.when(a_inner, F.col("__sz_a")).otherwise(F.col("__sz_b")).alias("inner_sz"),
+        F.when(a_inner, F.col("__sz_b")).otherwise(F.col("__sz_a")).alias("outer_sz"),
+        F.greatest(F.col("__c_ab"), F.col("__c_ba")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -258,3 +258,63 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .select("node", "label")
         )
     return labels
+
+
+def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
+    """Harmonic centrality truncated at ``radius`` hops (Boldi–Vigna's
+    axiomatically-preferred centrality, radius-bounded): for every node,
+    H_r(v) = sum over u within distance r of 1/d(v, u).
+
+    The bounded form is the production variant — exact all-pairs
+    distances are infeasible past small graphs, while the r-hop
+    truncation captures the local-influence signal (and on small-world
+    graphs r=3 already covers most reachable mass). Per hop: one join of
+    the current frontier against the symmetric edge list keyed on the
+    frontier's endpoint (the multi-source BFS expansion — every node is
+    a source simultaneously), one distinct, one anti-join against the
+    already-seen set. All (source, reached) state lives in shuffled
+    DataFrames keyed on the source — no driver-side structure; hop count
+    is fixed and small so lineage stays bounded. The per-node result is
+    a pure integer-count expression (n1 + n2/2 + n3/3 evaluated
+    per-row), so cross-engine agreement is exact.
+
+    Returns one row per node: ``node``, ``n_d1``..``n_d{radius}``,
+    ``harmonic_r{radius}``.
+    """
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    rings: list[DataFrame] = [sym]
+    seen = sym
+    for _ in range(radius - 1):
+        nxt = (
+            rings[-1]
+            .alias("f")
+            .join(sym.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(seen, ["src", "dst"], "left_anti")
+        )
+        rings.append(nxt)
+        seen = seen.unionAll(nxt)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    out = nodes
+    for i, ring in enumerate(rings, start=1):
+        cnt = ring.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias(f"n_d{i}")
+        )
+        out = out.join(cnt, "node", "left").withColumn(
+            f"n_d{i}", F.coalesce(F.col(f"n_d{i}"), F.lit(0))
+        )
+    harmonic = F.col("n_d1").cast("double")
+    for i in range(2, radius + 1):
+        harmonic = harmonic + F.col(f"n_d{i}") / F.lit(float(i))
+    return out.select(
+        "node",
+        *[F.col(f"n_d{i}").cast("bigint").alias(f"n_d{i}") for i in range(1, radius + 1)],
+        harmonic.alias(f"harmonic_r{radius}"),
+    )

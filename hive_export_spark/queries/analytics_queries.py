@@ -720,3 +720,67 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").cast("bigint").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle="""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT a.p AS u, b.p AS v
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (SELECT DISTINCT u AS src, v AS dst FROM e0
+          UNION SELECT v AS src, u AS dst FROM e0),
+r2 AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM edges a JOIN edges b ON a.dst = b.src
+  WHERE a.src <> b.dst
+    AND NOT EXISTS (SELECT 1 FROM edges x
+                    WHERE x.src = a.src AND x.dst = b.dst)
+),
+r3 AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM r2 a JOIN edges b ON a.dst = b.src
+  WHERE a.src <> b.dst
+    AND NOT EXISTS (SELECT 1 FROM edges x
+                    WHERE x.src = a.src AND x.dst = b.dst)
+    AND NOT EXISTS (SELECT 1 FROM r2 x
+                    WHERE x.src = a.src AND x.dst = b.dst)
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+SELECT n.node,
+       COALESCE(c1.n_d1, 0) AS n_d1,
+       COALESCE(c2.n_d2, 0) AS n_d2,
+       COALESCE(c3.n_d3, 0) AS n_d3,
+       CAST(COALESCE(c1.n_d1, 0) AS DOUBLE)
+         + COALESCE(c2.n_d2, 0) / 2.0e0
+         + COALESCE(c3.n_d3, 0) / 3.0e0 AS harmonic_r3
+FROM nodes n
+LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_d1 FROM edges GROUP BY 1) c1
+  ON n.node = c1.src
+LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_d2 FROM r2 GROUP BY 1) c2
+  ON n.node = c2.src
+LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_d3 FROM r3 GROUP BY 1) c3
+  ON n.node = c3.src
+""",
+    doc="radius-3 harmonic centrality (Boldi-Vigna) of every node in the "
+    "part co-purchase graph: H_3(v) = n_d1 + n_d2/2 + n_d3/3 from "
+    "exact ring sizes — the production-bounded form of the centrality "
+    "that exact all-pairs distances cannot deliver past small graphs. "
+    "Spark side (operators/graph.py::bounded_harmonic) runs the "
+    "multi-source BFS as per-hop frontier joins keyed on the source "
+    "node with distinct + anti-join ring extraction — every node a "
+    "source simultaneously, all state in shuffled DataFrames, no "
+    "driver-side graph. The oracle derives the same rings via "
+    "NOT-EXISTS set algebra — a different formulation of the same "
+    "recurrence, so an expansion bug on either side hash-mismatches. "
+    "Counts are integers; the harmonic sum is one per-row expression.",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_export_spark.operators.graph import bounded_harmonic
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return bounded_harmonic(edges.select("u", "v"), radius=3)

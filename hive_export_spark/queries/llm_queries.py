@@ -3328,3 +3328,50 @@ FROM spans GROUP BY doc_id, n_tokens
 def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return dedup.duplicate_token_spans(d, "text", "doc_id", window=8)
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(shset) AS shingle FROM (
+    SELECT doc_id, {_SQL_SHINGLES} AS shset
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b,
+         CAST(shared AS DOUBLE) / sa.sz AS c_ab,
+         CAST(shared AS DOUBLE) / sb.sz AS c_ba
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT CASE WHEN c_ab >= c_ba THEN doc_a ELSE doc_b END AS inner_doc,
+       CASE WHEN c_ab >= c_ba THEN doc_b ELSE doc_a END AS outer_doc,
+       CASE WHEN c_ab >= c_ba THEN sz_a ELSE sz_b END AS inner_sz,
+       CASE WHEN c_ab >= c_ba THEN sz_b ELSE sz_a END AS outer_sz,
+       greatest(c_ab, c_ba) AS containment
+FROM scored WHERE greatest(c_ab, c_ba) >= 0.8
+""",
+    doc="asymmetric near-dup pairs by shingle CONTAINMENT (Broder): "
+    "c(A in B) = |A n B|/|A| over distinct 3-word shingles — the "
+    "inclusion detector Jaccard misses by construction (a short doc "
+    "fully quoted inside a long one has j ~ |A|/|B| ~ 0 but "
+    "containment 1.0): excerpts, quoted posts, articles embedded in "
+    "crawls, where the pipeline drops the contained copy and keeps the "
+    "superset. Same inverted-index shape as llm_dedup_ngram_jaccard "
+    "(sum freq^2 per shingle, never O(n^2)); each unordered pair "
+    "scored once and ORIENTED (higher-containment side = inner doc, "
+    "id-ordered on exact ties). Containment is a single exact-integer "
+    "division — no float accumulation "
+    "(operators.dedup.containment_pairs).",
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return dedup.containment_pairs(d, threshold=0.8)

@@ -114,12 +114,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # not in the r14 window, computed from CORRECTNESS_r*.json by
 # tools/evidence.py this round: 48 r9-era rows minus the 24 fills the
 # r14 window carries). Slot policy, changed-code first:
-# - the six queries NEW in r14, never driver-checked — highest slot
+# - the eight queries NEW in r14, never driver-checked — highest slot
 #   priority: llm_sim_ivf_delete_compacted (the takedown ->
 #   compaction-made-physical -> re-add composition, r13 verdict ask
-#   #6) and the wave-3/4 operator additions llm_dedup_substring /
+#   #6) and the wave-3/4/5 operator additions llm_dedup_substring /
 #   graph_label_propagation / ts_holt_linear / ts_mann_kendall /
-#   ts_theil_sen;
+#   ts_theil_sen / llm_dedup_containment / graph_harmonic_centrality;
 # - the rows whose operator code changes in round 14 without a fresher
 #   driver row: llm_sim_ivf_kmeans / llm_sim_ivf_pruned /
 #   llm_sim_ivf_rebuilt / llm_sim_ivf_stream_ingest (ivf.py lease
@@ -131,8 +131,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #   makes tombstones physical);
 # - all 24 residual r9-era rows, registry order (llm_sim_ivf_topk is
 #   both r9-era and r14-changed-code — it sits in this block);
-# - 15 fill slots to the OLDEST remaining evidence: r10-era rows in
-#   registry order (the five r10-era rows displaced by the wave-3/4
+# - 13 fill slots to the OLDEST remaining evidence: r10-era rows in
+#   registry order (the seven r10-era rows displaced by the wave-3/4/5
 #   additions rejoin the pool for r16).
 # Closure invariant after r15 lands green: nothing older than r10.
 # Machine-checked by tests/test_registry_smoke.py (length 50, all
@@ -141,16 +141,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # consumed when DRIVER_WINDOW is rebuilt from it next round, then
 # deleted.
 ROUND15_HEAD: tuple[str, ...] = (
-    # never-driver-checked r14 queries (6): the takedown lifecycle
-    # composition plus the wave-3/4 operator additions (substring
+    # never-driver-checked r14 queries (8): the takedown lifecycle
+    # composition plus the wave-3/4/5 operator additions (substring
     # dedup, label propagation, Holt smoothing, Mann-Kendall trend,
-    # Theil-Sen slope):
+    # Theil-Sen slope, containment dedup, harmonic centrality):
     "llm_sim_ivf_delete_compacted",
     "llm_dedup_substring",
     "graph_label_propagation",
     "ts_holt_linear",
     "ts_mann_kendall",
     "ts_theil_sen",
+    "llm_dedup_containment",
+    "graph_harmonic_centrality",
     # round-14 changed-code rows (5):
     "llm_sim_ivf_kmeans",
     "llm_sim_ivf_pruned",
@@ -182,7 +184,7 @@ ROUND15_HEAD: tuple[str, ...] = (
     "scale_zorder_scan",
     "scale_dpp_scan",
     "graph_degree_assortativity",
-    # r10-era fills (15, registry order):
+    # r10-era fills (13, registry order):
     "fmt_roundtrip_orc",
     "fmt_roundtrip_csv",
     "fmt_roundtrip_json",
@@ -196,8 +198,6 @@ ROUND15_HEAD: tuple[str, ...] = (
     "join_lateral_topk",
     "window_ntile_first_last",
     "window_distribution",
-    "window_range_frame",
-    "window_range_interval",
 )
 #
 # (Historical windows: the r5-r10 rotations and their slot-policy

@@ -196,3 +196,48 @@ def test_theil_sen_ignores_outlier_day(spark):
         assert r["n_obs"] == 11 and r["n_pairs"] == 55
         assert r["slope"] == 2.0
         assert r["intercept"] == 5.0
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    from hive_export_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    longdoc = (
+        "intro words here now " + quote + " and then a very long tail "
+        "of completely unrelated content that keeps going on and on with "
+        "many more distinct tokens to dilute the jaccard score badly"
+    )
+    docs = _docs(spark, [(1, quote), (2, longdoc)])
+    got = containment_pairs(docs, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc 1's 4 shingles all appear in doc 2 -> containment 1.0, inner=1
+    assert r["inner_doc"] == 1 and r["outer_doc"] == 2
+    assert r["containment"] == 1.0
+    assert r["inner_sz"] < r["outer_sz"]
+    # and jaccard at the same threshold says nothing
+    assert ngram_jaccard_pairs(docs, threshold=0.8).collect() == []
+
+
+def test_containment_orients_ties_to_lower_id(spark):
+    from hive_export_spark.operators.dedup import containment_pairs
+
+    same = "one two three four five six"
+    got = containment_pairs(_docs(spark, [(7, same), (3, same)]), threshold=0.8).collect()
+    assert len(got) == 1
+    assert got[0]["inner_doc"] == 3 and got[0]["outer_doc"] == 7
+
+
+def test_bounded_harmonic_on_path_graph(spark):
+    from hive_export_spark.operators.graph import bounded_harmonic
+
+    # path 1-2-3-4-5: node 1 sees {2}@1, {3}@2, {4}@3 -> H3 = 1 + .5 + 1/3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r["node"]: r for r in bounded_harmonic(edges, 3).collect()}
+    assert got[1]["n_d1"] == 1 and got[1]["n_d2"] == 1 and got[1]["n_d3"] == 1
+    assert got[1]["harmonic_r3"] == 1 + 0.5 + 1 / 3.0
+    # middle node 3 reaches everything within 2 hops
+    assert got[3]["n_d1"] == 2 and got[3]["n_d2"] == 2 and got[3]["n_d3"] == 0
+    assert got[3]["harmonic_r3"] == 3.0
