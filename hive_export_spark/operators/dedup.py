@@ -457,6 +457,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # __chg is carried in the SAME select that computes the new label
+        # (a label only changes when a strictly smaller neighbor label
+        # arrived), so convergence detection reads the already-
+        # materialized checkpoint instead of re-joining old vs new labels
+        # — one join + one Exchange fewer per round (round-14
+        # optimization; the labels themselves are unchanged)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -464,17 +470,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:

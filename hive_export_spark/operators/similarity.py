@@ -55,19 +55,28 @@ def brute_force_topk(
     input is already cut to k rows per partition by the window's partial
     ranking. This is the correctness baseline for the ANN variants.
     """
+    # each side's L2 norm is computed ONCE per row BEFORE the pair loop
+    # (round-14 optimization): cosine inside the crossJoin used to
+    # recompute both norms per (query, vector) pair, tripling the array
+    # traversals in the hot loop. try_divide(dot, qn*vn) below is the
+    # same expressions in the same order as operators.similarity.cosine,
+    # so the scores are bit-identical.
     q = queries.select(
         F.col(query_id_col),
         _as_double(F.col(vec_col)).alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__vv"),
-    )
+    ).withColumn("__vn", l2_norm(F.col("__vv")))
     # bounded: q is the query set — small by contract (broadcast queries x partitioned corpus)
     scored = v.crossJoin(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__vv")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__qv"), F.col("__vv")),
+            F.col("__qn") * F.col("__vn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -138,6 +138,22 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "partition-count metadata probe, not a data materialization",
         ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
             "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
+        ('operators/ivf.py', 'cent_rows = cent_scan.collect()'):
+            "centroid-IVF: the k x dim centroid table — the module's "
+            "documented bounded driver exchange (k ~ sqrt(N) stays ~32k "
+            "even at 1e9 vectors), guarded BEFORE the collect by the "
+            "_CENTROID_COLLECT_MAX_BYTES one-listing FS budget and after "
+            "it by the 100k row raise; plain collect (one job) replaced "
+            "the r10 limit(100_001) take-ramp, ~5 jobs per warm probe "
+            "(round-14 optimization)",
+        ('operators/ivf.py', 'q_rows = q.limit(max_query_rows + 1).collect()'):
+            "centroid-IVF query-side collect, bounded by "
+            "max_query_rows+1 via limit(); feeds the driver-side "
+            "probe-pair ranking fast path (<= _DRIVER_PROBE_MAX_PAIRS) "
+            "and the literal probed-query relation, replacing one "
+            "crossJoin+window Spark job per probe (round-14 "
+            "optimization; over-budget batches fall back to the "
+            "distributed rank)",
     }
     # (relpath, EXACT flattened statement) -> justification, for
     # multi-line chains whose policed call sits on a bare continuation
@@ -149,14 +165,6 @@ def scan_scale_killers(package_root: str) -> list[str]:
     # chain's violation message prints its computed key, so adding a
     # reviewed entry is copy-paste.
     allowed_stmt: dict[tuple[str, str], str] = {
-        ('operators/ivf.py',
-         'cent_rows=(spark.read.parquet(_centroids_path(index_path))'
-         '.limit(100_001).collect())'):
-            "centroid-IVF: the k x dim centroid table, limit(100_001) + "
-            "over-guard raise — the module's documented bounded driver "
-            "exchange (k ~ sqrt(N) stays ~32k even at 1e9 vectors); one "
-            "materialization serves count, nprobe derivation, and the "
-            "ranking crossJoin as a literal relation",
         ('operators/ivf.py',
          'return(spark.read.parquet(*dirs).select("","").collect())'):
             "ivf_maintain drift-flag scan: one multi-path read over the "
