@@ -335,6 +335,12 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+        # NO localCheckpoint here, deliberately (round-14 A/B, 4 idle
+        # reps each): materializing the candidate list made
+        # llm_dedup_minhash_lsh 16% SLOWER (2.32 -> 2.70 s min) — AQE
+        # runtime stage reuse already dedupes the repeated signature
+        # subtrees under the self-join, and the eager barrier costs the
+        # lost stage pipelining more than the replay it saves.
     )
     # exact-Jaccard verification on candidates only: cut the corpus down to
     # docs that appear in some candidate pair BEFORE shingling — the

@@ -92,6 +92,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     vertex set is small relative to edges), the wedge self-join keyed on
     the source vertex, and the closing-edge equi-join keyed on (b, c).
     """
+    # localCheckpoint: the edge list feeds the degree agg (twice, via the
+    # union), both sides of the orientation join, the edge count, and —
+    # through the oriented list below — three more consumers. Without
+    # truncation the (possibly expensive) upstream edge derivation (for
+    # the co-purchase queries: a 3-Exchange collect_set + explode + agg
+    # pipeline over lineitem) replays once per consumer inside one
+    # 280-node static plan with ZERO reused exchanges (round-14
+    # measurement, plans/r14/graph_triangle_count_before.txt). Same
+    # discipline as pagerank_int's `direc` below; values unchanged.
+    edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -110,6 +120,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(F.col("rku") < F.col("rkv"), F.col("rkv")).otherwise(F.col("rku")).alias("rk_dst"),
             F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # localCheckpoint: the oriented list is read three times (both
+        # wedge sides + the closing-edge probe); materializing it once
+        # replaces three replays of the two degree joins (round-14)
+        .localCheckpoint()
     )
     w1 = e.alias("w1")
     w2 = e.alias("w2")

@@ -108,14 +108,6 @@ def scan_scale_killers(package_root: str) -> list[str]:
     # (relpath, stripped-line) -> justification. Keep additions to one
     # per change with a real reason; the scanner enforces non-empty.
     allowed: dict[tuple[str, str], str] = {
-        ('operators/ivf.py', 'q_rows = q.select(query_id_col, "__qsig").limit(max_query_rows + 1).collect()'):
-            "IVF query-side collect, bounded by max_query_rows+1 via limit()",
-        ('operators/ivf.py', 'pairs = probe_pairs.limit(max_query_rows * eff_probe + 1).collect()'):
-            "centroid-IVF probe pairs: <= queries x min(nprobe, "
-            "n_centroids) (query_id, cid) rows, bounded by the limit + "
-            "over-guard raise (r10 advisory #3: per-query pair count is "
-            "the effective probe width, not nprobe); becomes the literal "
-            "partition filter that prunes the index scan",
         ('operators/ivf.py', 'short_rows = shortlist.limit(short_cap + 1).collect()'):
             "centroid-IVF rerank shortlist: <= queries x rerank (query_id, "
             "vec_id) rows, bounded by the limit + over-guard raise (r10 "
@@ -165,6 +157,20 @@ def scan_scale_killers(package_root: str) -> list[str]:
     # chain's violation message prints its computed key, so adding a
     # reviewed entry is copy-paste.
     allowed_stmt: dict[tuple[str, str], str] = {
+        ('operators/ivf.py',
+         'q_rows=(q.select(query_id_col,"").limit(max_query_rows+1)'
+         '.collect())'):
+            "IVF query-side collect, bounded by max_query_rows+1 via "
+            "limit(); runs under _single_job_take so the bounded take "
+            "is one job instead of the executeTake ramp (round-14)",
+        ('operators/ivf.py',
+         'pairs=probe_pairs.limit(max_query_rows*eff_probe+1).collect()'):
+            "centroid-IVF probe pairs: <= queries x min(nprobe, "
+            "n_centroids) (query_id, cid) rows, bounded by the limit + "
+            "over-guard raise (r10 advisory #3: per-query pair count is "
+            "the effective probe width, not nprobe); becomes the literal "
+            "partition filter that prunes the index scan; one job via "
+            "_single_job_take (round-14)",
         ('operators/ivf.py',
          'return(spark.read.parquet(*dirs).select("","").collect())'):
             "ivf_maintain drift-flag scan: one multi-path read over the "

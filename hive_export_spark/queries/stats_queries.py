@@ -572,14 +572,34 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact discrete median, SAME convention as the oracle: lower-middle
     # element at rank floor((n+1)/2) of the value-ordered group (builtin
     # discrete-quantile rank conventions differ between engines for
-    # even-count groups, so neither side uses one)
-    w_rank = Window.partitionBy("l_returnflag").orderBy("__p")
+    # even-count groups, so neither side uses one).
+    # Round-14 (guide §2.3 "aggregate before you shuffle"): the rank is
+    # computed over VALUE COUNTS, not rows — one partial-mergeable
+    # (flag, __p) count aggregation replaces the full-row shuffle, and
+    # the per-group sort runs over distinct prices instead of every
+    # lineitem row. The picked element is identical: the old ROW_NUMBER
+    # walked rows in (__p ASC NULLS FIRST) order and took rank r =
+    # floor((n+1)/2); here the distinct value whose cumulative-count
+    # interval [cum - c, cum) contains r is by construction the value of
+    # that same rank-r row (ties share a value; the NULL pseudo-group
+    # sorts first in both framings, so an all-NULL-prefix median still
+    # lands on NULL exactly as before).
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_all = Window.partitionBy("l_returnflag")
     exact_disc = (
-        li.select("l_returnflag", "__p")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__n", F.count(F.lit(1)).over(w_all))
-        .filter(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        li.groupBy("l_returnflag", "__p")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__cum", F.sum("__c").over(w_ord))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .withColumn("__r", F.floor((F.col("__n") + 1) / 2))
+        .filter(
+            (F.col("__cum") - F.col("__c") < F.col("__r"))
+            & (F.col("__r") <= F.col("__cum"))
+        )
         .select("l_returnflag", F.col("__p").alias("exact_p50"))
     )
     # null-safe joins: keep the NULL pseudo-group a GROUP BY emits on
