@@ -322,25 +322,46 @@ def minhash_lsh_pairs(
     df = ensure_parallelism(df)
     sig_fn = oph_minhash_signatures if oph else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_hashes)
+    if not oph:
+        # localCheckpoint the CLASSIC signature table only (round-14
+        # interleaved A/B at sf0.1, min-of-3 each): the signature
+        # pipeline feeds the candidate branch plus both verify legs, and
+        # classic signatures cost |shingles| x num_hashes hashes per doc
+        # — materializing the (id, 64-long) table once beat replaying it
+        # (2.64 vs 3.18 s). OPH signatures are ~num_hashes x cheaper to
+        # replay and the same A/B read the barrier as a net LOSS there
+        # (1.86 vs 1.68 s), so OPH stays lazy. (Checkpointing the
+        # CANDIDATE list instead was also measured slower either way —
+        # the verify side then can't start scanning until the barrier.)
+        sigs = sigs.localCheckpoint()
     banded = banded_buckets(sigs, id_col, num_hashes, bands)
-    a, b = banded.alias("a"), banded.alias("b")
+    # Candidate pairs per bucket via ONE groupBy + in-JVM pair
+    # enumeration (same shape as graph.cooccurrence_edges) instead of
+    # the banded self-join: the self-join shuffled the exploded
+    # (id, band, bucket) frame TWICE and joined; the groupBy shuffles it
+    # once and emits ordered pairs from each bucket's sorted id array.
+    # Round-14 interleaved A/B (sf0.1, min-of-3): classic 4.30 -> 3.18 s,
+    # OPH 2.53 -> 2.23 s; verified outputs byte-identical. Per-bucket
+    # work stays quadratic in bucket size — exactly the blowup the
+    # self-join had (same key, same partition) — and the array holds
+    # one bucket's ids in memory (8 bytes/id; a pathological 1M-doc
+    # bucket is 8 MB), so the memory shape is no worse than the
+    # self-join's hash/sort buffers at any scale.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, ix) ->"
+                    " transform(slice(__ids, ix + 2, size(__ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("__p")
         )
+        .select("__p.doc_a", "__p.doc_b")
         .distinct()
-        # NO localCheckpoint here, deliberately (round-14 A/B, 4 idle
-        # reps each): materializing the candidate list made
-        # llm_dedup_minhash_lsh 16% SLOWER (2.32 -> 2.70 s min) — AQE
-        # runtime stage reuse already dedupes the repeated signature
-        # subtrees under the self-join, and the eager barrier costs the
-        # lost stage pipelining more than the replay it saves.
     )
     # exact-Jaccard verification on candidates only: cut the corpus down to
     # docs that appear in some candidate pair BEFORE shingling — the

@@ -615,15 +615,21 @@ def _single_job_take(spark: SparkSession):
     ``executeTake`` ramps through final-stage partitions (1, then x4 per
     step — ``spark.sql.limit.initialNumPartitions`` /
     ``spark.sql.limit.scaleUpFactor``), which is right for ad-hoc limits
-    over unbounded relations but costs 3-4 extra final-stage
-    re-submissions per probe here (round-14 job trace: the rerank
-    shortlist take alone was 4 jobs / ~110 tasks per warm probe). The
-    probe collects this wraps are STRUCTURALLY capped upstream
-    (row_number <= rerank / nprobe filters, max_query_rows guards), and
-    their inputs are already partition-pruned, so the limit almost never
-    early-stops — scanning every final-stage partition in one job is
-    strictly less work. Scoped + restored: the ramp default stays right
-    for everything else in the session.
+    over unbounded relations. The probe collects this wraps are
+    different: their limits are OVER-GUARDS that exceed the actual row
+    count by construction (row_number <= rerank / nprobe filters,
+    max_query_rows caps upstream), so executeTake never early-stops —
+    it always ends up scanning every final-stage partition, in
+    ~log4(#partitions) incremental job rounds. One job over all
+    partitions is the same work without the extra driver round-trips.
+    Honest local measurement (round-14 A/B at sf0.1, helper on vs off):
+    job counts IDENTICAL (13/21/21 for the three IVF headline probes)
+    and wall deltas within leg noise — the probe final stages have too
+    few partitions locally for the ramp to fire; the win is the
+    removed ramp rounds at cluster partition counts (hundreds of
+    final-stage partitions => 4-5 extra scheduled jobs per probe
+    collect). Scoped + restored: the ramp default stays right for
+    everything else in the session.
     """
     key = "spark.sql.limit.initialNumPartitions"
     try:

@@ -186,3 +186,69 @@ def test_components_chain_converges_with_carried_flag(spark):  # noqa: F811
     # the output schema must not leak the internal flag
     cols = connected_components(pairs).columns
     assert cols == ["node", "cluster_id"]
+
+
+def test_lsh_bucket_groupby_pairs_match_self_join(spark):  # noqa: F811
+    """The groupBy pair enumeration that replaced the banded self-join
+    must emit exactly the self-join's candidate pairs — and hence the
+    same verified output — including multi-doc buckets (3+ ids chain),
+    cross-band duplicate pairs (dedup by distinct), and string ids
+    (binary-collation ordering must match the join's '<')."""
+    from hive_export_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = [
+        # near-dup cluster: three shared-prefix docs land in shared buckets
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and once"),
+        # unrelated docs
+        (4, "completely different content about spark optimization work"),
+        (5, "yet another unrelated document with its own set of words"),
+        (6, None),  # NULL text drops at the signature scan
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = minhash_lsh_pairs(df, threshold=0.5)
+
+    # the pre-round-14 candidate formulation: banded self-join
+    from hive_export_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(df, "text", "doc_id", 64)
+    banded = banded_buckets(sigs, "doc_id", 64, 16)
+    a, b = banded.alias("a"), banded.alias("b")
+    old_cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+    }
+    new_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    # verified output is a subset of candidates; the duplicate cluster
+    # must survive verification
+    assert new_pairs <= old_cands
+    assert (1, 2) in new_pairs
+
+    # string ids: ordering inside the sorted bucket array must agree
+    # with the join's binary '<' (probed: 'E' < 'a' < 'z')
+    sdocs = [
+        ("a9", "shared shingle text one two three four five six seven"),
+        ("E1", "shared shingle text one two three four five six seven"),
+        ("z0", "shared shingle text one two three four five six seven"),
+    ]
+    sdf = spark.createDataFrame(sdocs, "doc_id string, text string")
+    spairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(sdf, threshold=0.5).collect()
+    }
+    assert spairs == {("E1", "a9"), ("E1", "z0"), ("a9", "z0")}
