@@ -299,4 +299,11 @@ def extract_media_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, FEATURE_SCHEMA)
+    # Project to the three columns the function reads BEFORE the Python
+    # boundary (round-14, guide §4.1): mapInPandas is opaque to column
+    # pruning, so without this select every caller-side column (the
+    # media table carries meta_source/meta_lang) is serialized into the
+    # Python workers and dropped there.
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
