@@ -590,9 +590,22 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_returnflag")
+    # ONE (flag, value) count aggregation feeds BOTH exact legs
+    # (round-14, guide §1.2 "remove passes"): the discrete median walks
+    # the cumulative counts, and the continuous median uses percentile's
+    # FREQUENCY argument over the same counts — the builtin's exact
+    # per-value count semantics, so the interpolated result is
+    # bit-identical to percentile(__p, 0.5, 1) over the raw rows
+    # (asserted row-for-row on the fixture before adoption; NULL
+    # handling agrees — percentile ignores NULL values in both
+    # framings, so an all-NULL group yields NULL either way). This
+    # removes one full lineitem scan + one row-fed aggregation; the
+    # identical counts subtrees collapse into one Exchange via reuse.
+    counts = li.groupBy("l_returnflag", "__p").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     exact_disc = (
-        li.groupBy("l_returnflag", "__p")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        counts
         .withColumn("__cum", F.sum("__c").over(w_ord))
         .withColumn("__n", F.sum("__c").over(w_all))
         .withColumn("__r", F.floor((F.col("__n") + 1) / 2))
@@ -604,8 +617,8 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # null-safe joins: keep the NULL pseudo-group a GROUP BY emits on
     # both engines (wave-7 doctrine, round-9 all-NULL sweep)
-    exact_cont = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(__p, 0.5, 1)").alias("__exact_cont"),
+    exact_cont = counts.groupBy("l_returnflag").agg(
+        F.expr("percentile(__p, 0.5, __c)").alias("__exact_cont"),
     )
     exact = (
         exact_cont.alias("c")
