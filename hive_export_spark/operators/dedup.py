@@ -479,27 +479,33 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # ONE join + ONE aggregation per round (round-14, guide §2.4):
+        # the new label is min over {own label} ∪ {neighbor labels}, so
+        # instead of (edges ⋈ labels → groupBy(src) min → LEFT JOIN back
+        # onto labels) — which shuffled the corpus-sized label table a
+        # second time every round — the own-label rows are UNIONed with
+        # the neighbor-label fanout and one groupBy(node) takes the min.
+        # The old label rides along as min(label WHERE own) (each node
+        # contributes exactly one own row), which is what the carried
+        # convergence flag compares against: __chg = new < old iff some
+        # neighbor label was strictly smaller — the same condition the
+        # old left-join formulation tested. Labels are unchanged
+        # (A/B'd output-identical on the fixture; chain-graph pytest).
+        own = labels.select("node", "label", F.lit(True).alias("__own"))
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label", F.lit(False).alias("__own")
         )
-        # __chg is carried in the SAME select that computes the new label
-        # (a label only changes when a strictly smaller neighbor label
-        # arrived), so convergence detection reads the already-
-        # materialized checkpoint instead of re-joining old vs new labels
-        # — one join + one Exchange fewer per round (round-14
-        # optimization; the labels themselves are unchanged)
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            own.union(nbr)
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
-                    "__chg"
-                ),
+                "label",
+                (F.col("label") < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint()
         )
