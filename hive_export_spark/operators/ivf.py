@@ -74,6 +74,24 @@ def build_ivf_index(
     )
 
 
+def _isin_literal(col_name: str, values) -> "F.Column":
+    """``col IN (values)`` built in ONE py4j call for integer lists.
+
+    ``Column.isin`` constructs one JVM literal per value — one driver
+    round trip each (round-14 probe profile: the 150-id rerank shortlist
+    filter alone cost ~0.15 s of py4j chatter per probe). For int-typed
+    values the identical ``In`` predicate (same pushed filter, same
+    row-group pruning) parses from a SQL fragment in one call; any other
+    type (strings would need dialect-correct quoting) falls back to the
+    plain ``isin``. Booleans are excluded from the int test (bool is an
+    int subclass in Python but renders as true/false, not 0/1)."""
+    vals = list(values)
+    if vals and all(type(v) is int for v in vals):
+        safe = col_name.replace("`", "``")
+        return F.expr(f"`{safe}` IN ({','.join(map(str, vals))})")
+    return F.col(col_name).isin(vals)
+
+
 def hamming_ball(sig: int, n_planes: int, radius: int) -> list[int]:
     """All signatures within `radius` bit flips of `sig`."""
     out = [sig]
@@ -171,7 +189,9 @@ def ivf_topk(
             for b in hamming_ball(r["__qsig"], n_planes, probe_radius)
         }
     )
-    index = spark.read.parquet(index_path).filter(F.col("sig").isin(probe_buckets))
+    index = spark.read.parquet(index_path).filter(
+        _isin_literal("sig", probe_buckets)
+    )
 
     per_query_buckets = [
         (r[query_id_col], hamming_ball(r["__qsig"], n_planes, probe_radius))
@@ -1297,12 +1317,15 @@ def _read_tombstones(
     except AnalysisException:  # no tombstone tier / no data files
         return None, True
     from hive_export_spark.operators.maintenance import (
-        _count_data_files,
         _fs_for,
+        _total_bytes,
     )
 
+    # one-call byte total (round-14): the budget doesn't need the
+    # per-file marker filter, and markers over-count in the fail-safe
+    # direction (the broadcast bound trips marginally earlier)
     fs, jroot = _fs_for(spark, _deletes_path(index_path))
-    _, tomb_bytes = _count_data_files(fs, jroot)
+    tomb_bytes = _total_bytes(fs, jroot)
     return tomb, tomb_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES
 
 
@@ -1731,8 +1754,8 @@ def compact_ivf_centroid_index(
              'tombstones': {'batches_applied': n}}.
     """
     from hive_export_spark.operators.maintenance import (
-        _count_data_files,
         _fs_for,
+        _total_bytes,
         compact_partitioned_table,
     )
 
@@ -1743,7 +1766,9 @@ def compact_ivf_centroid_index(
         total_bytes = 0
         for d in snapshot:
             fs, jd = _fs_for(spark, d)
-            total_bytes += _count_data_files(fs, jd)[1]
+            # one-call byte total per batch dir (round-14): budget
+            # check only; marker bytes over-count fail-safe
+            total_bytes += _total_bytes(fs, jd)
         fits = total_bytes <= _TOMBSTONE_BROADCAST_MAX_BYTES
 
         def transform(scan, _tomb=tomb, _fits=fits):
@@ -2011,12 +2036,16 @@ def ivf_centroid_topk(
         n_centroids = 0
     else:
         from hive_export_spark.operators.maintenance import (
-            _count_data_files,
             _fs_for,
+            _total_bytes,
         )
 
+        # one-call byte total (round-14): the old per-file iterator cost
+        # 4-5 py4j round trips per file — 0.17 s of every warm probe's
+        # driver wall; a budget check doesn't need the marker filter
+        # (marker bytes over-count fail-safe)
         fs, jroot = _fs_for(spark, _centroids_path(index_path))
-        _, cent_bytes = _count_data_files(fs, jroot)
+        cent_bytes = _total_bytes(fs, jroot)
         if cent_bytes > _CENTROID_COLLECT_MAX_BYTES:
             raise ValueError(
                 "centroid table exceeds the driver collect byte budget "
@@ -2153,7 +2182,7 @@ def ivf_centroid_topk(
         except AnalysisException:
             return _empty_result()
         index = _tombstone_antijoin(
-            exact_scan.filter(F.col("cid").isin(probe_cids)),
+            exact_scan.filter(_isin_literal("cid", probe_cids)),
             tombstones, tomb_fits, id_col,
         )
         # bounded: bucket_map = collected (query, centroid) probe pairs, capped by the max_query_rows guard
@@ -2166,7 +2195,7 @@ def ivf_centroid_topk(
         except AnalysisException:
             return _empty_result()
         coarse = _tombstone_antijoin(
-            coarse_scan.filter(F.col("cid").isin(probe_cids)),
+            coarse_scan.filter(_isin_literal("cid", probe_cids)),
             tombstones, tomb_fits, id_col,
         )
         approx = (
@@ -2213,7 +2242,8 @@ def ivf_centroid_topk(
             )
         short_ids = sorted({r[id_col] for r in short_rows})
         exact_tier = spark.read.parquet(index_path).filter(
-            F.col("cid").isin(probe_cids) & F.col(id_col).isin(short_ids)
+            _isin_literal("cid", probe_cids)
+            & _isin_literal(id_col, short_ids)
         )
         short_map = spark.createDataFrame(
             [(r[query_id_col], r[id_col]) for r in short_rows],

@@ -26,6 +26,19 @@ def _fs_for(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _total_bytes(fs, jpath) -> int:
+    """Total bytes under jpath in ONE driver round trip
+    (``getContentSummary`` — server-side walk on HDFS, one JVM walk on
+    local/object stores), for BYTE-BUDGET checks only: unlike
+    :func:`_count_data_files` the total INCLUDES marker/dot files
+    (_SUCCESS, leases — bytes-per-file ~0), an epsilon over-count in the
+    fail-safe direction for a budget bound. The per-file iterator below
+    costs 4-5 py4j round trips PER FILE (round-14 probe profile: 0.17 s
+    of a warm probe's driver wall was this loop over a small centroid
+    dir); budgets don't need the per-file filter, so they use this."""
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def _count_data_files(fs, jpath) -> tuple[int, int]:
     """(data-file count, total bytes) under jpath, recursively, skipping
     _SUCCESS/_metadata/dotfiles — one recursive listing (listFiles walks
