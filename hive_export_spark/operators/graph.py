@@ -204,15 +204,46 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
     )
     for _ in range(iterations):
+        # ONE join + ONE aggregation per iteration (round-14, guide
+        # §2.4 — the same fused-round shape connected_components
+        # adopted): new rank = teleport + (85 * inflow) div 100 where
+        # inflow is a sum over contribution rows keyed by dst, so
+        # instead of (ranks ⋈ direc → groupBy(dst) sum → LEFT JOIN back
+        # onto ranks) — which shuffled the vertex-sized rank table a
+        # second time every iteration — each node's own (deg, __tele)
+        # row is UNIONed with the contribution fanout and one
+        # groupBy(node) folds both: max() recovers the single own row's
+        # carried columns exactly, and sum(__c) — which skips the own
+        # row's NULL — is the same order-insensitive BIGINT inflow sum
+        # (the coalesce(0) guard keeps the old expression tree; with
+        # both directions in direc every node has >= 1 contribution, so
+        # it is a provable no-op, same as the old left join's). Every
+        # direc.dst is also a src, so every group has exactly one own
+        # row and deg/__tele are never NULL. Values are bit-identical
+        # (integer arithmetic, order-insensitive reductions); pinned by
+        # the graph_pagerank oracle and the fused-iteration pytest.
+        own = ranks.select(
+            "node",
+            F.col("deg").alias("__deg"),
+            F.col("__tele").alias("__t"),
+            F.lit(None).cast("long").alias("__c"),
+        )
         contrib = ranks.join(
             direc, ranks["node"] == direc["src"]
         ).select(
-            F.col("dst"),
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("__deg"),
+            F.lit(None).cast("long").alias("__t"),
             F.expr("rank_int div deg").cast("long").alias("__c"),
         )
-        inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
         ranks = (
-            ranks.join(inflow, ranks["node"] == inflow["dst"], "left")
+            own.unionAll(contrib)
+            .groupBy("node")
+            .agg(
+                F.max("__deg").alias("deg"),
+                F.max("__t").alias("__tele"),
+                F.sum("__c").alias("__s"),
+            )
             .select(
                 "node",
                 "deg",

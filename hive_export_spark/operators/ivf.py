@@ -2014,27 +2014,27 @@ def ivf_centroid_topk(
     # exchange this module's probes are built around. A day-zero index
     # (k-means over an empty corpus persists zero centroids, and
     # partitionBy wrote no data files) probes nothing.
-    try:
-        # bounded collect: the persisted centroid table is k x dim by
-        # construction (k ~ sqrt(N) even at 1e9 vectors is ~32k rows) —
-        # the module's documented driver exchange. ONE materialization
-        # serves the centroid count, the nprobe derivation, and the
-        # ranking below (r11 probe-latency profile showed the eager
-        # pre-probe jobs dominating warm calls). Round-14: the collect is
-        # a PLAIN collect (one Spark job) behind a one-listing FS byte
-        # budget — the old limit(100_001) take-ramp cost ~5 jobs per warm
-        # probe for the same bound; the 100k row guard still applies
-        # below.
-        cent_scan = spark.read.parquet(_centroids_path(index_path))
-    except AnalysisException:
-        # store never built (PATH_NOT_FOUND) / day-zero write left no
-        # data files (UNABLE_TO_INFER_SCHEMA) — ONLY these mean "empty
-        # index". A transient FS/transport error (s3a throttle, corrupt
-        # footer) surfaces as Py4JJavaError and must fail loudly, not
-        # silently return zero neighbors (r11 verdict nit #2; pinned by
-        # the corrupt-store test in tests/test_ivf.py).
-        n_centroids = 0
-    else:
+    def _collect_centroids():
+        try:
+            # bounded collect: the persisted centroid table is k x dim by
+            # construction (k ~ sqrt(N) even at 1e9 vectors is ~32k rows) —
+            # the module's documented driver exchange. ONE materialization
+            # serves the centroid count, the nprobe derivation, and the
+            # ranking below (r11 probe-latency profile showed the eager
+            # pre-probe jobs dominating warm calls). Round-14: the collect is
+            # a PLAIN collect (one Spark job) behind a one-listing FS byte
+            # budget — the old limit(100_001) take-ramp cost ~5 jobs per warm
+            # probe for the same bound; the 100k row guard still applies
+            # below.
+            cent_scan = spark.read.parquet(_centroids_path(index_path))
+        except AnalysisException:
+            # store never built (PATH_NOT_FOUND) / day-zero write left no
+            # data files (UNABLE_TO_INFER_SCHEMA) — ONLY these mean "empty
+            # index". A transient FS/transport error (s3a throttle, corrupt
+            # footer) surfaces as Py4JJavaError and must fail loudly, not
+            # silently return zero neighbors (r11 verdict nit #2; pinned by
+            # the corrupt-store test in tests/test_ivf.py).
+            return None
         from hive_export_spark.operators.maintenance import (
             _fs_for,
             _total_bytes,
@@ -2053,8 +2053,39 @@ def ivf_centroid_topk(
                 "not a plausible sqrt(N)-sized index; refusing the "
                 "driver-side exchange"
             )
-        cent_rows = cent_scan.collect()
-        n_centroids = len(cent_rows)
+        return cent_scan.collect()
+
+    def _collect_query_batch():
+        with _single_job_take(spark):
+            return q.limit(max_query_rows + 1).collect()
+
+    # Round-14 (guide §2.6 — overlap independent jobs): the three
+    # pre-probe driver round-trips share NO inputs — the bounded
+    # centroid collect (footer read + FS byte listing + one job), the
+    # bounded query-batch collect (one job), and the tombstone-tier
+    # read/listing (footer read + FS listing, no job) only meet at
+    # their OUTPUTS, in the local rank and the final plan. Submitting
+    # them on a 3-thread driver pool overlaps each one's scheduling
+    # and FS latency with the others' instead of paying the sum of
+    # three round-trips per probe. Results are unchanged; error
+    # precedence too (centroid errors surface first, exactly like the
+    # old sequential order). The only conf the threads touch is
+    # _single_job_take's limit-ramp key, which no other leg reads (the
+    # centroid collect is unbounded, the tombstone read runs no job).
+    # Day-zero note: an empty index now pays the (tiny) query-batch
+    # job it used to skip — the empty-store early return is a test
+    # shape, not a serving path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_cent = _pool.submit(_collect_centroids)
+        _f_q = _pool.submit(_collect_query_batch)
+        _f_tomb = _pool.submit(_read_tombstones, spark, index_path, id_col)
+        cent_rows = _f_cent.result()
+        pre_q_rows = _f_q.result()
+        tombstones, tomb_fits = _f_tomb.result()
+
+    n_centroids = 0 if cent_rows is None else len(cent_rows)
     if n_centroids == 0:
         return _empty_result()
     if n_centroids > 100_000:
@@ -2084,8 +2115,7 @@ def ivf_centroid_topk(
     # replicates the distributed rank bit-for-bit (docstring there);
     # anything over the budget falls through to the distributed path
     # unchanged.
-    with _single_job_take(spark):
-        q_rows = q.limit(max_query_rows + 1).collect()
+    q_rows = pre_q_rows
     if not q_rows:
         return _empty_result()
     if (
@@ -2168,7 +2198,8 @@ def ivf_centroid_topk(
     # O(deletes) by contract; broadcast while its bytes honor that
     # contract, shuffle anti-join past the budget (r13 verdict ask #4 —
     # see _tombstone_antijoin).
-    tombstones, tomb_fits = _read_tombstones(spark, index_path, id_col)
+    # (read up front, overlapped with the centroid and query-batch
+    # collects on the 3-thread pool above)
 
     # the centroid table can outlive the data tiers: a compaction that
     # physically applied a FULL-store takedown rewrites both tiers to

@@ -252,3 +252,40 @@ def test_lsh_bucket_groupby_pairs_match_self_join(spark):  # noqa: F811
         for r in minhash_lsh_pairs(sdf, threshold=0.5).collect()
     }
     assert spairs == {("E1", "a9"), ("E1", "z0"), ("a9", "z0")}
+
+
+def test_pagerank_fused_round_matches_reference_recurrence(spark):  # noqa: F811
+    """The fused union+agg iteration (one join + one aggregation per
+    round, replacing join -> groupBy -> left-join-back) must reproduce
+    the pinned integer recurrence bit-for-bit: rank_0 = BASE div n,
+    contribution = rank div deg, rank_{t+1} = (15*(BASE div n)) div 100
+    + (85 * inflow) div 100. Every group folds one NULL-contribution
+    own row (carrying deg/teleport) with its neighbor contributions;
+    the sum must ignore the NULL exactly like the old left-join
+    formulation ignored rank rows, and a degree-1 leaf (node 7 side)
+    pins the single-contribution case."""
+    from hive_export_spark.operators.graph import _PR_BASE, pagerank_int
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (2, 6), (7, 3)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r.node, r.deg, r.rank_int) for r in pagerank_int(df, 3).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(vs) for n, vs in adj.items()}
+    n = len(adj)
+    rank = {node: _PR_BASE // n for node in adj}
+    tele = (15 * (_PR_BASE // n)) // 100
+    for _ in range(3):
+        inflow = {node: 0 for node in adj}
+        for u, vs in adj.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                inflow[v] += c
+        rank = {node: tele + (85 * inflow[node]) // 100 for node in adj}
+    want = {(node, deg[node], rank[node]) for node in adj}
+    assert got == want
