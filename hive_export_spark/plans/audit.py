@@ -130,7 +130,7 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "partition-count metadata probe, not a data materialization",
         ('operators/dedup.py', 'r[0] for r in new_banded.select("bucket_part").distinct().collect()'):
             "bounded by bucket_parts (<= O(100)) distinct values; becomes the literal partition filter that prunes the banded-store scan",
-        ('operators/ivf.py', 'cent_rows = cent_scan.collect()'):
+        ('operators/ivf.py', 'return cent_scan.collect()'):
             "centroid-IVF: the k x dim centroid table — the module's "
             "documented bounded driver exchange (k ~ sqrt(N) stays ~32k "
             "even at 1e9 vectors), guarded BEFORE the collect by the "
@@ -138,7 +138,7 @@ def scan_scale_killers(package_root: str) -> list[str]:
             "it by the 100k row raise; plain collect (one job) replaced "
             "the r10 limit(100_001) take-ramp, ~5 jobs per warm probe "
             "(round-14 optimization)",
-        ('operators/ivf.py', 'q_rows = q.limit(max_query_rows + 1).collect()'):
+        ('operators/ivf.py', 'return q.limit(max_query_rows + 1).collect()'):
             "centroid-IVF query-side collect, bounded by "
             "max_query_rows+1 via limit(); feeds the driver-side "
             "probe-pair ranking fast path (<= _DRIVER_PROBE_MAX_PAIRS) "
