@@ -19,7 +19,7 @@ data size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Vertex ids are packed with their degree into one orderable BIGINT
@@ -272,11 +272,22 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Scale shape per round: one shuffle joining labels to the symmetric
     edge list on the source (a node's current label fans out along its
     edges), one (node, label) count aggregation with map-side combine,
-    one per-node window for the argmax — all keyed on node ids, no
-    global structure, no driver-side graph. The edge list is cached once
-    and reused every round; iteration count is fixed and small, so
-    lineage stays bounded without checkpointing (the open-ended variant
-    would localCheckpoint each round like llm_dedup_components does).
+    then one per-node aggregation for the argmax — all keyed on node
+    ids, no global structure, no driver-side graph. The argmax is a
+    MIN over struct(-count, label) rather than a row_number window
+    (round-14, guide §2.3): the window needed a full Sort of the
+    (node, label) count table plus shuffled every counted row into the
+    per-node partitions; the struct aggregate is partial-mergeable, so
+    each map task pre-folds its local candidates and the second
+    Exchange carries at most one struct per (task, node) instead of
+    every (node, label) row. Struct ordering compares fields left to
+    right, so min(struct(-c, label)) IS "most frequent, ties to the
+    smallest label" — the identical deterministic pick (counts are
+    >= 1, so negating a BIGINT count cannot overflow, ANSI or not).
+    The edge list is cached once and reused every round; iteration
+    count is fixed and small, so lineage stays bounded without
+    checkpointing (the open-ended variant would localCheckpoint each
+    round like llm_dedup_components does).
 
     Returns one row per node: ``node``, ``label``.
     """
@@ -287,9 +298,6 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w_pick = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(iterations):
         counts = (
             sym.join(labels, sym.src == labels.node)
@@ -298,9 +306,15 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
-            counts.withColumn("rn", F.row_number().over(w_pick))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("label")
+                    )
+                ).alias("__pick")
+            )
+            .select("node", F.col("__pick.label").alias("label"))
         )
     return labels
 
@@ -317,11 +331,21 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
     the current frontier against the symmetric edge list keyed on the
     frontier's endpoint (the multi-source BFS expansion — every node is
     a source simultaneously), one distinct, one anti-join against the
-    already-seen set. All (source, reached) state lives in shuffled
-    DataFrames keyed on the source — no driver-side structure; hop count
-    is fixed and small so lineage stays bounded. The per-node result is
-    a pure integer-count expression (n1 + n2/2 + n3/3 evaluated
-    per-row), so cross-engine agreement is exact.
+    already-seen set; each ring is localCheckpoint-ed so the next hop
+    (and the counting pass) read a materialized frontier instead of
+    replaying the whole BFS prefix — the kcore_peel discipline. The
+    per-ring counts then come from ONE tagged union + ONE per-source
+    aggregation (round-14, guide §2.4): the previous shape ran one
+    groupBy per ring plus ``radius`` left joins onto the node list,
+    shuffling the vertex table once per ring; every node has at least
+    one edge by construction (the node list IS sym's source set), so
+    the ring-1 group covers all nodes and the joins were pure overhead
+    (conditional sums with coalesce(0) preserve the missing-ring
+    zeros). All (source, reached) state lives in shuffled DataFrames
+    keyed on the source — no driver-side structure; hop count is fixed
+    and small. The per-node result is a pure integer-count expression
+    (n1 + n2/2 + n3/3 evaluated per-row), so cross-engine agreement is
+    exact.
 
     Returns one row per node: ``node``, ``n_d1``..``n_d{radius}``,
     ``harmonic_r{radius}``.
@@ -330,7 +354,7 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     rings: list[DataFrame] = [sym]
     seen = sym
@@ -343,18 +367,21 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
             .filter(F.col("src") != F.col("dst"))
             .distinct()
             .join(seen, ["src", "dst"], "left_anti")
+            .localCheckpoint()
         )
         rings.append(nxt)
         seen = seen.unionAll(nxt)
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    out = nodes
-    for i, ring in enumerate(rings, start=1):
-        cnt = ring.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias(f"n_d{i}")
-        )
-        out = out.join(cnt, "node", "left").withColumn(
-            f"n_d{i}", F.coalesce(F.col(f"n_d{i}"), F.lit(0))
-        )
+    tagged = rings[0].select("src", F.lit(1).alias("__r"))
+    for i, ring in enumerate(rings[1:], start=2):
+        tagged = tagged.unionAll(ring.select("src", F.lit(i).alias("__r")))
+    out = tagged.groupBy(F.col("src").alias("node")).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("__r") == i, F.lit(1))), F.lit(0)
+            ).alias(f"n_d{i}")
+            for i in range(1, radius + 1)
+        ]
+    )
     harmonic = F.col("n_d1").cast("double")
     for i in range(2, radius + 1):
         harmonic = harmonic + F.col(f"n_d{i}") / F.lit(float(i))
