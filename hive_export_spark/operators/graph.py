@@ -331,10 +331,18 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
     the current frontier against the symmetric edge list keyed on the
     frontier's endpoint (the multi-source BFS expansion — every node is
     a source simultaneously), one distinct, one anti-join against the
-    already-seen set; each ring is localCheckpoint-ed so the next hop
-    (and the counting pass) read a materialized frontier instead of
-    replaying the whole BFS prefix — the kcore_peel discipline. The
-    per-ring counts then come from ONE tagged union + ONE per-source
+    already-seen set. The symmetric edge list is persist()-ed — it is
+    read by every hop's expansion join, the anti-join seed, and the
+    counting pass. Rings are NOT localCheckpoint-ed: the round-14
+    attempt to checkpoint each ring made the checkpointed LogicalRDD
+    appear with identical attribute IDs in multiple branches of the
+    seen union/anti-join, and Spark's InferFiltersFromConstraints
+    throws (NoSuchElementException in UnionBase.rewriteConstraints)
+    while optimizing the NEXT checkpoint's own plan — a plan-time
+    crash, reproduced at sf0.001 (round-15 inherited-state fix; the
+    hop count is fixed and small, so the non-checkpointed lineage is
+    bounded anyway). The per-ring counts come from ONE tagged union +
+    ONE per-source
     aggregation (round-14, guide §2.4): the previous shape ran one
     groupBy per ring plus ``radius`` left joins onto the node list,
     shuffling the vertex table once per ring; every node has at least
@@ -354,7 +362,7 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     rings: list[DataFrame] = [sym]
     seen = sym
@@ -367,7 +375,6 @@ def bounded_harmonic(edges: DataFrame, radius: int = 3) -> DataFrame:
             .filter(F.col("src") != F.col("dst"))
             .distinct()
             .join(seen, ["src", "dst"], "left_anti")
-            .localCheckpoint()
         )
         rings.append(nxt)
         seen = seen.unionAll(nxt)

@@ -706,7 +706,8 @@ FROM l3 GROUP BY 1
     "is a pure function of the graph. Spark side loops 3 bounded "
     "DataFrame rounds (operators/graph.py::label_propagation: "
     "label-fanout join on the cached symmetric edge list, "
-    "map-side-combined (node,label) counts, per-node argmax window); "
+    "map-side-combined (node,label) counts, per-node argmax as a "
+    "partial-mergeable min(struct(-count, label)) aggregate); "
     "the oracle unrolls the identical recurrence as 3 CTE stages, so "
     "any schedule or tie-break divergence hash-mismatches. Output is "
     "the community-size histogram.",
