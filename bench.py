@@ -211,10 +211,14 @@ def main() -> None:
 
     aux: dict[str, float] = {}
     if "llm_dedup_incremental_banded" in timings:
-        store_root = sf_scratch_dir("banded_store_v2", sf_dir)
+        # scratch name tracks the query's (v3 since round 15 — the store
+        # write layout changed; this aux measures the SAME build the
+        # query performs, so the key must match or the timed build would
+        # target a store the query never reads)
+        store_root = sf_scratch_dir("banded_store_v3", sf_dir)
         shutil.rmtree(store_root, ignore_errors=True)
         store = os.path.join(
-            sf_scratch_dir("banded_store_v2", sf_dir), "buckets"
+            sf_scratch_dir("banded_store_v3", sf_dir), "buckets"
         )
         docs = load_table(spark, "documents", sf_dir)
         old_docs = docs.filter(F.col("doc_id") < _incr_split(docs))

@@ -23,6 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Per-bucket pair-enumeration cap (round-15, guide §2.5 skew): an LSH
+# bucket with more ids than this is split into sorted chunks and its
+# pair grid is re-shuffled across tasks (see minhash_lsh_pairs) instead
+# of enumerating the whole quadratic pair set inside ONE task's
+# exploded array. 2048 ids = at most ~2M (doc_a, doc_b) structs per
+# grid cell — comfortably one task's work — while real (non-degenerate)
+# LSH buckets stay orders of magnitude below it, so the salted branch
+# is empty on healthy corpora and costs only an empty exchange.
+_BUCKET_PAIR_CAP = 2048
+
 
 def normalized_text(col: F.Column | str) -> F.Column:
     """Canonical text normalization: lowercase + whitespace collapse."""
@@ -294,6 +304,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     oph: bool = False,
+    bucket_pair_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -312,6 +323,11 @@ def minhash_lsh_pairs(
     document, the 100 TB configuration; the verified output is identical
     whenever recall at the threshold is ~1 (both estimators' banding
     collision probability at planted-duplicate similarity rounds to 1).
+
+    ``bucket_pair_cap`` (default ``_BUCKET_PAIR_CAP``) bounds how many
+    ids one task may pair-enumerate from a single bucket; oversized
+    (degenerate) buckets are salted across tasks with an identical
+    resulting pair set — see the candidate-generation comment below.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -343,14 +359,31 @@ def minhash_lsh_pairs(
     # Round-14 interleaved A/B (sf0.1, min-of-3): classic 4.30 -> 3.18 s,
     # OPH 2.53 -> 2.23 s; verified outputs byte-identical. Per-bucket
     # work stays quadratic in bucket size — exactly the blowup the
-    # self-join had (same key, same partition) — and the array holds
-    # one bucket's ids in memory (8 bytes/id; a pathological 1M-doc
-    # bucket is 8 MB), so the memory shape is no worse than the
-    # self-join's hash/sort buffers at any scale.
-    candidates = (
+    # self-join had (same key, same partition) — BUT the groupBy
+    # formulation concentrates a degenerate bucket's whole quadratic
+    # blowup in ONE task where the self-join at least spread its output
+    # rows. Round-15 (guide §2.5 skew): buckets over ``bucket_pair_cap``
+    # ids are SALTED — the sorted id array is cut into ceil(n/cap)
+    # chunks, the upper-triangular chunk-pair grid (i <= j) is exploded
+    # one row per cell and re-shuffled on (band, bucket, ci, cj), and
+    # each cell enumerates at most cap^2 pairs in its own task. Slices
+    # of one sorted array preserve the global order, so a diagonal cell
+    # (ci == cj) reuses the ordered-pair enumeration and an off-diagonal
+    # cell (ci < cj) emits ALL (x in a, y in b) combinations — x < y
+    # holds by sortedness — making the union over cells EXACTLY the full
+    # ordered enumeration (pinned by
+    # test_lsh_oversized_bucket_salting_matches_unsalted). Healthy LSH
+    # buckets are far below the cap, so the salted branch is empty and
+    # costs one empty exchange; the array memory (8 bytes/id, one
+    # bucket per row) is the same bound the self-join's buffers had.
+    cap = bucket_pair_cap if bucket_pair_cap is not None else _BUCKET_PAIR_CAP
+    bucketed = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
+    )
+    small_pairs = (
+        bucketed.filter(F.size("__ids") <= cap)
         .select(
             F.explode(
                 F.expr(
@@ -361,7 +394,45 @@ def minhash_lsh_pairs(
             ).alias("__p")
         )
         .select("__p.doc_a", "__p.doc_b")
-        .distinct()
+    )
+    nc = f"cast(ceil(size(__ids) / {cap}.0d) as int)"
+    cells = (
+        bucketed.filter(F.size("__ids") > cap)
+        .select(
+            "band",
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, {nc} - 1), i ->"
+                    f" transform(sequence(i, {nc} - 1), j ->"
+                    f" struct(i AS ci, j AS cj,"
+                    f" slice(__ids, i * {cap} + 1, {cap}) AS a,"
+                    f" slice(__ids, j * {cap} + 1, {cap}) AS b))))"
+                )
+            ).alias("__cell"),
+        )
+        .select("band", "bucket", "__cell.*")
+        .repartition("band", "bucket", "ci", "cj")
+    )
+    diag_pairs = cells.filter(F.col("ci") == F.col("cj")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(a, (x, ix) ->"
+                " transform(slice(a, ix + 2, size(a)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.doc_a", "__p.doc_b")
+    cross_pairs = cells.filter(F.col("ci") < F.col("cj")).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(a, x ->"
+                " transform(b, y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.doc_a", "__p.doc_b")
+    candidates = (
+        small_pairs.unionByName(diag_pairs).unionByName(cross_pairs).distinct()
     )
     # exact-Jaccard verification on candidates only: cut the corpus down to
     # docs that appear in some candidate pair BEFORE shingling — the
@@ -680,10 +751,24 @@ def persist_banded_store(
     store additionally prunes I/O). Written once at ingest; increments
     append their own buckets to keep the store current
     (``mode="append"`` with the same partitioning).
+
+    The write ``repartition``s on ``bucket_part`` first (round-15, guide
+    §6 small files): ``partitionBy`` alone makes EVERY write task open
+    one file per partition value it holds — up to ``bucket_parts`` small
+    files per task, O(tasks x bucket_parts) store files total, which at
+    100 TB is a listing/open-overhead tax on every subsequent probe.
+    After the shuffle each bucket_part value lives in exactly one task,
+    so the store has ~1 data file per directory (asserted by
+    tests/test_round15_opt.py). Costs one shuffle of the (id, band,
+    bucket) rows at build time — the build is the amortized one-time
+    path, the probe is the recurring one. NOTE: this changed the store's
+    WRITE layout, so the scratch name was bumped (banded_store_v3) per
+    the store-versioning convention — stale v2 trees are never read.
     """
     (
         banded_buckets(sigs, id_col, num_hashes, bands)
         .withColumn("bucket_part", F.pmod(F.col("bucket"), F.lit(bucket_parts)))
+        .repartition("bucket_part")
         .write.mode("overwrite")
         .partitionBy("bucket_part")
         .parquet(path)

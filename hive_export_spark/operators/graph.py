@@ -204,46 +204,33 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
         )
     )
     for _ in range(iterations):
-        # ONE join + ONE aggregation per iteration (round-14, guide
-        # §2.4 — the same fused-round shape connected_components
-        # adopted): new rank = teleport + (85 * inflow) div 100 where
-        # inflow is a sum over contribution rows keyed by dst, so
-        # instead of (ranks ⋈ direc → groupBy(dst) sum → LEFT JOIN back
-        # onto ranks) — which shuffled the vertex-sized rank table a
-        # second time every iteration — each node's own (deg, __tele)
-        # row is UNIONed with the contribution fanout and one
-        # groupBy(node) folds both: max() recovers the single own row's
-        # carried columns exactly, and sum(__c) — which skips the own
-        # row's NULL — is the same order-insensitive BIGINT inflow sum
-        # (the coalesce(0) guard keeps the old expression tree; with
-        # both directions in direc every node has >= 1 contribution, so
-        # it is a provable no-op, same as the old left join's). Every
-        # direc.dst is also a src, so every group has exactly one own
-        # row and deg/__tele are never NULL. Values are bit-identical
-        # (integer arithmetic, order-insensitive reductions); pinned by
-        # the graph_pagerank oracle and the fused-iteration pytest.
-        own = ranks.select(
-            "node",
-            F.col("deg").alias("__deg"),
-            F.col("__tele").alias("__t"),
-            F.lit(None).cast("long").alias("__c"),
-        )
+        # Per iteration: contribution join keyed on src, inflow sum
+        # keyed on dst, LEFT JOIN of the inflow back onto the rank
+        # table. Round-14 fused this to union + one groupBy (the
+        # connected_components shape) on a warm single-JVM interleaved
+        # A/B (-12%), but COLD legs said the opposite, twice over: the
+        # r14 grading leg read the fused shape at 3.233 s vs 2.172 s
+        # for this shape (+49%), and the round-15 alternating
+        # cold-process A/B (tools/ab_pagerank.py, bench.py protocol,
+        # 3 legs each) read fused mins 3.224/3.731/3.912 s vs two-join
+        # mins 2.644/3.712/2.971 s — fused slower in every adjacent
+        # pair. The fused static plan duplicates the prior iteration's
+        # subtree twice per round (84 Exchange refs vs 44) and its win
+        # depends on AQE runtime stage reuse that cold JVMs don't
+        # deliver; REVERTED round-15 (guide §1: the driver's
+        # methodology is ground truth). Values are bit-identical either
+        # way (integer floor-division recurrence, order-insensitive
+        # sums) — pinned by the recurrence pytest and the
+        # graph_pagerank oracle.
         contrib = ranks.join(
             direc, ranks["node"] == direc["src"]
         ).select(
-            F.col("dst").alias("node"),
-            F.lit(None).cast("long").alias("__deg"),
-            F.lit(None).cast("long").alias("__t"),
+            F.col("dst"),
             F.expr("rank_int div deg").cast("long").alias("__c"),
         )
+        inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
         ranks = (
-            own.unionAll(contrib)
-            .groupBy("node")
-            .agg(
-                F.max("__deg").alias("deg"),
-                F.max("__t").alias("__tele"),
-                F.sum("__c").alias("__s"),
-            )
+            ranks.join(inflow, ranks["node"] == inflow["dst"], "left")
             .select(
                 "node",
                 "deg",

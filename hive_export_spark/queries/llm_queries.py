@@ -2824,9 +2824,13 @@ def llm_dedup_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = _incr_split(d)
     old = d.filter(F.col("doc_id") < split)
     new = d.filter(F.col("doc_id") >= split)
-    # v2: write logic changed with the fixture-relative split (see
-    # llm_dedup_incremental)
-    store = os.path.join(sf_scratch_dir("banded_store_v2", sf_dir), "buckets")
+    # v3: the store's write LAYOUT changed in round 15
+    # (persist_banded_store now repartitions on bucket_part before
+    # partitionBy — ~1 file per directory instead of up to 64 per write
+    # task); the scratch cache key is content-, not code-versioned, so
+    # the name bumps with every write-logic change (v2: the
+    # fixture-relative split; stream_union_v2 precedent)
+    store = os.path.join(sf_scratch_dir("banded_store_v3", sf_dir), "buckets")
     if not fs_exists(spark, store + "/_SUCCESS"):
         dedup.persist_banded_store(
             dedup.minhash_signatures(old, "text", "doc_id", 64),

@@ -254,16 +254,14 @@ def test_lsh_bucket_groupby_pairs_match_self_join(spark):  # noqa: F811
     assert spairs == {("E1", "a9"), ("E1", "z0"), ("a9", "z0")}
 
 
-def test_pagerank_fused_round_matches_reference_recurrence(spark):  # noqa: F811
-    """The fused union+agg iteration (one join + one aggregation per
-    round, replacing join -> groupBy -> left-join-back) must reproduce
-    the pinned integer recurrence bit-for-bit: rank_0 = BASE div n,
-    contribution = rank div deg, rank_{t+1} = (15*(BASE div n)) div 100
-    + (85 * inflow) div 100. Every group folds one NULL-contribution
-    own row (carrying deg/teleport) with its neighbor contributions;
-    the sum must ignore the NULL exactly like the old left-join
-    formulation ignored rank rows, and a degree-1 leaf (node 7 side)
-    pins the single-contribution case."""
+def test_pagerank_round_matches_reference_recurrence(spark):  # noqa: F811
+    """Whatever the iteration's physical shape (round-14 fused it,
+    round-15 reverted to join -> groupBy -> left-join-back on cold-leg
+    evidence), pagerank_int must reproduce the pinned integer
+    recurrence bit-for-bit: rank_0 = BASE div n, contribution =
+    rank div deg, rank_{t+1} = (15*(BASE div n)) div 100
+    + (85 * inflow) div 100; a degree-1 leaf (node 7 side) pins the
+    single-contribution case."""
     from hive_export_spark.operators.graph import _PR_BASE, pagerank_int
 
     edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (2, 6), (7, 3)]
